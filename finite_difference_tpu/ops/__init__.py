@@ -1,0 +1,18 @@
+from .special import norm_cdf, norm_pdf, norm_icdf, bivariate_norm_cdf
+from .tridiag import (
+    thomas_solve,
+    thomas_solve_const,
+    thomas_solve_assoc,
+    tridiag_matvec,
+)
+
+__all__ = [
+    "norm_cdf",
+    "norm_pdf",
+    "norm_icdf",
+    "bivariate_norm_cdf",
+    "thomas_solve",
+    "thomas_solve_const",
+    "thomas_solve_assoc",
+    "tridiag_matvec",
+]

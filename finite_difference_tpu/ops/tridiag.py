@@ -1,0 +1,144 @@
+"""Batched tridiagonal solvers (pure JAX; the TPU-native heart of the PDE layer).
+
+The reference solves its Crank–Nicolson systems with a scalar-Python Thomas
+loop (discrete_barrier_fdm_pricer.py:487-516, fd_american_equity.py:625-653).
+Here the same math is re-designed for TPU:
+
+- ``thomas_solve``: general-coefficient Thomas as a ``lax.scan`` pair —
+  sequential along the space axis but fully vectorized over arbitrary batch
+  dims, for splines / non-uniform grids / oracle checks.
+- ``thomas_solve_const``: the CN hot path. With constant diagonals
+  (a_l, a_c, a_u) the forward-elimination denominators satisfy the
+  constant-coefficient Riccati recurrence  D_i = a_c - a_l*a_u / D_{i-1},
+  whose continuants  p_k = a_c p_{k-1} - a_l a_u p_{k-2}  have the closed
+  form  p_k = (l1^{k+1} - l2^{k+1}) / (l1 - l2)  in terms of the
+  characteristic roots  l1,2 = (a_c ± sqrt(a_c^2 - 4 a_l a_u)) / 2.
+  Writing rho = l2/l1 (|rho| < 1 for the diagonally-dominant CN systems),
+
+      D_i = l1 * (1 - rho^{i+2}) / (1 - rho^{i+1}),
+
+  which is evaluated for all i in parallel. The remaining forward/backward
+  sweeps are first-order *affine* recurrences  y_i = alpha_i y_{i-1} + beta_i
+  and run in log-depth via ``lax.associative_scan``. No sequential dependency
+  of length N survives — the whole solve is O(log N) depth on device.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def tridiag_matvec(dl, d, du, x):
+    """y = T @ x for tridiagonal T given by (sub, main, super) diagonals.
+
+    All inputs shaped (..., n); dl[..., 0] and du[..., -1] are ignored.
+    """
+    n = x.shape[-1]
+    y = d * x
+    y = y.at[..., 1:].add(dl[..., 1:] * x[..., :-1])
+    y = y.at[..., :-1].add(du[..., :-1] * x[..., 1:])
+    return y
+
+
+def _affine_scan(alpha, beta, reverse: bool = False):
+    """Solve y_i = alpha_i * y_{i-1} + beta_i (y_{-1} = 0) along the last axis
+    in log depth. ``reverse=True`` runs the recurrence from the far end."""
+
+    def comb(l, r):
+        a_l, b_l = l
+        a_r, b_r = r
+        return a_r * a_l, a_r * b_l + b_r
+
+    axis = jnp.ndim(beta) - 1  # associative_scan requires a non-negative axis
+    a, b = lax.associative_scan(comb, (alpha, beta), axis=axis, reverse=reverse)
+    return b
+
+
+def thomas_solve(dl, d, du, rhs):
+    """General batched Thomas solve of T x = rhs.
+
+    Shapes: all (..., n). dl[..., 0] and du[..., -1] are ignored.
+    Sequential ``lax.scan`` over the space axis (the classic algorithm),
+    vectorized over every leading batch axis. Use this for non-constant
+    coefficients (splines, sinh grids, pathwise curves).
+    """
+    dl, d, du, rhs = jnp.broadcast_arrays(dl, d, du, rhs)
+    n = rhs.shape[-1]
+    batch_shape = rhs.shape[:-1]
+    # move space axis to front for scan
+    perm = lambda a: jnp.moveaxis(a, -1, 0)
+    dl_s, d_s, du_s, r_s = perm(dl), perm(d), perm(du), perm(rhs)
+
+    def fwd(carry, inp):
+        c_prev, dp_prev = carry
+        a_i, b_i, c_i, r_i = inp
+        denom = b_i - a_i * c_prev
+        c_new = c_i / denom
+        dp_new = (r_i - a_i * dp_prev) / denom
+        return (c_new, dp_new), (c_new, dp_new)
+
+    zeros = jnp.zeros(batch_shape, rhs.dtype)
+    (_, _), (c_prime, d_prime) = lax.scan(fwd, (zeros, zeros), (dl_s, d_s, du_s, r_s))
+
+    def bwd(carry, inp):
+        x_next = carry
+        cp_i, dp_i = inp
+        x_i = dp_i - cp_i * x_next
+        return x_i, x_i
+
+    _, xs = lax.scan(bwd, zeros, (c_prime, d_prime), reverse=True)
+    return jnp.moveaxis(xs, 0, -1)
+
+
+def thomas_solve_const(a_l, a_c, a_u, rhs):
+    """Constant-diagonal Thomas solve in O(log n) depth (the CN hot path).
+
+    Parameters
+    ----------
+    a_l, a_c, a_u : scalars or arrays broadcastable against ``rhs[..., :-1]``'s
+        batch shape — the constant sub/main/super diagonal values per system.
+    rhs : (..., n) right-hand sides.
+
+    Requires a_c^2 - 4 a_l a_u > 0, which holds for the diagonally-dominant
+    Crank–Nicolson / fully-implicit systems this library builds (see module
+    docstring). Verified against ``thomas_solve`` in tests.
+    """
+    rhs = jnp.asarray(rhs)
+    dtype = rhs.dtype
+    n = rhs.shape[-1]
+    a_l = jnp.asarray(a_l, dtype)[..., None]
+    a_c = jnp.asarray(a_c, dtype)[..., None]
+    a_u = jnp.asarray(a_u, dtype)[..., None]
+
+    disc = a_c * a_c - 4.0 * a_l * a_u
+    sq = jnp.sqrt(disc)
+    # Pick l1 as the larger-magnitude root so |rho| < 1.
+    l1 = 0.5 * (a_c + jnp.sign(a_c) * sq)
+    rho = (a_l * a_u) / (l1 * l1)  # == l2 / l1 since l1*l2 = a_l*a_u
+
+    i = lax.iota(dtype, n)
+    # rho^(i+1), rho^(i+2) — |rho| < 1 so this decays to 0, no overflow.
+    # rho may be negative (advection-dominated steps): split sign & magnitude
+    # because jnp.power(negative, float) is NaN.
+    k = i + 1.0
+    mag = jnp.abs(rho) ** k
+    odd = jnp.mod(k, 2.0) > 0.5
+    sgn = jnp.where(odd, jnp.sign(rho), 1.0)
+    rp1 = sgn * mag
+    rp2 = rho * rp1
+    denom = l1 * (1.0 - rp2) / (1.0 - rp1)
+    w = 1.0 / denom
+    c_prime = a_u * w
+
+    # Forward sweep: d'_i = w_i * rhs_i - (a_l * w_i) * d'_{i-1}
+    d_prime = _affine_scan(-a_l * w, w * rhs)
+    # Backward sweep: x_i = d'_i - c'_i * x_{i+1}
+    x = _affine_scan(-c_prime, d_prime, reverse=True)
+    return x
+
+
+# Backwards-compatible alias used by early revisions of the ops API.
+thomas_solve_assoc = thomas_solve_const

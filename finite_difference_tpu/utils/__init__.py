@@ -1,0 +1,21 @@
+from .dates import to_date, day_offset, add_days, ensure_dates
+from .daycount import year_fraction, year_denominator
+from .calendars import SouthAfricaCalendar
+from .rates import nacc_to_naca, naca_to_nacc, discount_factor
+from .curves import DailyNacaCurve, flat_naca_dataframe, load_curve_csv
+
+__all__ = [
+    "to_date",
+    "day_offset",
+    "add_days",
+    "ensure_dates",
+    "year_fraction",
+    "year_denominator",
+    "SouthAfricaCalendar",
+    "nacc_to_naca",
+    "naca_to_nacc",
+    "discount_factor",
+    "DailyNacaCurve",
+    "flat_naca_dataframe",
+    "load_curve_csv",
+]
