@@ -1,0 +1,441 @@
+"""Discretely-monitored barrier option FD pricer (CN + Rannacher).
+
+Capability parity with the reference's production
+``DiscreteBarrierFDMPricer`` (discrete_barrier_fdm_pricer.py:33-1084):
+
+- Log-S CN with Rannacher start; KO projection **only at monitor dates**
+  (mapped to tau indices exactly as the reference:
+  k = floor((T - t_mon)/dt + 1e-9) clamped to [1, N]).
+- Escrowed dividends: PV(divs) at valuation -> flat q over time_to_carry;
+  S_eff = spot - PV(divs) used for price interpolation.
+- Barrier types: none / down-and-out / up-and-out / double-out and the
+  knock-ins via in-out parity against a Black-76 vanilla with the three
+  FIS time measures (t_expiry / t_carry / t_discount).
+- already_hit / already_in trade-state short-circuits.
+- Greeks: non-uniform central stencil at spot (live reference behavior,
+  discrete_barrier_fdm_pricer.py:905-960) with optional barrier-aware
+  one-sided stencils; vega by one-sided sigma bump re-solve; theta from
+  the BS PDE identity; vanilla legs by closed-form FD bumps.
+
+TPU-first: all date/curve resolution on host; the base and sigma-bumped
+PDE solves run as one batched (vmap) device call.
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from functools import partial
+from typing import Any, Dict, List, Literal, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.stencils import barrier_aware_delta_gamma, nonuniform_central
+from ...utils.calendars import SouthAfricaCalendar
+from ...utils.curves import DailyNacaCurve
+from ...utils.daycount import normalize_convention, year_fraction
+from .grid import LogGrid, barrier_log_grid, uniform_schedule
+from .stepper import BarrierSpec, CNDynamics, CNGrid, CNSchedule, cn_solve
+from .american import _schedule_to_device
+
+BarrierType = Literal[
+    "down-and-out",
+    "up-and-out",
+    "double-out",
+    "down-and-in",
+    "up-and-in",
+    "double-in",
+    "none",
+]
+OptionType = Literal["call", "put"]
+
+_KI_TO_KO = {
+    "down-and-in": "down-and-out",
+    "up-and-in": "up-and-out",
+    "double-in": "double-out",
+}
+
+
+@partial(jax.jit, static_argnames=("n_nodes",))
+def _solve_ko_batch(grid, dyn, schedule, barrier, n_nodes):
+    solve = lambda d: cn_solve(
+        grid, d, schedule, n_nodes, barrier=barrier, american=False,
+        with_dividends=False, euro_put_lower_boundary=True,
+    )[0]
+    return jax.vmap(solve)(dyn)
+
+
+class DiscreteBarrierFDMPricer:
+    """CN FDM pricer for discretely monitored barrier options, daily curves.
+
+    Constructor mirrors discrete_barrier_fdm_pricer.py:42-83. Curves are
+    DataFrames with ["Date", "NACA"] or DailyNacaCurve objects.
+    """
+
+    def __init__(
+        self,
+        spot: float,
+        strike: float,
+        valuation_date: _dt.date,
+        maturity_date: _dt.date,
+        sigma: float,
+        option_type: OptionType,
+        barrier_type: BarrierType = "none",
+        lower_barrier: Optional[float] = None,
+        upper_barrier: Optional[float] = None,
+        monitor_dates: Optional[List[_dt.date]] = None,
+        rebate_amount: float = 0.0,
+        rebate_at_hit: bool = False,
+        already_hit: bool = False,
+        already_in: bool = False,
+        underlying_spot_days: int = 3,
+        option_days: int = 0,
+        option_settlement_days: int = 0,
+        discount_curve: Any = None,
+        forward_curve: Any = None,
+        dividend_schedule: Optional[List[Tuple[_dt.date, float]]] = None,
+        trade_id: Any = None,
+        direction: Literal["long", "short"] = "long",
+        quantity: int = 1,
+        contract_multiplier: float = 1.0,
+        min_substeps_between_monitors: int = 1,
+        grid_type: Literal["uniform", "sinh"] = "uniform",
+        sinh_alpha: float = 1.5,
+        lambda_diff_target: float = 0.5,
+        num_space_nodes: int = 400,
+        num_time_steps: int = 400,
+        rannacher_steps: int = 2,
+        s_max_mult: float = 4.5,
+        restart_on_monitoring: bool = False,
+        use_one_sided_greeks_near_barrier: bool = False,
+        mollify_band_nodes: int = 2,
+        day_count: str = "ACT/365",
+        fixed_num_space_nodes: Optional[int] = None,
+    ) -> None:
+        if any(x <= 0 for x in (spot, strike, sigma)):
+            raise ValueError("spot, strike, sigma must be positive.")
+        if maturity_date <= valuation_date:
+            raise ValueError("maturity_date must be after valuation_date.")
+
+        self.spot = float(spot)
+        self.strike = float(strike)
+        self.valuation_date = valuation_date
+        self.maturity_date = maturity_date
+        self.sigma = float(sigma)
+        self.option_type = option_type
+        self.barrier_type = barrier_type
+        self.lower_barrier = lower_barrier
+        self.upper_barrier = upper_barrier
+        self.monitor_dates = sorted(monitor_dates or [])
+        self.rebate_amount = float(rebate_amount)
+        self.rebate_at_hit = bool(rebate_at_hit)
+        self.already_hit = bool(already_hit)
+        self.already_in = bool(already_in)
+        self.trade_id = trade_id
+        self.direction = direction
+        self.quantity = int(quantity)
+        self.contract_multiplier = float(contract_multiplier)
+
+        self.num_time_steps = int(num_time_steps)
+        self.rannacher_steps = int(rannacher_steps)
+        self.use_one_sided_greeks_near_barrier = use_one_sided_greeks_near_barrier
+        self.mollify_band_nodes = int(mollify_band_nodes)
+        self.fixed_num_space_nodes = fixed_num_space_nodes
+
+        self.day_count = normalize_convention(day_count)
+        self.calendar = SouthAfricaCalendar()
+
+        def _curve(c):
+            if c is None:
+                return None
+            if isinstance(c, DailyNacaCurve):
+                return c
+            return DailyNacaCurve(c, valuation_date, day_count=self.day_count)
+
+        self.discount_curve = _curve(discount_curve)
+        self.forward_curve = _curve(forward_curve) or self.discount_curve
+        self.dividend_schedule = sorted(dividend_schedule or [], key=lambda x: x[0])
+
+        cal = self.calendar
+        self.carry_start_date = cal.add_working_days(valuation_date, underlying_spot_days)
+        self.carry_end_date = cal.add_working_days(maturity_date, underlying_spot_days)
+        self.discount_start_date = cal.add_working_days(valuation_date, option_days)
+        self.discount_end_date = cal.add_working_days(maturity_date, option_settlement_days)
+
+        yf = lambda a, b: year_fraction(a, b, self.day_count)
+        self.time_to_expiry = yf(valuation_date, maturity_date)
+        self.time_to_carry = yf(self.carry_start_date, self.carry_end_date)
+        self.time_to_discount = yf(self.discount_start_date, self.discount_end_date)
+
+        self.discount_rate_nacc = self.discount_curve.get_forward_nacc_rate(
+            self.discount_start_date, self.discount_end_date
+        )
+        self.carry_rate_nacc = self.forward_curve.get_forward_nacc_rate(
+            self.carry_start_date, self.carry_end_date
+        )
+        self.pv_divs = self._pv_dividends()
+        self.div_yield_nacc = self._dividend_yield_nacc()
+
+        self.monitor_times = self._build_monitor_times()
+
+        self.grid: LogGrid = barrier_log_grid(
+            spot_eff=self.spot - self.pv_divs,
+            strike=self.strike,
+            sigma=self.sigma,
+            t_expiry=self.time_to_expiry,
+            num_time_steps=self.num_time_steps,
+            lower_barrier=self.lower_barrier,
+            upper_barrier=self.upper_barrier,
+            num_space_nodes=fixed_num_space_nodes,
+        )
+        self.num_space_nodes = self.grid.n_nodes - 1
+        self.s_nodes = self.grid.s_nodes
+
+    # ------------------------------------------------------------------ #
+    # Curve-derived quantities                                            #
+    # ------------------------------------------------------------------ #
+    def _pv_dividends(self) -> float:
+        """PV of dividends over (valuation, maturity], discounted to the
+        carry start (discrete_barrier_fdm_pricer.py:232-243)."""
+        if not self.dividend_schedule or self.discount_curve is None:
+            return 0.0
+        pv = 0.0
+        df0 = self.discount_curve.get_discount_factor(self.carry_start_date)
+        for pay_date, amount in self.dividend_schedule:
+            if self.valuation_date < pay_date <= self.maturity_date:
+                pv += amount * self.discount_curve.get_discount_factor(pay_date) / df0
+        return pv
+
+    def _dividend_yield_nacc(self) -> float:
+        """Flat q reproducing PV(divs) over time_to_carry
+        (discrete_barrier_fdm_pricer.py:245-256)."""
+        pv = self.pv_divs
+        if pv <= 0.0:
+            return 0.0
+        if pv >= self.spot:
+            raise ValueError("PV(dividends) >= spot.")
+        tau = max(1e-12, self.time_to_carry)
+        return -math.log((self.spot - pv) / self.spot) / tau
+
+    def _build_monitor_times(self) -> List[float]:
+        times = []
+        for d in self.monitor_dates:
+            if self.valuation_date <= d <= self.maturity_date:
+                t = year_fraction(self.valuation_date, d, self.day_count)
+                if 0.0 <= t <= self.time_to_expiry:
+                    times.append(t)
+        if times and times[-1] < self.time_to_expiry - 1e-14:
+            times.append(self.time_to_expiry)
+        return sorted(set(times))
+
+    # ------------------------------------------------------------------ #
+    # PDE solve                                                           #
+    # ------------------------------------------------------------------ #
+    def _effective_ko_type(self) -> str:
+        return _KI_TO_KO.get(self.barrier_type, self.barrier_type)
+
+    def _barrier_spec(self, ko_type: str) -> BarrierSpec:
+        f = lambda x: jnp.asarray(float(x))
+        has_lower = ko_type in ("down-and-out", "double-out") and self.lower_barrier is not None
+        has_upper = ko_type in ("up-and-out", "double-out") and self.upper_barrier is not None
+        return BarrierSpec(
+            lower=f(self.lower_barrier if self.lower_barrier is not None else 0.0),
+            upper=f(self.upper_barrier if self.upper_barrier is not None else 0.0),
+            has_lower=jnp.asarray(bool(has_lower)),
+            has_upper=jnp.asarray(bool(has_upper)),
+            rebate=f(self.rebate_amount),
+            rebate_at_hit=jnp.asarray(self.rebate_at_hit),
+            # reference PVs maturity rebates at the carry rate
+            # (discrete_barrier_fdm_pricer.py:421-424)
+            rebate_rate=f(self.carry_rate_nacc),
+        )
+
+    def _dynamics(self, sigma: float) -> CNDynamics:
+        f = lambda x: jnp.asarray(float(x))
+        return CNDynamics(
+            strike=f(self.strike),
+            is_call=jnp.asarray(self.option_type == "call"),
+            sigma=f(sigma),
+            r=f(self.discount_rate_nacc),
+            b=f(self.carry_rate_nacc),
+            q=f(self.div_yield_nacc),
+        )
+
+    def _solve_grids(self, sigmas: List[float], ko_type: str) -> np.ndarray:
+        sch_np = uniform_schedule(
+            self.time_to_expiry,
+            self.num_time_steps,
+            rannacher_steps=self.rannacher_steps,
+            monitor_times=self.monitor_times,
+        )
+        sch = _schedule_to_device(sch_np)
+        grid = CNGrid(jnp.asarray(self.grid.x_min), jnp.asarray(self.grid.dx))
+        dyn = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[self._dynamics(s) for s in sigmas]
+        )
+        v = _solve_ko_batch(grid, dyn, sch, self._barrier_spec(ko_type), self.grid.n_nodes)
+        return np.asarray(v)
+
+    def _interp_price(self, v: np.ndarray) -> float:
+        s_eff = self.spot - self.pv_divs
+        return float(np.interp(s_eff, self.s_nodes, v))
+
+    def _delta_gamma_from_grid(self, v: np.ndarray) -> Tuple[float, float]:
+        s = jnp.asarray(self.s_nodes)
+        vv = jnp.asarray(v)
+        s0 = jnp.asarray(self.spot)
+        if self.use_one_sided_greeks_near_barrier:
+            ko = self._effective_ko_type()
+            lo = self.lower_barrier if ko in ("down-and-out", "double-out") else None
+            up = self.upper_barrier if ko in ("up-and-out", "double-out") else None
+            d, g = barrier_aware_delta_gamma(
+                s, vv, s0, lower_barrier=lo, upper_barrier=up,
+                band_nodes=self.mollify_band_nodes, one_sided=True,
+            )
+        else:
+            idx = jnp.clip(jnp.argmin(jnp.abs(s - s0)), 1, s.shape[0] - 2)
+            d, g = nonuniform_central(s, vv, idx)
+        return float(d), float(g)
+
+    # ------------------------------------------------------------------ #
+    # Vanilla leg (Black-76 with three time measures)                     #
+    # ------------------------------------------------------------------ #
+    def _vanilla_black76_price(
+        self,
+        S: Optional[float] = None,
+        sigma: Optional[float] = None,
+        T: Optional[float] = None,
+    ) -> float:
+        """discrete_barrier_fdm_pricer.py:648-693: F from escrowed spot and
+        carry over time_to_carry; d1/d2 on time_to_expiry; discount over
+        time_to_discount."""
+        from ..analytic.black_scholes import black76_price
+
+        s_eff = (self.spot if S is None else S) - self.pv_divs
+        sig = self.sigma if sigma is None else sigma
+        t_exp = self.time_to_expiry if T is None else T
+        if self.time_to_discount <= 0 or sig <= 0:
+            intr = s_eff - self.strike if self.option_type == "call" else self.strike - s_eff
+            return max(intr, 0.0)
+        fwd = s_eff * math.exp(self.carry_rate_nacc * self.time_to_carry)
+        df = math.exp(-self.discount_rate_nacc * self.time_to_discount)
+        return float(
+            black76_price(fwd, self.strike, sig, t_exp, df, self.option_type == "call")
+        )
+
+    def _vanilla_black76_greeks_fd(
+        self, dS: float = 0.0001, dSigma: float = 0.0001, dT: float = 0.0001
+    ) -> Dict[str, float]:
+        """FD greeks on the closed form (discrete_barrier_fdm_pricer.py:695-746):
+        relative spot bump, ONE-SIDED vega per vol point, central theta."""
+        s0, sig0, t0 = self.spot, self.sigma, self.time_to_expiry
+        ds = s0 * dS
+        p0 = self._vanilla_black76_price()
+        p_up = self._vanilla_black76_price(S=s0 + ds)
+        p_dn = self._vanilla_black76_price(S=s0 - ds)
+        delta = (p_up - p_dn) / (2.0 * ds)
+        gamma = (p_up - 2.0 * p0 + p_dn) / (ds * ds)
+        vega = (self._vanilla_black76_price(sigma=sig0 + dSigma) - p0) / (100.0 * dSigma)
+        if t0 > 2.0 * dT:
+            dv_dt = (
+                self._vanilla_black76_price(T=t0 + dT)
+                - self._vanilla_black76_price(T=t0 - dT)
+            ) / (2.0 * dT)
+        else:
+            dv_dt = (p0 - self._vanilla_black76_price(T=max(t0 - dT, 1e-8))) / dT
+        return {"price": p0, "delta": delta, "gamma": gamma, "theta": -dv_dt, "vega": vega}
+
+    # ------------------------------------------------------------------ #
+    # Public API                                                          #
+    # ------------------------------------------------------------------ #
+    def _pde_price_and_greeks(self, dv_sigma: float = 0.0001) -> Dict[str, float]:
+        ko = self._effective_ko_type()
+        v_all = self._solve_grids([self.sigma, self.sigma + dv_sigma], ko)
+        price = self._interp_price(v_all[0])
+        price_up = self._interp_price(v_all[1])
+        delta, gamma = self._delta_gamma_from_grid(v_all[0])
+        vega = (price_up - price) / (dv_sigma * 100.0)
+        theta = -(
+            0.5 * self.sigma**2 * self.spot**2 * gamma
+            + (self.carry_rate_nacc - self.div_yield_nacc) * self.spot * delta
+            - self.discount_rate_nacc * price
+        )
+        return {"price": price, "delta": delta, "gamma": gamma, "vega": vega, "theta": theta}
+
+    def price_log(self) -> float:
+        ko = self._effective_ko_type()
+        return self._interp_price(self._solve_grids([self.sigma], ko)[0])
+
+    def price_log2(self, apply_KO: bool = True, use_richardson: bool = False) -> float:
+        bt = self.barrier_type.lower()
+        if bt == "none":
+            return self._vanilla_black76_price()
+        if bt in ("down-and-out", "up-and-out", "double-out"):
+            if self.already_hit:
+                df = self.discount_curve.get_discount_factor(self.discount_end_date)
+                return self.rebate_amount * df
+            return self.price_log()
+        if bt in ("down-and-in", "up-and-in", "double-in"):
+            if self.already_in:
+                return self._vanilla_black76_price()
+            return self._vanilla_black76_price() - self.price_log()
+        raise ValueError(f"Unsupported barrier_type: {self.barrier_type}")
+
+    def greeks_log2(self, dv_sigma: float = 0.0001, use_richardson: bool = False) -> Dict[str, float]:
+        bt = self.barrier_type.lower()
+        if bt == "none":
+            return self._vanilla_black76_greeks_fd()
+        if bt in ("down-and-out", "up-and-out", "double-out"):
+            if self.already_hit:
+                return {k: 0.0 for k in ("price", "delta", "gamma", "vega", "theta")}
+            return self._pde_price_and_greeks(dv_sigma=dv_sigma)
+        if bt in ("down-and-in", "up-and-in", "double-in"):
+            if self.already_in:
+                return self._vanilla_black76_greeks_fd()
+            g_van = self._vanilla_black76_greeks_fd()
+            g_ko = self._pde_price_and_greeks(dv_sigma=dv_sigma)
+            return {k: g_van[k] - g_ko[k] for k in g_van}
+        raise ValueError(f"Unsupported barrier_type: {self.barrier_type}")
+
+    # ------------------------------------------------------------------ #
+    # Diagnostics                                                         #
+    # ------------------------------------------------------------------ #
+    def validate_convergence(
+        self, N_list: List[int], M_list: List[int]
+    ) -> List[Dict[str, float]]:
+        """Grid-refinement table (discrete_barrier_fdm_pricer.py:1043-1083)."""
+        out = []
+        for n_sp in N_list:
+            for m in M_list:
+                clone = DiscreteBarrierFDMPricer(
+                    spot=self.spot, strike=self.strike,
+                    valuation_date=self.valuation_date, maturity_date=self.maturity_date,
+                    sigma=self.sigma, option_type=self.option_type,
+                    barrier_type=self.barrier_type,
+                    lower_barrier=self.lower_barrier, upper_barrier=self.upper_barrier,
+                    monitor_dates=self.monitor_dates,
+                    rebate_amount=self.rebate_amount, rebate_at_hit=self.rebate_at_hit,
+                    already_hit=self.already_hit, already_in=self.already_in,
+                    discount_curve=self.discount_curve, forward_curve=self.forward_curve,
+                    dividend_schedule=self.dividend_schedule,
+                    num_space_nodes=n_sp, num_time_steps=m,
+                    rannacher_steps=self.rannacher_steps,
+                    day_count=self.day_count, fixed_num_space_nodes=n_sp,
+                )
+                g = clone.greeks_log2()
+                out.append({"N": n_sp, "M": m, **g})
+        out.sort(key=lambda r: (r["N"], r["M"]))
+        return out
+
+    def print_details(self) -> None:
+        p = self.price_log2()
+        g = self.greeks_log2()
+        print("==== Discrete Barrier Option (CN + Rannacher, TPU) ====")
+        print(f"T (years)         : {self.time_to_expiry:.9f}   [{self.day_count}]")
+        print(f"sigma / r / q     : {self.sigma:.9f} / {self.carry_rate_nacc:.9f} / {self.div_yield_nacc:.9f}")
+        print(f"Barrier type      : {self.barrier_type}  (lo={self.lower_barrier}, up={self.upper_barrier})")
+        print(f"Grid(S,N)         : {len(self.s_nodes)}, {self.num_time_steps}")
+        print(f"Monitors (count)  : {len(self.monitor_times)}")
+        print(f"Price             : {p:.9f}")
+        print(f"Greeks            : D={g['delta']:.9f}, G={g['gamma']:.9f}, v={g['vega']:.9f}, Th={g['theta']:.9f}")
