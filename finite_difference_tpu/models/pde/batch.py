@@ -1,0 +1,263 @@
+"""Batched barrier/vanilla PDE pricing — the framework's north-star workload.
+
+The reference prices scenario tables one grid at a time in Python loops
+(run_config_scenarios.py:155-186); here a whole struct-of-arrays batch of
+trades (each with its own grid, dynamics, barrier, monitor schedule) is
+priced in ONE device program: ``vmap(cn_solve)`` over the batch axis with
+price/delta/gamma/vega/theta computed on device. Shard the batch axis over
+a ``jax.sharding.Mesh`` for multi-chip sweeps (see ``parallel.mesh``).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.stencils import nonuniform_central
+from .grid import barrier_log_grid, uniform_schedule
+from .stepper import BarrierSpec, CNDynamics, CNGrid, CNSchedule, cn_solve
+
+
+@dataclass
+class BarrierTradeBatch:
+    """Struct-of-arrays batch of discretely-monitored barrier trades.
+
+    All arrays have leading dim B; schedule arrays are (B, n_steps).
+    Build with :func:`build_trade_batch` (host) or assemble directly.
+    """
+
+    x_min: np.ndarray
+    dx: np.ndarray
+    strike: np.ndarray
+    is_call: np.ndarray
+    sigma: np.ndarray
+    r: np.ndarray
+    b: np.ndarray
+    q: np.ndarray
+    lower: np.ndarray
+    upper: np.ndarray
+    has_lower: np.ndarray
+    has_upper: np.ndarray
+    rebate: np.ndarray
+    rebate_at_hit: np.ndarray
+    rebate_rate: np.ndarray
+    s_eff: np.ndarray  # spot for price interpolation (escrowed)
+    spot: np.ndarray  # spot for greek stencils
+    # schedule
+    dt: np.ndarray
+    theta: np.ndarray
+    tau_next: np.ndarray
+    monitor: np.ndarray
+    div_amount: np.ndarray
+    reset_lambda: np.ndarray
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.x_min)
+
+    @property
+    def n_steps(self) -> int:
+        return self.dt.shape[1]
+
+    def astype(self, dtype) -> "BarrierTradeBatch":
+        out = {}
+        for k, v in self.__dict__.items():
+            v = np.asarray(v)
+            out[k] = v.astype(dtype) if np.issubdtype(v.dtype, np.floating) else v
+        return BarrierTradeBatch(**out)
+
+
+def build_trade_batch(
+    spots: Sequence[float],
+    strikes: Sequence[float],
+    sigmas: Sequence[float],
+    t_expiry: Sequence[float],
+    r: Sequence[float],
+    b: Sequence[float],
+    is_call: Sequence[bool],
+    n_time_steps: int,
+    monitor_times: Sequence[Sequence[float]],
+    lower: Optional[Sequence[Optional[float]]] = None,
+    upper: Optional[Sequence[Optional[float]]] = None,
+    q: Optional[Sequence[float]] = None,
+    rebate: Optional[Sequence[float]] = None,
+    rebate_at_hit: Optional[Sequence[bool]] = None,
+    rannacher_steps: int = 2,
+    num_space_nodes: Optional[int] = None,
+    dtype=np.float64,
+) -> BarrierTradeBatch:
+    """Host-side canonicalisation: per-trade grids (production barrier grid
+    policy) + per-trade monitor schedules into fixed-shape arrays.
+
+    ``num_space_nodes``: static node-count bucket; defaults to the
+    reference's ~4.265*N_time rule evaluated once (it is trade-independent).
+    """
+    B = len(spots)
+    if num_space_nodes is None:
+        # reference rule: ceil(domain_width * N_time / (2 sigma sqrt(T)))
+        # with domain_width = 2*Phi^-1(0.99999)*sigma*sqrt(T) — trade-free
+        from .grid import _PPF_99999
+
+        num_space_nodes = math.ceil(2.0 * _PPF_99999 * n_time_steps / 2.0)
+
+    z = lambda v, d: np.asarray(v if v is not None else [d] * B)
+    lower = z(lower, None)
+    upper = z(upper, None)
+    q = np.asarray(q if q is not None else np.zeros(B), dtype=dtype)
+    rebate = np.asarray(rebate if rebate is not None else np.zeros(B), dtype=dtype)
+    rebate_at_hit = np.asarray(
+        rebate_at_hit if rebate_at_hit is not None else np.zeros(B, dtype=bool)
+    )
+
+    cols: Dict[str, List] = {k: [] for k in (
+        "x_min", "dx", "dt", "theta", "tau_next", "monitor", "div_amount",
+        "reset_lambda",
+    )}
+    for i in range(B):
+        g = barrier_log_grid(
+            spot_eff=float(spots[i]),
+            strike=float(strikes[i]),
+            sigma=float(sigmas[i]),
+            t_expiry=float(t_expiry[i]),
+            num_time_steps=n_time_steps,
+            lower_barrier=lower[i],
+            upper_barrier=upper[i],
+            num_space_nodes=num_space_nodes,
+        )
+        cols["x_min"].append(g.x_min)
+        cols["dx"].append(g.dx)
+        sch = uniform_schedule(
+            float(t_expiry[i]), n_time_steps, rannacher_steps, monitor_times[i]
+        )
+        cols["dt"].append(sch.dt)
+        cols["theta"].append(sch.theta)
+        cols["tau_next"].append(sch.tau_next)
+        cols["monitor"].append(sch.monitor)
+        cols["div_amount"].append(sch.div_amount)
+        cols["reset_lambda"].append(sch.reset_lambda)
+
+    f = lambda v: np.asarray(v, dtype=dtype)
+    return BarrierTradeBatch(
+        x_min=f(cols["x_min"]),
+        dx=f(cols["dx"]),
+        strike=f(strikes),
+        is_call=np.asarray(is_call, dtype=bool),
+        sigma=f(sigmas),
+        r=f(r),
+        b=f(b),
+        q=f(q),
+        lower=f([x if x is not None else 0.0 for x in lower]),
+        upper=f([x if x is not None else 0.0 for x in upper]),
+        has_lower=np.asarray([x is not None for x in lower]),
+        has_upper=np.asarray([x is not None for x in upper]),
+        rebate=rebate,
+        rebate_at_hit=rebate_at_hit,
+        rebate_rate=f(b),
+        s_eff=f(spots),
+        spot=f(spots),
+        dt=np.stack(cols["dt"]).astype(dtype),
+        theta=np.stack(cols["theta"]).astype(dtype),
+        tau_next=np.stack(cols["tau_next"]).astype(dtype),
+        monitor=np.stack(cols["monitor"]),
+        div_amount=np.stack(cols["div_amount"]).astype(dtype),
+        reset_lambda=np.stack(cols["reset_lambda"]),
+    )
+
+
+def _solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
+    """Single-trade closure used under vmap; ``sigma`` may be bumped."""
+    grid = CNGrid(batch.x_min, batch.dx)
+    dyn = CNDynamics(
+        strike=batch.strike, is_call=batch.is_call, sigma=sigma,
+        r=batch.r, b=batch.b, q=batch.q,
+    )
+    bar = BarrierSpec(
+        lower=batch.lower, upper=batch.upper,
+        has_lower=batch.has_lower, has_upper=batch.has_upper,
+        rebate=batch.rebate, rebate_at_hit=batch.rebate_at_hit,
+        rebate_rate=batch.rebate_rate,
+    )
+    sch = CNSchedule(
+        dt=batch.dt, theta=batch.theta, tau_next=batch.tau_next,
+        monitor=batch.monitor, div_amount=batch.div_amount,
+        reset_lambda=batch.reset_lambda,
+    )
+    return cn_solve(grid, dyn, sch, n_nodes, barrier=bar)
+
+
+def price_batch_kernel(
+    batch_dev, n_nodes: int, dv_sigma: float = 0.0001, with_greeks: bool = True
+):
+    """Device function (jit me): batch pytree of arrays -> dict of (B,) arrays.
+
+    Vega uses the reference's one-sided sigma bump; delta/gamma the
+    non-uniform central stencil at spot; theta the BS PDE identity
+    (discrete_barrier_fdm_pricer.py:843-870).
+    """
+
+    def solve(sig_field):
+        v, s = jax.vmap(lambda bt: _solve_one(bt, sig_field(bt), n_nodes))(batch_dev)
+        return v, s
+
+    v, s = solve(lambda bt: bt.sigma)
+    price = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v)
+    out = {"price": price}
+    if not with_greeks:
+        return out
+
+    v_up, _ = solve(lambda bt: bt.sigma + dv_sigma)
+    price_up = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v_up)
+    out["vega"] = (price_up - price) / (dv_sigma * 100.0)
+
+    def dg(s_i, v_i, spot_i):
+        idx = jnp.clip(jnp.argmin(jnp.abs(s_i - spot_i)), 1, s_i.shape[0] - 2)
+        return nonuniform_central(s_i, v_i, idx)
+
+    delta, gamma = jax.vmap(dg)(s, v, batch_dev.spot)
+    out["delta"] = delta
+    out["gamma"] = gamma
+    out["theta"] = -(
+        0.5 * batch_dev.sigma**2 * batch_dev.spot**2 * gamma
+        + (batch_dev.b - batch_dev.q) * batch_dev.spot * delta
+        - batch_dev.r * price
+    )
+    return out
+
+
+# Register the batch dataclass as a pytree so it can cross jit boundaries.
+jax.tree_util.register_pytree_node(
+    BarrierTradeBatch,
+    lambda b: (tuple(b.__dict__.values()), tuple(b.__dict__.keys())),
+    lambda keys, vals: BarrierTradeBatch(**dict(zip(keys, vals))),
+)
+
+
+def price_barrier_batch(
+    batch: BarrierTradeBatch,
+    n_nodes: int,
+    dv_sigma: float = 0.0001,
+    with_greeks: bool = True,
+    mesh=None,
+    axis_name: str = "data",
+) -> Dict[str, np.ndarray]:
+    """Price a trade batch; optionally shard the batch axis over ``mesh``.
+
+    With a mesh, arrays are placed with NamedSharding over ``axis_name`` and
+    XLA partitions the whole program with zero collectives (embarrassingly
+    parallel over trades).
+    """
+    dev = jax.tree.map(jnp.asarray, batch)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(axis_name))
+        dev = jax.tree.map(lambda x: jax.device_put(x, shard), dev)
+    fn = jax.jit(
+        price_batch_kernel, static_argnames=("n_nodes", "with_greeks")
+    )
+    out = fn(dev, n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks)
+    return {k: np.asarray(val) for k, val in out.items()}

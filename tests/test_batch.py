@@ -1,0 +1,101 @@
+import datetime as dt
+
+import numpy as np
+import pytest
+import jax
+
+from finite_difference_tpu.models.pde import DiscreteBarrierFDMPricer
+from finite_difference_tpu.models.pde.batch import (
+    build_trade_batch,
+    price_barrier_batch,
+)
+from finite_difference_tpu.parallel import make_mesh
+from finite_difference_tpu.utils.calendars import build_monitoring_dates
+from finite_difference_tpu.utils.curves import flat_naca_dataframe
+from finite_difference_tpu.utils.daycount import year_fraction
+
+VAL = dt.date(2025, 7, 28)
+MAT = dt.date(2025, 8, 28)
+
+
+def _reference_single(spot, strike, sigma, H, n_time):
+    monitors = build_monitoring_dates(VAL, MAT, "daily")
+    pr = DiscreteBarrierFDMPricer(
+        spot=spot, strike=strike, valuation_date=VAL, maturity_date=MAT,
+        sigma=sigma, option_type="call", barrier_type="up-and-out",
+        upper_barrier=H, monitor_dates=monitors,
+        discount_curve=flat_naca_dataframe(0.073085649282),
+        underlying_spot_days=0, num_time_steps=n_time,
+    )
+    return pr
+
+
+def _batch_from_pricers(pricers, n_time, num_space_nodes):
+    return build_trade_batch(
+        spots=[p.spot for p in pricers],
+        strikes=[p.strike for p in pricers],
+        sigmas=[p.sigma for p in pricers],
+        t_expiry=[p.time_to_expiry for p in pricers],
+        r=[p.discount_rate_nacc for p in pricers],
+        b=[p.carry_rate_nacc for p in pricers],
+        is_call=[True] * len(pricers),
+        n_time_steps=n_time,
+        monitor_times=[p.monitor_times for p in pricers],
+        upper=[p.upper_barrier for p in pricers],
+        num_space_nodes=num_space_nodes,
+    )
+
+
+class TestBatchedBarrier:
+    def test_matches_single_trade_pricers(self):
+        n_time = 200
+        specs = [
+            (229.74, 190.0, 0.28790, 260.0),
+            (229.74, 190.0, 0.28790, 420.0),
+            (229.74, 260.0, 0.23488, 280.0),
+            (200.00, 210.0, 0.30000, 240.0),
+        ]
+        pricers = [_reference_single(*s, n_time) for s in specs]
+        n_nodes_each = {p.grid.n_nodes for p in pricers}
+        # the production rule gives the same node count for all trades
+        assert len(n_nodes_each) == 1
+        n_sp = pricers[0].num_space_nodes
+
+        batch = _batch_from_pricers(pricers, n_time, n_sp)
+        out = price_barrier_batch(batch, n_nodes=n_sp + 1)
+
+        for i, p in enumerate(pricers):
+            g = p.greeks_log2()
+            assert out["price"][i] == pytest.approx(g["price"], rel=1e-10), i
+            assert out["delta"][i] == pytest.approx(g["delta"], rel=1e-8), i
+            assert out["gamma"][i] == pytest.approx(g["gamma"], rel=1e-8, abs=1e-10), i
+            assert out["vega"][i] == pytest.approx(g["vega"], rel=1e-6, abs=1e-8), i
+            assert out["theta"][i] == pytest.approx(g["theta"], rel=1e-8), i
+
+    def test_sharded_over_mesh(self):
+        assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+        mesh = make_mesh(8)
+        n_time = 100
+        B = 16
+        rng = np.random.default_rng(0)
+        spots = rng.uniform(180, 260, B)
+        t = year_fraction(VAL, MAT)
+        batch = build_trade_batch(
+            spots=spots,
+            strikes=[190.0] * B,
+            sigmas=[0.25] * B,
+            t_expiry=[t] * B,
+            r=[0.07] * B,
+            b=[0.07] * B,
+            is_call=[True] * B,
+            n_time_steps=n_time,
+            monitor_times=[[t * (k + 1) / 24 for k in range(24)]] * B,
+            upper=[300.0] * B,
+            num_space_nodes=427,
+        )
+        out_sharded = price_barrier_batch(batch, n_nodes=428, mesh=mesh)
+        out_local = price_barrier_batch(batch, n_nodes=428)
+        np.testing.assert_allclose(out_sharded["price"], out_local["price"], rtol=1e-12)
+        # KO call price should decrease as spot approaches the barrier region
+        # (just sanity: all finite, positive where ITM)
+        assert np.isfinite(out_sharded["price"]).all()
