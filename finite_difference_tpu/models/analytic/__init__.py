@@ -5,6 +5,15 @@ from .black_scholes import (
     black76_greeks,
     generalized_bs_price,
 )
+from .reiner_rubinstein import BarrierEngine, barrier_price, barrier_factors
+from .double_barrier import DoubleBarrier, double_barrier_price, double_barrier_ko_price
+from .bjerksund_stensland import (
+    BjerksundStenslandOptionPricer,
+    american_call_bs93,
+    american_put_bs93,
+    american_price_bs93,
+)
+from .bgk_pricer import DiscreteBarrierBGKPricer
 
 __all__ = [
     "bs_price",
@@ -12,4 +21,15 @@ __all__ = [
     "black76_price",
     "black76_greeks",
     "generalized_bs_price",
+    "BarrierEngine",
+    "barrier_price",
+    "barrier_factors",
+    "DoubleBarrier",
+    "double_barrier_price",
+    "double_barrier_ko_price",
+    "BjerksundStenslandOptionPricer",
+    "american_call_bs93",
+    "american_put_bs93",
+    "american_price_bs93",
+    "DiscreteBarrierBGKPricer",
 ]
