@@ -1,0 +1,63 @@
+"""Random-number generation for the MC layer.
+
+Two generators, mirroring the reference's split (rng.py:16-44) but
+TPU-native:
+
+- ``threefry_normals``: the production path — JAX's counter-based threefry
+  PRNG, fully on-device, reproducible across shardings (each path derives
+  its own counter, so results are independent of batch/chip layout).
+- ``SobolNormalRng``: scrambled Sobol -> U(0,1) -> N(0,1) via
+  sqrt(2)*erfinv(2u-1) with the RiskFlow epsilon-shift away from {0,1} and
+  ``fast_forward`` stream resumption. Host-side generation through
+  scipy.stats.qmc by default; ``backend="torch"`` reproduces RiskFlow's
+  torch.quasirandom.SobolEngine sequences bit-for-bit for parity tests.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.special import norm_icdf
+
+
+def threefry_normals(key, shape, dtype=jnp.float64):
+    """Counter-based standard normals (device-native)."""
+    return jax.random.normal(key, shape, dtype=dtype)
+
+
+@dataclass
+class SobolNormalRng:
+    """Scrambled Sobol -> N(0,1); returns (dimension, n) like the reference."""
+
+    seed: int
+    fast_forward: int = 0
+    backend: str = "scipy"  # "scipy" | "torch" (RiskFlow parity)
+    dtype: type = np.float64
+
+    def draw_uniforms(self, dimension: int, n: int) -> np.ndarray:
+        if self.backend == "torch":
+            import torch
+
+            engine = torch.quasirandom.SobolEngine(
+                dimension=dimension, scramble=True, seed=self.seed
+            )
+            if self.fast_forward > 0:
+                engine.fast_forward(self.fast_forward)
+            return engine.draw(n, dtype=torch.float64).numpy().astype(self.dtype)
+        from scipy.stats import qmc
+
+        engine = qmc.Sobol(d=dimension, scramble=True, seed=self.seed)
+        if self.fast_forward > 0:
+            engine.fast_forward(self.fast_forward)
+        return engine.random(n).astype(self.dtype)
+
+    def draw_normals(self, dimension: int, n: int) -> np.ndarray:
+        """(dimension, n) standard normals (rng.py:26-44)."""
+        sobol = self.draw_uniforms(dimension, n)  # (n, dimension)
+        eps = np.finfo(self.dtype).eps
+        u = 0.5 + (1.0 - eps) * (sobol - 0.5)
+        z = np.asarray(norm_icdf(jnp.asarray(u)))
+        return np.ascontiguousarray(z.T)
