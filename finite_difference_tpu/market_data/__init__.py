@@ -1,0 +1,21 @@
+"""Market-data layer: risk-factor slices, scenario cubes, pathwise curves.
+
+Reconstructions of the reference dump's missing ``market_data.*`` modules
+(SURVEY §2.9) from their call sites in exposure_engine.py / ir_swap.py /
+equity_trs.py / test_1.py.
+"""
+from .risk_factor import CurveSlice, RiskFactorSlice, ScalarSlice, SurfaceSlice
+from .scenario_cube import ScenarioCube, StaticMarketData
+from .yield_curve import YieldCurve, hermite_rt_interp, linear_interp
+
+__all__ = [
+    "CurveSlice",
+    "RiskFactorSlice",
+    "ScalarSlice",
+    "SurfaceSlice",
+    "ScenarioCube",
+    "StaticMarketData",
+    "YieldCurve",
+    "hermite_rt_interp",
+    "linear_interp",
+]

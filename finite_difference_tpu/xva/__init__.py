@@ -15,6 +15,7 @@ from .reference_price import FixingSchedule, ReferencePrice
 from .commodity_forward import CommodityForward
 from .cva import ExposureProfile, XvaCalculator
 from .engine import CommodityXvaEngine, RunResult
+from .exposure_engine import ExposureEngine, ExposureProfile as NettingExposureProfile
 
 __all__ = [
     "CounterpartyConfig",
@@ -29,4 +30,6 @@ __all__ = [
     "XvaCalculator",
     "CommodityXvaEngine",
     "RunResult",
+    "ExposureEngine",
+    "NettingExposureProfile",
 ]

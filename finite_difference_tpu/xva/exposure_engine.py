@@ -1,0 +1,487 @@
+"""Netting-set exposure engine.
+
+Capability parity with the reference's ``exposure_engine.py`` (the generic
+RiskFlow-style engine, :63-648):
+
+- validation of cube maturity coverage and FX factors (:104-130);
+- instrument ``precompute`` hook before the date loop (:157-164);
+- per-date, per-trade ``scenario_npvs`` with FX conversion and notional
+  scaling (:166-201);
+- fixing caches stamped exactly once per reset (the RiskFlow ``old_resets``
+  convention): LIBOR once-at-reset, OIS incremental compounding with
+  historical-CF seeding, CPI bracket dates with T_last_pub pre-seeding,
+  commodity averaging dates, equity return-leg resets (:227-546);
+- linear interpolation of the market state to exact fixing dates (:16-60);
+- CSA close-out risky-curve substitution (:552-587);
+- pathwise collateral with MPOR lookback, two-sided VM thresholds, and
+  NONE/FIXED IM (:593-648).
+
+The engine's date x trade loop is host orchestration (it stamps caches and
+dispatches to instruments); the heavy math lives inside the instruments'
+vectorized pricing kernels, which see all paths at once.
+"""
+from __future__ import annotations
+
+from bisect import bisect_right
+from dataclasses import dataclass
+from datetime import date, timedelta
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..market_data.risk_factor import CurveSlice, ScalarSlice, SurfaceSlice
+from ..market_data.scenario_cube import ScenarioCube, StaticMarketData
+from ..portfolio.csa import CloseOutMethod, InitialMarginMethod
+from ..portfolio.netting_set import NettingSet
+
+
+@dataclass
+class ExposureProfile:
+    """Reconstruction of the absent pricing/exposure_profile.py (SURVEY §2.9)."""
+
+    netting_set_id: str
+    dates: tuple
+    mtm: np.ndarray          # (n_paths, n_times)
+    collateral: np.ndarray   # (n_paths, n_times)
+    exposure: np.ndarray     # (n_paths, n_times) = max(mtm - collateral, 0)
+    neg_exposure: np.ndarray
+    currency: str
+
+    def ee(self) -> np.ndarray:
+        return self.exposure.mean(axis=0)
+
+    def pfe(self, q: float = 0.95) -> np.ndarray:
+        return np.quantile(self.exposure, q, axis=0)
+
+
+def _interp_scenario_state(
+    all_states: List[dict],
+    scenario_dates: List[date],
+    prev_idx: int,
+    target_date: date,
+) -> dict:
+    """Linearly interpolated market state at target_date (exposure_engine.py:16-60)."""
+    next_idx = prev_idx + 1
+    if next_idx >= len(all_states) or scenario_dates[prev_idx] == target_date:
+        return all_states[prev_idx]
+
+    span = (scenario_dates[next_idx] - scenario_dates[prev_idx]).days
+    if span == 0:
+        return all_states[prev_idx]
+
+    alpha = (target_date - scenario_dates[prev_idx]).days / span
+    if alpha <= 0.0:
+        return all_states[prev_idx]
+    if alpha >= 1.0:
+        return all_states[next_idx]
+
+    state_a, state_b = all_states[prev_idx], all_states[next_idx]
+    result: dict = {}
+    for name, sa in state_a.items():
+        sb = state_b.get(name)
+        if sb is None or type(sa) is not type(sb):
+            result[name] = sa
+            continue
+        v = (1.0 - alpha) * sa.values + alpha * sb.values
+        if isinstance(sa, SurfaceSlice):
+            result[name] = SurfaceSlice(values=v, tenors=sa.tenors, strikes=sa.strikes)
+        elif isinstance(sa, CurveSlice):
+            result[name] = CurveSlice(values=v, tenors=sa.tenors)
+        else:
+            result[name] = ScalarSlice(values=v)
+    return result
+
+
+class ExposureEngine:
+    """Computes an ExposureProfile for a NettingSet against a ScenarioCube."""
+
+    def __init__(
+        self,
+        cube: ScenarioCube,
+        static_data: Optional[StaticMarketData] = None,
+    ) -> None:
+        self.cube = cube
+        self.static_data = static_data or StaticMarketData()
+
+    # ------------------------------------------------------------------
+
+    def compute(self, netting_set: NettingSet) -> ExposureProfile:
+        n_paths = self.cube.n_paths
+        n_times = self.cube.n_times
+        scenario_dates = list(self.cube.dates)
+        cube_end = scenario_dates[-1]
+
+        for trade in netting_set.trades:
+            trade_end = trade.instrument.effective_maturity
+            if isinstance(trade_end, date) and trade_end > cube_end:
+                raise ValueError(
+                    f"Trade {trade.trade_id!r} effective maturity {trade_end} "
+                    f"extends beyond the last cube date {cube_end}. "
+                    f"Re-run the simulation with a grid covering at least {trade_end}."
+                )
+
+        for trade in netting_set.trades:
+            if (
+                trade.currency != netting_set.reporting_currency
+                and trade.fx_rate_factor is None
+            ):
+                raise ValueError(
+                    f"Trade {trade.trade_id!r} currency {trade.currency!r} differs "
+                    f"from reporting currency {netting_set.reporting_currency!r} "
+                    f"but fx_rate_factor is not set."
+                )
+
+        fixing_cache: Dict[tuple, np.ndarray] = {}
+        cpi_fixings_cache: Dict[int, dict] = {}
+        commodity_fixings_cache: Dict[int, dict] = {}
+        equity_fixings_cache: Dict[int, dict] = {}
+
+        mtm_paths = np.zeros((n_paths, n_times))
+
+        all_states = [
+            {**self.static_data.factors, **self.cube.get_time_slice(t)}
+            for t in range(n_times)
+        ]
+        for trade in netting_set.trades:
+            trade.instrument.precompute(all_states, scenario_dates)
+
+        for t_idx in range(n_times):
+            sim_date = scenario_dates[t_idx]
+            base_market_state = all_states[t_idx]
+
+            for trade in netting_set.trades:
+                instrument = trade.instrument
+                fixings = self._build_fixings(
+                    instrument, sim_date, scenario_dates, fixing_cache, all_states
+                )
+                commodity_fixings = self._build_commodity_fixings(
+                    instrument, sim_date, commodity_fixings_cache,
+                    scenario_dates, all_states,
+                )
+                if commodity_fixings:
+                    fixings = {**fixings, **commodity_fixings}
+                equity_fixings = self._build_equity_fixings(
+                    instrument, sim_date, equity_fixings_cache,
+                    scenario_dates, all_states,
+                )
+                if equity_fixings:
+                    fixings = {**fixings, **equity_fixings}
+                cpi_kwargs = self._build_cpi_fixings(
+                    instrument, base_market_state, sim_date, cpi_fixings_cache,
+                    scenario_dates, all_states,
+                )
+                pricing_state = self._pricing_market_state(
+                    base_market_state, instrument, netting_set, trade.currency
+                )
+                npv = instrument.scenario_npvs(
+                    sim_date, pricing_state, fixings=fixings or None, **cpi_kwargs
+                )
+                if trade.currency != netting_set.reporting_currency:
+                    fx_slice = base_market_state[trade.fx_rate_factor]
+                    npv = npv * fx_slice.values
+                mtm_paths[:, t_idx] += trade.notional_scale * npv
+
+        if netting_set.csa is not None:
+            collateral = self._simulate_collateral(
+                mtm_paths, scenario_dates, netting_set.csa
+            )
+        else:
+            collateral = np.zeros((n_paths, n_times))
+
+        net = mtm_paths - collateral
+        return ExposureProfile(
+            netting_set_id=netting_set.netting_set_id,
+            dates=tuple(scenario_dates),
+            mtm=mtm_paths,
+            collateral=collateral,
+            exposure=np.maximum(net, 0.0),
+            neg_exposure=np.minimum(net, 0.0),
+            currency=netting_set.reporting_currency,
+        )
+
+    # ------------------------------------------------------------------
+    # Fixing cache (Category B resets)
+    # ------------------------------------------------------------------
+
+    def _build_fixings(
+        self,
+        instrument,
+        sim_date: date,
+        scenario_dates: List[date],
+        fixing_cache: dict,
+        all_states: Optional[List[dict]] = None,
+    ) -> Dict[tuple, np.ndarray]:
+        """LIBOR once-at-reset / OIS incremental fixings (exposure_engine.py:227-364)."""
+        if not hasattr(instrument, "get_reset_dates"):
+            return {}
+        has_libor = hasattr(instrument, "compute_fixings")
+        has_ois = hasattr(instrument, "compute_cf_increment")
+        if not has_libor and not has_ois:
+            return {}
+
+        fixings: Dict[tuple, np.ndarray] = {}
+        inst_id = id(instrument)
+        n_paths = self.cube.n_paths
+
+        for reset_tuple in instrument.get_reset_dates():
+            reset_date, curve_name, p_start, p_end = reset_tuple[:4]
+            is_overnight = reset_tuple[4] if len(reset_tuple) > 4 else False
+
+            if is_overnight and reset_date >= sim_date:
+                continue
+            if not is_overnight and reset_date > sim_date:
+                continue
+
+            if is_overnight and has_ois:
+                cf_key = (inst_id, curve_name, p_start, "_ois_cf")
+                last_key = (inst_id, curve_name, p_start, "_ois_last")
+                prev_date = fixing_cache.get(last_key)
+                cf_realized = fixing_cache.get(cf_key)
+
+                if prev_date is None:
+                    initial_cf = instrument.get_ois_initial_cf(curve_name, p_start)
+                    cf_realized = (
+                        np.full(n_paths, float(initial_cf))
+                        if initial_cf is not None
+                        else np.ones(n_paths)
+                    )
+                    step_starts = [
+                        t for t in scenario_dates if p_start <= t < sim_date
+                    ]
+                else:
+                    step_starts = [
+                        t for t in scenario_dates if prev_date <= t < sim_date
+                    ]
+
+                for j, t_j in enumerate(step_starts):
+                    t_j1 = (
+                        step_starts[j + 1] if j + 1 < len(step_starts) else sim_date
+                    )
+                    t_j_idx = max(0, bisect_right(scenario_dates, t_j) - 1)
+                    fix_slice = {
+                        **self.static_data.factors,
+                        **self.cube.get_time_slice(t_j_idx),
+                    }
+                    cf_realized = cf_realized * instrument.compute_cf_increment(
+                        curve_name, t_j, t_j1, fix_slice
+                    )
+
+                fixing_cache[cf_key] = cf_realized
+                fixing_cache[last_key] = sim_date
+                fixings[(curve_name, p_start)] = cf_realized
+
+            elif has_libor:
+                cache_key = (inst_id, curve_name, p_start)
+                if cache_key not in fixing_cache:
+                    fix_t_idx = max(0, bisect_right(scenario_dates, reset_date) - 1)
+                    fix_slice = (
+                        all_states[fix_t_idx]
+                        if all_states is not None
+                        else {
+                            **self.static_data.factors,
+                            **self.cube.get_time_slice(fix_t_idx),
+                        }
+                    )
+                    computed = instrument.compute_fixings(
+                        [(reset_date, curve_name, p_start, p_end)],
+                        fix_slice,
+                        reset_date,
+                    )
+                    fixing_cache.update(
+                        {(inst_id, k[0], k[1]): v for k, v in computed.items()}
+                    )
+                fixings[(curve_name, p_start)] = fixing_cache[cache_key]
+
+        return fixings
+
+    # ------------------------------------------------------------------
+    # CPI fixings accumulator
+    # ------------------------------------------------------------------
+
+    def _build_cpi_fixings(
+        self,
+        instrument,
+        base_market_state: dict,
+        sim_date: date,
+        cpi_fixings_cache: Dict[int, dict],
+        scenario_dates: List[date],
+        all_states: List[dict],
+    ) -> dict:
+        """CPI bracket-date stamping with T_last_pub pre-seed (:370-433)."""
+        if not hasattr(instrument, "get_cpi_reference_dates"):
+            return {}
+
+        inst_id = id(instrument)
+        accumulated = cpi_fixings_cache.setdefault(inst_id, {})
+
+        if hasattr(instrument, "_compute_t_last_pub_fixing"):
+            accumulated.update(
+                instrument._compute_t_last_pub_fixing(
+                    base_market_state, sim_date, accumulated
+                )
+            )
+
+        cpi_last_pub_date = (
+            instrument.get_cpi_last_pub_date(sim_date)
+            if hasattr(instrument, "get_cpi_last_pub_date")
+            else None
+        )
+
+        for ref_date, _cpi_name in instrument.get_cpi_reference_dates():
+            if ref_date > sim_date:
+                break
+            if ref_date in accumulated:
+                continue
+            fix_t_idx = max(0, bisect_right(scenario_dates, ref_date) - 1)
+            fix_state = _interp_scenario_state(
+                all_states, scenario_dates, fix_t_idx, ref_date
+            )
+            accumulated.update(
+                instrument._compute_cpi_fixing_for_date(ref_date, fix_state)
+            )
+
+        return {
+            "cpi_fixings": accumulated,
+            "cpi_last_pub_date": cpi_last_pub_date,
+        }
+
+    # ------------------------------------------------------------------
+    # Commodity fixing accumulator
+    # ------------------------------------------------------------------
+
+    def _build_commodity_fixings(
+        self,
+        instrument,
+        sim_date: date,
+        commodity_fixings_cache: Dict[int, dict],
+        scenario_dates: List[date],
+        all_states: List[dict],
+    ) -> dict:
+        """Realized commodity prices stamped once per averaging date (:439-493)."""
+        if not hasattr(instrument, "get_commodity_fixing_schedule"):
+            return {}
+
+        inst_id = id(instrument)
+        accumulated = commodity_fixings_cache.setdefault(inst_id, {})
+
+        for avg_date, pricing_date, fx_settle_date in (
+            instrument.get_commodity_fixing_schedule()
+        ):
+            if pricing_date > sim_date:
+                break
+            key_fwd = (instrument.forward_curve_name, avg_date)
+            if key_fwd in accumulated:
+                continue
+            fix_t_idx = max(0, bisect_right(scenario_dates, pricing_date) - 1)
+            fix_state = _interp_scenario_state(
+                all_states, scenario_dates, fix_t_idx, pricing_date
+            )
+            accumulated.update(
+                instrument._compute_fixing_for_date(
+                    avg_date, pricing_date, fx_settle_date, fix_state, pricing_date
+                )
+            )
+
+        return accumulated
+
+    # ------------------------------------------------------------------
+    # Equity spot fixing accumulator
+    # ------------------------------------------------------------------
+
+    def _build_equity_fixings(
+        self,
+        instrument,
+        sim_date: date,
+        equity_fixings_cache: Dict[int, dict],
+        scenario_dates: List[date],
+        all_states: List[dict],
+    ) -> dict:
+        """Equity return-leg reset stamping (:499-546)."""
+        if not hasattr(instrument, "get_equity_reset_schedule"):
+            return {}
+
+        inst_id = id(instrument)
+        accumulated = equity_fixings_cache.setdefault(inst_id, {})
+
+        for reset_date in instrument.get_equity_reset_schedule():
+            if reset_date > sim_date:
+                break
+            key = (instrument.spot_name, reset_date)
+            if key in accumulated:
+                continue
+            fix_t_idx = max(0, bisect_right(scenario_dates, reset_date) - 1)
+            fix_state = _interp_scenario_state(
+                all_states, scenario_dates, fix_t_idx, reset_date
+            )
+            accumulated.update(
+                instrument._compute_equity_fixing_for_date(reset_date, fix_state)
+            )
+
+        return accumulated
+
+    # ------------------------------------------------------------------
+    # Close-out market state
+    # ------------------------------------------------------------------
+
+    def _pricing_market_state(
+        self,
+        market_state: dict,
+        instrument,
+        netting_set: NettingSet,
+        trade_currency: str = "",
+    ) -> dict:
+        """Risky-curve substitution for FORWARD close-out (:552-587)."""
+        csa = netting_set.csa
+        if csa is None or csa.close_out_method is CloseOutMethod.STANDARD:
+            return market_state
+
+        risky_name = csa.risky_curve_name
+        if isinstance(risky_name, dict):
+            risky_name = risky_name.get(
+                trade_currency or netting_set.reporting_currency
+            )
+        if risky_name is None or risky_name not in market_state:
+            return market_state
+
+        disc_name = getattr(instrument, "discount_curve_name", None)
+        if disc_name is None or disc_name == risky_name:
+            return market_state
+        return {**market_state, disc_name: market_state[risky_name]}
+
+    # ------------------------------------------------------------------
+    # Collateral simulation
+    # ------------------------------------------------------------------
+
+    def _simulate_collateral(
+        self, mtm_paths: np.ndarray, dates: List[date], csa
+    ) -> np.ndarray:
+        """Pathwise collateral with MPOR lookback and two-sided VM (:593-633)."""
+        n_paths, n_times = mtm_paths.shape
+        collateral = np.zeros((n_paths, n_times))
+        mpor = timedelta(days=csa.mpor_days)
+
+        for t_idx, sim_date in enumerate(dates):
+            lookback_date = sim_date - mpor
+            lag_idx = bisect_right(dates, lookback_date) - 1
+            if lag_idx < 0:
+                continue
+            lagged_mtm = mtm_paths[:, lag_idx]
+            vm_recv = np.maximum(lagged_mtm - csa.vm_threshold, 0.0)
+            vm_post = np.maximum(-lagged_mtm - csa.vm_threshold_post, 0.0)
+            collateral[:, t_idx] = vm_recv - vm_post + self._compute_im(n_paths, csa)
+
+        return collateral
+
+    def _compute_im(self, n_paths: int, csa) -> np.ndarray:
+        """Pathwise IM for one time step (:635-648)."""
+        if csa.im_method is InitialMarginMethod.NONE:
+            return np.zeros(n_paths)
+        if csa.im_method is InitialMarginMethod.FIXED:
+            return np.full(n_paths, csa.im_amount)
+        if csa.im_method is InitialMarginMethod.SCHEDULE:
+            raise NotImplementedError(
+                "Schedule-based IM requires notional and regulatory factor data."
+            )
+        if csa.im_method is InitialMarginMethod.SIMM:
+            raise NotImplementedError("SIMM is not yet implemented.")
+        raise ValueError(f"Unknown IM method: {csa.im_method}")

@@ -1,0 +1,389 @@
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from finite_difference_tpu.market_data import (
+    CurveSlice,
+    ScalarSlice,
+    ScenarioCube,
+    StaticMarketData,
+    YieldCurve,
+    hermite_rt_interp,
+    linear_interp,
+)
+from finite_difference_tpu.portfolio import (
+    CSA,
+    CloseOutMethod,
+    InitialMarginMethod,
+    NettingSet,
+    Trade,
+)
+from finite_difference_tpu.instruments import (
+    IRSwap,
+    Instrument,
+    LegType,
+    ScheduleConfig,
+    SwapLeg,
+)
+from finite_difference_tpu.xva import ExposureEngine
+
+VAL = dt.date(2025, 7, 28)
+TENORS = np.array([0.25, 0.5, 1.0, 2.0, 5.0, 10.0])
+
+
+def _dates(n, step=30):
+    return [VAL + dt.timedelta(days=step * i) for i in range(n)]
+
+
+def _flat_cube(n_times=6, n_paths=8, rate=0.07, names=("ZAR-SWAP",)):
+    dates = _dates(n_times)
+    factors = {}
+    for nm in names:
+        vals = np.full((n_times, n_paths, TENORS.size), rate)
+        factors[nm] = ("curve", vals, TENORS)
+    return ScenarioCube(dates, factors)
+
+
+class TestYieldCurve:
+    def test_flat_df_and_forward(self):
+        c = YieldCurve(TENORS, np.full((3, TENORS.size), 0.06))
+        df = c.discount_factor(np.array([1.0, 2.0]))
+        expected = np.broadcast_to(np.exp(-0.06 * np.array([1.0, 2.0])), (3, 2))
+        np.testing.assert_allclose(df, expected)
+        f = c.forward_rate(1.0, 2.0)
+        np.testing.assert_allclose(f, np.exp(0.06) - 1.0, rtol=1e-12)
+        np.testing.assert_allclose(c.forward_nacc_rate(1.0, 2.0), 0.06, rtol=1e-12)
+
+    def test_hermite_passes_through_nodes(self):
+        rates = np.array([[0.05, 0.055, 0.06, 0.058, 0.062, 0.061]])
+        out = hermite_rt_interp(TENORS, rates, TENORS)
+        np.testing.assert_allclose(out, rates, atol=1e-12)
+
+    def test_hermite_between_nodes_sane(self):
+        rates = np.array([[0.05, 0.055, 0.06, 0.058, 0.062, 0.061]])
+        mid = hermite_rt_interp(TENORS, rates, np.array([0.75]))
+        assert 0.05 < mid[0, 0] < 0.065
+
+    def test_linear_interp(self):
+        rates = np.array([[0.04, 0.06]])
+        out = linear_interp(np.array([1.0, 2.0]), rates, np.array([1.5]))
+        np.testing.assert_allclose(out, 0.05)
+
+    def test_flat_extrapolation(self):
+        c = YieldCurve(np.array([1.0, 2.0]), np.array([[0.04, 0.06]]),
+                       interpolator=linear_interp)
+        np.testing.assert_allclose(c.zero_rate(np.array([5.0]))[0, 0], 0.06)
+        np.testing.assert_allclose(c.zero_rate(np.array([0.1]))[0, 0], 0.04)
+
+
+class TestScenarioCube:
+    def test_slices_and_round_trip(self):
+        cube = _flat_cube(n_times=3, n_paths=4)
+        s = cube.get_time_slice(1)
+        assert isinstance(s["ZAR-SWAP"], CurveSlice)
+        assert s["ZAR-SWAP"].values.shape == (4, TENORS.size)
+        rebuilt = ScenarioCube.from_slices(
+            cube.dates, [cube.get_time_slice(t) for t in range(3)]
+        )
+        np.testing.assert_allclose(
+            rebuilt.factor_array("ZAR-SWAP"), cube.factor_array("ZAR-SWAP")
+        )
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError):
+            ScenarioCube(_dates(3), {"X": ("scalar", np.zeros((2, 4)))})
+
+
+class _ConstInstrument(Instrument):
+    """NPV = level * DF-like decay to maturity; for engine plumbing tests."""
+
+    def __init__(self, name, level, maturity):
+        super().__init__(name)
+        self.level = level
+        self.maturity_date = maturity
+
+    def scenario_npvs(self, val_date, market_state, fixings=None, rng=None):
+        any_slice = next(iter(market_state.values()))
+        n_paths = any_slice.values.shape[0]
+        if val_date > self.maturity_date:
+            return np.zeros(n_paths)
+        return np.full(n_paths, self.level)
+
+
+class TestExposureEngine:
+    def test_netting_of_offsetting_trades(self):
+        cube = _flat_cube()
+        ns = NettingSet(
+            "NS1",
+            trades=[
+                Trade(_ConstInstrument("a", 100.0, cube.dates[-1]), "T1"),
+                Trade(_ConstInstrument("b", -100.0, cube.dates[-1]), "T2"),
+            ],
+        )
+        prof = ExposureEngine(cube).compute(ns)
+        np.testing.assert_allclose(prof.mtm, 0.0)
+        np.testing.assert_allclose(prof.exposure, 0.0)
+
+    def test_maturity_coverage_validation(self):
+        cube = _flat_cube()
+        late = cube.dates[-1] + dt.timedelta(days=10)
+        ns = NettingSet("NS", [Trade(_ConstInstrument("a", 1.0, late), "T1")])
+        with pytest.raises(ValueError, match="effective maturity"):
+            ExposureEngine(cube).compute(ns)
+
+    def test_fx_factor_validation_and_conversion(self):
+        n_times, n_paths = 6, 8
+        dates = _dates(n_times)
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", np.full((n_times, n_paths, TENORS.size), 0.07), TENORS),
+                "FX.USDZAR": ("scalar", np.full((n_times, n_paths), 18.0)),
+            },
+        )
+        inst = _ConstInstrument("usd", 1.0, dates[-1])
+        with pytest.raises(ValueError, match="fx_rate_factor"):
+            ExposureEngine(cube).compute(
+                NettingSet("NS", [Trade(inst, "T1", currency="USD")])
+            )
+        prof = ExposureEngine(cube).compute(
+            NettingSet(
+                "NS",
+                [Trade(inst, "T1", currency="USD", fx_rate_factor="FX.USDZAR")],
+            )
+        )
+        np.testing.assert_allclose(prof.mtm, 18.0)
+
+    def test_notional_scale(self):
+        cube = _flat_cube()
+        ns = NettingSet(
+            "NS",
+            [Trade(_ConstInstrument("a", 2.0, cube.dates[-1]), "T1", notional_scale=3.0)],
+        )
+        prof = ExposureEngine(cube).compute(ns)
+        np.testing.assert_allclose(prof.mtm, 6.0)
+
+    def test_collateral_mpor_and_thresholds(self):
+        cube = _flat_cube(n_times=6)  # 30-day steps
+        csa = CSA(mpor_days=30, vm_threshold=40.0)
+        ns = NettingSet(
+            "NS",
+            [Trade(_ConstInstrument("a", 100.0, cube.dates[-1]), "T1")],
+            csa=csa,
+        )
+        prof = ExposureEngine(cube).compute(ns)
+        # t=0: lookback 30d before start -> no collateral
+        np.testing.assert_allclose(prof.collateral[:, 0], 0.0)
+        # t>=1: VM = max(100 - 40, 0) = 60
+        np.testing.assert_allclose(prof.collateral[:, 1:], 60.0)
+        np.testing.assert_allclose(prof.exposure[:, 1:], 40.0)
+
+    def test_collateral_posted_side(self):
+        cube = _flat_cube(n_times=4)
+        csa = CSA(mpor_days=0, vm_threshold_post=10.0)
+        ns = NettingSet(
+            "NS",
+            [Trade(_ConstInstrument("a", -50.0, cube.dates[-1]), "T1")],
+            csa=csa,
+        )
+        prof = ExposureEngine(cube).compute(ns)
+        np.testing.assert_allclose(prof.collateral, -40.0)  # posted 40
+        np.testing.assert_allclose(prof.neg_exposure, -10.0)
+
+    def test_fixed_im(self):
+        cube = _flat_cube(n_times=3)
+        csa = CSA(mpor_days=0, im_method=InitialMarginMethod.FIXED, im_amount=5.0)
+        ns = NettingSet(
+            "NS",
+            [Trade(_ConstInstrument("a", 100.0, cube.dates[-1]), "T1")],
+            csa=csa,
+        )
+        prof = ExposureEngine(cube).compute(ns)
+        np.testing.assert_allclose(prof.collateral, 105.0)
+
+    def test_im_not_implemented(self):
+        cube = _flat_cube(n_times=2)
+        csa = CSA(mpor_days=0, im_method=InitialMarginMethod.SIMM)
+        ns = NettingSet(
+            "NS", [Trade(_ConstInstrument("a", 1.0, cube.dates[-1]), "T1")], csa=csa
+        )
+        with pytest.raises(NotImplementedError):
+            ExposureEngine(cube).compute(ns)
+
+    def test_risky_curve_substitution(self):
+        """FORWARD close-out replaces the discount curve with the risky one."""
+        n_times, n_paths = 3, 4
+        dates = _dates(n_times)
+        cube = ScenarioCube(
+            dates,
+            {
+                "DISC": ("curve", np.full((n_times, n_paths, TENORS.size), 0.05), TENORS),
+                "RISKY": ("curve", np.full((n_times, n_paths, TENORS.size), 0.09), TENORS),
+            },
+        )
+
+        class _CurveReader(Instrument):
+            discount_curve_name = "DISC"
+            def __init__(self):
+                super().__init__("r")
+                self.maturity_date = dates[-1]
+            def scenario_npvs(self, val_date, market_state, fixings=None, rng=None):
+                return market_state["DISC"].values[:, 0].copy()
+
+        inst = _CurveReader()
+        base = ExposureEngine(cube).compute(NettingSet("NS", [Trade(inst, "T")]))
+        np.testing.assert_allclose(base.mtm, 0.05)
+        risky = ExposureEngine(cube).compute(
+            NettingSet(
+                "NS",
+                [Trade(inst, "T")],
+                csa=CSA(
+                    close_out_method=CloseOutMethod.FORWARD,
+                    risky_curve_name="RISKY",
+                    mpor_days=0,
+                ),
+            )
+        )
+        np.testing.assert_allclose(risky.mtm[:, 0], 0.09)
+
+    def test_static_data_merge_and_precedence(self):
+        cube = _flat_cube(n_times=2, n_paths=4)
+        static = StaticMarketData(
+            factors={"HAZARD": ScalarSlice(np.full(4, 0.02)),
+                     "ZAR-SWAP": ScalarSlice(np.full(4, -1.0))}
+        )
+
+        class _Probe(Instrument):
+            def __init__(self):
+                super().__init__("p")
+                self.maturity_date = cube.dates[-1]
+                self.seen = None
+            def scenario_npvs(self, val_date, market_state, fixings=None, rng=None):
+                self.seen = market_state
+                return np.zeros(4)
+
+        probe = _Probe()
+        ExposureEngine(cube, static).compute(NettingSet("NS", [Trade(probe, "T")]))
+        assert isinstance(probe.seen["ZAR-SWAP"], CurveSlice)  # cube wins
+        assert isinstance(probe.seen["HAZARD"], ScalarSlice)
+
+
+class TestIRSwap:
+    def _swap(self, fixed_rate, n_years=2, **kw):
+        return IRSwap(
+            name="swap",
+            effective_date=VAL,
+            maturity_date=dt.date(VAL.year + n_years, VAL.month, VAL.day),
+            notional=1_000_000,
+            receive_leg=SwapLeg(LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP"),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=3, fixed_rate=fixed_rate),
+            discount_curve_name="ZAR-SWAP",
+            **kw,
+        )
+
+    def _state(self, rate=0.07, n_paths=4):
+        return {
+            "ZAR-SWAP": CurveSlice(
+                values=np.full((n_paths, TENORS.size), rate), tenors=TENORS
+            )
+        }
+
+    def test_float_leg_telescopes(self):
+        """Same curve for projection and discounting: float PV =
+        N * (DF(t_first_start) - DF(T_pay_last))."""
+        swap = self._swap(fixed_rate=0.0)
+        state = self._state(0.07)
+        npv = swap.scenario_npvs(VAL, state)
+        curve = YieldCurve(TENORS, state["ZAR-SWAP"].values)
+        sc = swap.schedule_config
+        t_last = sc.curve_year_fraction(VAL, swap.receive_schedule[-1][2])
+        df = curve.discount_factor(np.array([0.0, t_last]))
+        expected = 1_000_000 * (df[:, 0] - df[:, 1])
+        np.testing.assert_allclose(npv, expected, rtol=1e-9)
+
+    def test_par_swap_near_zero(self):
+        state = self._state(0.07)
+        curve = YieldCurve(TENORS, state["ZAR-SWAP"].values)
+        swap0 = self._swap(fixed_rate=0.0)
+        sc = swap0.schedule_config
+        # par rate = (DF0 - DFT)/annuity on this schedule
+        anns = sum(
+            acc * curve.discount_factor(
+                np.array([sc.curve_year_fraction(VAL, pay)])
+            )[0, 0]
+            for _, _, pay, acc in swap0.pay_schedule
+        )
+        t_last = sc.curve_year_fraction(VAL, swap0.receive_schedule[-1][2])
+        df = curve.discount_factor(np.array([0.0, t_last]))
+        par = (df[0, 0] - df[0, 1]) / anns
+        swap = self._swap(fixed_rate=par)
+        npv = swap.scenario_npvs(VAL, state)
+        np.testing.assert_allclose(npv, 0.0, atol=1e-6)
+
+    def test_beyond_maturity_zero(self):
+        swap = self._swap(0.07)
+        npv = swap.scenario_npvs(dt.date(2035, 1, 1), self._state())
+        np.testing.assert_allclose(npv, 0.0)
+
+    def test_reset_dates_emitted(self):
+        swap = self._swap(0.07)
+        resets = swap.get_reset_dates()
+        assert len(resets) == len(swap.receive_schedule)
+        assert all(r[1] == "ZAR-SWAP" and r[4] is False for r in resets)
+
+    def test_engine_stamps_libor_fixings(self):
+        """First-period rate must come from the t=0 curve even when priced later."""
+        n_times, n_paths = 10, 4
+        dates = [VAL + dt.timedelta(days=45 * i) for i in range(n_times)]
+        rates = np.full((n_times, n_paths, TENORS.size), 0.07)
+        rates[2:] += 0.03  # curve jumps after the first reset
+        cube = ScenarioCube(dates, {"ZAR-SWAP": ("curve", rates, TENORS)})
+        swap = self._swap(fixed_rate=0.07, n_years=1)
+        prof = ExposureEngine(cube).compute(NettingSet("NS", [Trade(swap, "T")]))
+        assert np.isfinite(prof.mtm).all()
+        # after the jump the floating receiver gains value
+        assert prof.mtm[0, 3] > prof.mtm[0, 0]
+
+    def test_ois_leg_compounding_in_engine(self):
+        n_times, n_paths = 10, 4
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        cube = ScenarioCube(
+            dates,
+            {"OIS": ("curve", np.full((n_times, n_paths, TENORS.size), 0.06), TENORS)},
+        )
+        swap = IRSwap(
+            name="ois-swap",
+            effective_date=VAL,
+            maturity_date=VAL + dt.timedelta(days=180),
+            notional=1_000_000,
+            receive_leg=SwapLeg(
+                LegType.FLOATING, frequency=6, curve_name="OIS",
+                overnight_compounding=True,
+            ),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=6, fixed_rate=0.0),
+            discount_curve_name="OIS",
+        )
+        prof = ExposureEngine(cube).compute(NettingSet("NS", [Trade(swap, "T")]))
+        assert np.isfinite(prof.mtm).all()
+        # flat 6% curve: the compounded OIS coupon should be near
+        # (e^{0.06*tau} - 1)/tau * tau * N discounted - i.e. positive MTM
+        assert prof.mtm[0, 0] > 0
+
+    def test_ois_initial_cf_seed(self):
+        swap = IRSwap(
+            name="s",
+            effective_date=VAL - dt.timedelta(days=90),
+            maturity_date=VAL + dt.timedelta(days=90),
+            notional=1.0,
+            receive_leg=SwapLeg(
+                LegType.FLOATING, frequency=6, curve_name="OIS",
+                overnight_compounding=True,
+            ),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=6, fixed_rate=0.0),
+            discount_curve_name="OIS",
+            ois_initial_cfs={("OIS", VAL - dt.timedelta(days=90)): 1.015},
+        )
+        start = swap.receive_schedule[0][0]
+        assert swap.get_ois_initial_cf("OIS", VAL - dt.timedelta(days=90)) == 1.015
+        assert swap.get_ois_initial_cf("OIS", start) in (1.015, None)
