@@ -16,6 +16,15 @@ from .schedule import (
 )
 from .cashflow import CashflowLeg, LegType, SwapLeg, leg_pv
 from .ir_swap import IRSwap
+from .inflation_pv import InflationLeg, get_cpi_level, inflation_leg_pv
+from .index_linked_swap import IndexLinkedSwap
+from .equity_pv import (
+    compute_period_year_fractions,
+    equity_forward_price,
+    filter_future_periods,
+    trs_return_leg_pv,
+)
+from .equity_trs import EquityTRS
 
 __all__ = [
     "Instrument",
@@ -31,4 +40,13 @@ __all__ = [
     "SwapLeg",
     "leg_pv",
     "IRSwap",
+    "InflationLeg",
+    "get_cpi_level",
+    "inflation_leg_pv",
+    "IndexLinkedSwap",
+    "compute_period_year_fractions",
+    "equity_forward_price",
+    "filter_future_periods",
+    "trs_return_leg_pv",
+    "EquityTRS",
 ]

@@ -1,0 +1,178 @@
+"""Inflation leg pricing: CPI level resolution and leg PV.
+
+Reconstruction of the reference's absent ``models.inflation_pv`` from its
+fragments (``get_cpi_level``, ``build_cpi_fixings``) and the
+IndexLinkedSwap call sites (index_linked_swap.py:504-591):
+
+- ``get_cpi_level``: pathwise CPI(ref_date) with two modes —
+  * legacy: fixings -> historical map -> CPI-level curve interpolation;
+  * RiskFlow two-curve (PriceIndex + InflationRate): dates at or before
+    T_last_pub are true fixings; anything later (even calendar-past) is
+    projected CPI(T_last_pub) / DF_infl(T_last_pub -> ref);
+- ``inflation_leg_pv``: CF_i = N * CPI(ref_i)/base_cpi * accrual_i *
+  real_rate, plus the final indexed notional exchange, discounted on the
+  pathwise nominal curve.
+"""
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..market_data.cpi import besa_bracket, first_of_month, shift_months
+from ..market_data.risk_factor import CurveSlice
+from ..market_data.yield_curve import YieldCurve
+from ..utils.daycount import year_fraction
+from .schedule import ScheduleConfig
+
+
+@dataclass(frozen=True)
+class InflationLeg:
+    """CPI-indexed leg parameters (interface from index_linked_swap.py:98-157)."""
+
+    real_rate: float
+    base_cpi: float
+    cpi_curve_name: str
+    frequency: int = 3  # months
+    lag_months: int = 4
+    inflation_rate_curve_name: str = ""
+    next_publication_date: Optional[dt.date] = None
+    publication_frequency_months: int = 1
+    pay_notional_at_maturity: bool = True
+
+
+def get_cpi_level(
+    ref_date: dt.date,
+    val_date: dt.date,
+    hist_map: Dict[dt.date, float],
+    n_paths: int,
+    curve_day_count: str = "ACT/365",
+    cpi_fixings: Optional[Dict[dt.date, np.ndarray]] = None,
+    spot_cpi: Optional[np.ndarray] = None,
+    inflation_rate_curve: Optional[YieldCurve] = None,
+    last_pub_date: Optional[dt.date] = None,
+    cpi_interp: Optional[Callable[[float], np.ndarray]] = None,
+) -> np.ndarray:
+    """Pathwise CPI(ref_date): (n_paths,) (get_cpi_level fragment :1-91)."""
+    use_riskflow = inflation_rate_curve is not None
+
+    if not use_riskflow:
+        if cpi_fixings is not None and ref_date in cpi_fixings:
+            return np.asarray(cpi_fixings[ref_date], dtype=np.float64)
+        if ref_date in hist_map:
+            return np.full(n_paths, hist_map[ref_date], dtype=np.float64)
+        if ref_date <= val_date:
+            known = [k for k in hist_map if k <= val_date]
+            if known:
+                return np.full(n_paths, hist_map[max(known)], dtype=np.float64)
+            return np.zeros(n_paths, dtype=np.float64)
+        if cpi_interp is None:
+            raise ValueError("cpi_interp is required in legacy CPI mode")
+        t_ref = year_fraction(val_date, ref_date, curve_day_count)
+        return np.asarray(cpi_interp(t_ref), dtype=np.float64)
+
+    # RiskFlow-style mode: PriceIndex + InflationRate
+    if last_pub_date is None:
+        last_pub_date = shift_months(first_of_month(val_date), -1)
+
+    if ref_date <= last_pub_date:
+        if cpi_fixings is not None and ref_date in cpi_fixings:
+            return np.asarray(cpi_fixings[ref_date], dtype=np.float64)
+        if ref_date in hist_map:
+            return np.full(n_paths, hist_map[ref_date], dtype=np.float64)
+        raise ValueError(
+            f"Missing published CPI fixing for ref_date={ref_date}; "
+            f"last_pub_date={last_pub_date}."
+        )
+
+    # Projected from T_last_pub; deliberately ignore cpi_fixings[ref_date]
+    # for unpublished dates (engine may pre-stamp before publication).
+    anchor_date = last_pub_date
+    if cpi_fixings is not None and anchor_date in cpi_fixings:
+        anchor_cpi = np.asarray(cpi_fixings[anchor_date], dtype=np.float64)
+    elif anchor_date in hist_map:
+        anchor_cpi = np.full(n_paths, hist_map[anchor_date], dtype=np.float64)
+    elif spot_cpi is not None:
+        anchor_cpi = np.asarray(spot_cpi, dtype=np.float64)
+    else:
+        raise ValueError(f"Cannot determine CPI projection anchor at {anchor_date}.")
+
+    t_ref = year_fraction(anchor_date, ref_date, curve_day_count)
+    df_infl = inflation_rate_curve.discount_factor(np.array([t_ref]))[:, 0]
+    return anchor_cpi / df_infl
+
+
+def inflation_leg_pv(
+    schedule: List[Tuple[dt.date, dt.date, dt.date, float]],
+    leg: InflationLeg,
+    *,
+    base_notional: float,
+    val_date: dt.date,
+    market_state: Dict[str, object],
+    discount_curve: YieldCurve,
+    n_paths: int,
+    schedule_config: ScheduleConfig,
+    historical_cpi_map: Dict[dt.date, float],
+    include_on_val_date: bool = False,
+    cpi_fixings: Optional[Dict[dt.date, np.ndarray]] = None,
+    cpi_last_pub_date: Optional[dt.date] = None,
+) -> np.ndarray:
+    """Pathwise PV of the CPI-indexed leg: (n_paths,)."""
+    sc = schedule_config
+
+    inflation_rate_curve = None
+    spot_cpi = None
+    cpi_interp = None
+    cpi_slice = market_state.get(leg.cpi_curve_name)
+    if leg.inflation_rate_curve_name:
+        infl_slice: CurveSlice = market_state[leg.inflation_rate_curve_name]
+        inflation_rate_curve = YieldCurve(infl_slice.tenors, infl_slice.values)
+        if cpi_slice is not None:
+            spot_cpi = np.asarray(cpi_slice.values, dtype=np.float64)
+            if spot_cpi.ndim == 2:
+                spot_cpi = spot_cpi[:, 0]
+    elif cpi_slice is not None and isinstance(cpi_slice, CurveSlice):
+        # legacy mode: the factor IS a CPI-level term structure
+        def cpi_interp(t_ref, _s=cpi_slice):
+            from ..market_data.yield_curve import linear_interp
+
+            return linear_interp(_s.tenors, _s.values, np.array([t_ref]))[:, 0]
+
+    def _cpi_at(d: dt.date) -> np.ndarray:
+        j, j1 = besa_bracket(d, leg.lag_months)
+        cpi_j = get_cpi_level(
+            j, val_date, historical_cpi_map, n_paths,
+            curve_day_count=sc.curve_day_count,
+            cpi_fixings=cpi_fixings, spot_cpi=spot_cpi,
+            inflation_rate_curve=inflation_rate_curve,
+            last_pub_date=cpi_last_pub_date, cpi_interp=cpi_interp,
+        )
+        if j == j1:
+            return cpi_j
+        cpi_j1 = get_cpi_level(
+            j1, val_date, historical_cpi_map, n_paths,
+            curve_day_count=sc.curve_day_count,
+            cpi_fixings=cpi_fixings, spot_cpi=spot_cpi,
+            inflation_rate_curve=inflation_rate_curve,
+            last_pub_date=cpi_last_pub_date, cpi_interp=cpi_interp,
+        )
+        import calendar as _cal
+
+        frac = (d.day - 1) / _cal.monthrange(d.year, d.month)[1]
+        return cpi_j + frac * (cpi_j1 - cpi_j)
+
+    pv = np.zeros(n_paths)
+    last_pay = max(p for _, _, p, _ in schedule)
+    for p_start, p_end, pay_date, accrual in schedule:
+        if pay_date < val_date or (pay_date == val_date and not include_on_val_date):
+            continue
+        index_ratio = _cpi_at(p_end) / leg.base_cpi
+        cf = base_notional * index_ratio * accrual * leg.real_rate
+        if leg.pay_notional_at_maturity and pay_date == last_pay:
+            cf = cf + base_notional * index_ratio
+        t_pay = sc.curve_year_fraction(val_date, pay_date)
+        df = discount_curve.discount_factor(np.array([t_pay]))[:, 0]
+        pv = pv + df * cf
+    return pv

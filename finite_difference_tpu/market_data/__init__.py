@@ -7,6 +7,7 @@ equity_trs.py / test_1.py.
 from .risk_factor import CurveSlice, RiskFactorSlice, ScalarSlice, SurfaceSlice
 from .scenario_cube import ScenarioCube, StaticMarketData
 from .yield_curve import YieldCurve, hermite_rt_interp, linear_interp
+from .cpi import CPIPublication, HistoricalCPI, besa_bracket, first_of_month, shift_months
 
 __all__ = [
     "CurveSlice",
@@ -18,4 +19,9 @@ __all__ = [
     "YieldCurve",
     "hermite_rt_interp",
     "linear_interp",
+    "CPIPublication",
+    "HistoricalCPI",
+    "besa_bracket",
+    "first_of_month",
+    "shift_months",
 ]
