@@ -139,7 +139,10 @@ class HistoricalCPI:
             )
             if months_to_add > 0 and self._df_fn is not None:
                 self._monthly_cpi = self.extend_historical_cpi(months_to_add)
-        cpi_j = self._monthly_cpi[j]
+        earliest = min(self._monthly_cpi)
+        # permissive clamp for brackets predating the history (mirrors the
+        # reference's permissive curve lookups, SURVEY §5.3)
+        cpi_j = self._monthly_cpi[max(j, earliest)]
         if j == j1:
             return cpi_j
-        return interp_cpi(d, cpi_j, self._monthly_cpi[j1])
+        return interp_cpi(d, cpi_j, self._monthly_cpi[max(j1, earliest)])
