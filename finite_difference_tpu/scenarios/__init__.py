@@ -32,6 +32,17 @@ from .simulation import (
     run_simulation_from_json,
     run_multi_factor_simulation_from_json,
 )
+from .diagnostics import (
+    correlation_recovery,
+    cs_log_variance,
+    cs_theoretical_log_moments,
+    cs_theoretical_price_moments,
+    martingale_test,
+    moment_matching,
+    parameter_recovery,
+    run_full_diagnostics,
+    tail_analysis,
+)
 from .riskflow_io import (
     to_riskflow_dataframe,
     from_riskflow_dataframe,
@@ -62,4 +73,13 @@ __all__ = [
     "export_scenarios_csv",
     "load_riskflow_scenarios",
     "compare_scenario_outputs",
+    "correlation_recovery",
+    "cs_log_variance",
+    "cs_theoretical_log_moments",
+    "cs_theoretical_price_moments",
+    "martingale_test",
+    "moment_matching",
+    "parameter_recovery",
+    "run_full_diagnostics",
+    "tail_analysis",
 ]
