@@ -14,6 +14,7 @@ from .bjerksund_stensland import (
     american_price_bs93,
 )
 from .bgk_pricer import DiscreteBarrierBGKPricer
+from .bs_forward import BjerksundStenslandForwardPricer
 
 __all__ = [
     "bs_price",
@@ -32,4 +33,5 @@ __all__ = [
     "american_put_bs93",
     "american_price_bs93",
     "DiscreteBarrierBGKPricer",
+    "BjerksundStenslandForwardPricer",
 ]

@@ -1,0 +1,190 @@
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from finite_difference_tpu.models.mc import CSParams
+from finite_difference_tpu.runners import (
+    build_flat_curve,
+    run_all_american_scenarios,
+    run_all_bgk_scenarios,
+    run_all_bs_scenarios,
+    run_all_scenarios,
+    run_all_scenarios_batched,
+    run_asset,
+    run_bs_scenario,
+)
+
+VAL = dt.date(2025, 7, 28)
+MAT = dt.date(2025, 8, 28)
+# the reference's 24 ZA-business-day monitor schedule
+# (run_config_scenarios.py:206-231) — the FA benchmarks were struck on it
+MONITORS = [
+    dt.date(2025, 7, 28), dt.date(2025, 7, 29), dt.date(2025, 7, 30),
+    dt.date(2025, 7, 31), dt.date(2025, 8, 1), dt.date(2025, 8, 4),
+    dt.date(2025, 8, 5), dt.date(2025, 8, 6), dt.date(2025, 8, 7),
+    dt.date(2025, 8, 8), dt.date(2025, 8, 11), dt.date(2025, 8, 12),
+    dt.date(2025, 8, 13), dt.date(2025, 8, 14), dt.date(2025, 8, 15),
+    dt.date(2025, 8, 18), dt.date(2025, 8, 19), dt.date(2025, 8, 20),
+    dt.date(2025, 8, 21), dt.date(2025, 8, 22), dt.date(2025, 8, 25),
+    dt.date(2025, 8, 26), dt.date(2025, 8, 27), dt.date(2025, 8, 28),
+]
+
+
+def _barrier_config(tmp_path):
+    df = pd.DataFrame(
+        [
+            {
+                "scenario_name": "s1", "S0": 229.74, "K": 190.0,
+                "sigma": 0.2879, "rate": 0.0731, "barrier_type": "up-and-out",
+                "upper_barrier": 260.0, "lower_barrier": np.nan,
+                "FA_price": 32.41, "FA_delta": np.nan, "FA_gamma": np.nan,
+                "FA_vega": np.nan,
+            },
+            {
+                "scenario_name": "s2", "S0": 229.74, "K": 190.0,
+                "sigma": 0.2879, "rate": 0.0731, "barrier_type": "up-and-in",
+                "upper_barrier": 260.0, "lower_barrier": np.nan,
+                "FA_price": 8.52, "FA_delta": np.nan, "FA_gamma": np.nan,
+                "FA_vega": np.nan,
+            },
+        ]
+    )
+    p = tmp_path / "config.csv"
+    df.to_csv(p, index=False)
+    return str(p)
+
+
+BASE = dict(
+    valuation=VAL,
+    maturity=MAT,
+    monitor_dates=MONITORS,
+    opt_type="call",
+    num_space_nodes=400,
+    num_time_steps=400,
+)
+
+
+class TestBarrierRunner:
+    def test_run_all_scenarios(self, tmp_path):
+        out = tmp_path / "results.csv"
+        df = run_all_scenarios(_barrier_config(tmp_path), str(out), BASE)
+        assert len(df) == 2
+        # model should be within ~2% of the FA-style benchmarks
+        assert df["price_pct_diff"].iloc[0] < 2.0
+        assert df["price_pct_diff"].iloc[1] < 2.0
+        assert out.exists()
+        reloaded = pd.read_csv(out)
+        assert "price_pct_diff" in reloaded.columns
+
+    def test_batched_matches_scalar(self, tmp_path):
+        cfg = _barrier_config(tmp_path)
+        base = dict(BASE, num_space_nodes=500, num_time_steps=500)
+        scalar = run_all_scenarios(cfg, None, base)
+        batched = run_all_scenarios_batched(cfg, None, base)
+        np.testing.assert_allclose(
+            batched["model_price"], scalar["model_price"], rtol=2e-2, atol=0.2
+        )
+        # KO + KI = vanilla holds in both paths
+        assert batched["model_price"].sum() == pytest.approx(
+            scalar["model_price"].sum(), rel=2e-2
+        )
+
+
+class TestAmericanRunner:
+    def test_run_all(self, tmp_path):
+        cfg = pd.DataFrame(
+            [{
+                "scenario_name": "am1", "S0": 176.39, "K": 170.0,
+                "sigma": 0.2968, "rate": np.exp(0.0705) - 1.0,
+                "FA_price": 2.9847, "FA_delta": -0.2979,
+                "FA_gamma": 0.0231, "FA_vega": 0.1778,
+            }]
+        )
+        p = tmp_path / "am.csv"
+        cfg.to_csv(p, index=False)
+        df = run_all_american_scenarios(
+            str(p), None,
+            dict(valuation=VAL, maturity=MAT, opt_type="put",
+                 num_space_nodes=300, num_time_steps=300),
+        )
+        assert df["price_pct_diff"].iloc[0] < 2.0
+
+
+class TestBSRunner:
+    def test_simple_path(self):
+        res = run_bs_scenario(
+            dict(trade_name="t1", S=100.0, K=95.0, sigma=0.25, T=0.5, r=0.06,
+                 option_type="call", bench_price=None)
+        )
+        assert res["path"] == "simple"
+        assert res["model_price"] > 5.0  # ITM call worth more than intrinsic-df
+
+    def test_curve_path_and_diffs(self):
+        curve = build_flat_curve(0.0731, VAL, MAT)
+        res = run_bs_scenario(
+            dict(trade_name="t2", S=176.39, K=170.0, sigma=0.2968,
+                 valuation_date=VAL, maturity_date=MAT, option_type="put",
+                 discount_curve=curve, underlying_spot_days=3,
+                 bench_price=2.9847)
+        )
+        assert res["path"] == "curve"
+        assert res["T_carry"] > 0 and res["F_eff"] > 0
+        assert res["price_pct_diff"] < 5.0  # BS93 approx vs FA's FD number
+
+    def test_run_all_csv(self, tmp_path):
+        out = tmp_path / "bs.csv"
+        trades = [
+            dict(trade_name="a", S=100.0, K=100.0, sigma=0.2, T=1.0, r=0.05,
+                 option_type="call"),
+            dict(trade_name="b", S=100.0, K=100.0, sigma=0.2, T=1.0, r=0.05,
+                 option_type="put"),
+        ]
+        results = run_all_bs_scenarios(trades, output_csv=str(out))
+        assert len(results) == 2 and out.exists()
+
+
+class TestBGKRunner:
+    def test_flat_curve_builder(self):
+        curve = build_flat_curve(0.085, VAL, MAT, pad_days=5)
+        assert curve["Date"].iloc[0] == str(VAL - dt.timedelta(days=1))
+        assert (curve["NACA"] == 0.085).all()
+
+    def test_run_all(self):
+        curve = build_flat_curve(0.0731, VAL, MAT)
+        trades = [
+            dict(trade_name="bgk1", S=229.74, K=190.0, sigma=0.2879,
+                 valuation_date=VAL, maturity_date=MAT, option_type="call",
+                 barrier_type="up-and-out", upper_barrier=260.0,
+                 monitor_dates=MONITORS, discount_curve=curve,
+                 pricing_method="bgk"),
+            dict(trade_name="vanilla", S=229.74, K=190.0, sigma=0.2879,
+                 valuation_date=VAL, maturity_date=MAT, option_type="call",
+                 barrier_type="none", discount_curve=curve),
+        ]
+        results = run_all_bgk_scenarios(trades)
+        assert all("error" not in r for r in results)
+        ko, van = results[0], results[1]
+        assert 0 < ko["model_price"] < van["model_price"]
+        assert ko["pricing_method"] in ("BGK", "MC")
+
+    def test_bad_trade_reports_error(self):
+        results = run_all_bgk_scenarios([dict(trade_name="bad", S=-1.0)])
+        assert "error" in results[0]
+
+
+class TestXvaRunner:
+    def test_run_asset(self):
+        out = run_asset(
+            "BRENT",
+            initial_curve=np.array([100.0, 102.0, 104.0]),
+            tenor_days=np.array([90.0, 180.0, 365.0]),
+            cs_params=CSParams(alpha=1.0, sigma=0.3, mu=0.0),
+            sim_cfg=None if False else __import__(
+                "finite_difference_tpu.xva", fromlist=["SimulationConfig"]
+            ).SimulationConfig(num_sims=5000, dt_days=10, horizon_days=180),
+            rng_backend="threefry",
+        )
+        assert out["asset_code"] == "BRENT"
+        assert out["cva"] > 0 and out["peak_pfe"] >= out["peak_ee"]
