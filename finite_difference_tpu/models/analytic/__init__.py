@@ -15,6 +15,12 @@ from .bjerksund_stensland import (
 )
 from .bgk_pricer import DiscreteBarrierBGKPricer
 from .bs_forward import BjerksundStenslandForwardPricer
+from .bjerksund_stensland_2002 import (
+    BjerksundStensland2002Pricer,
+    american_call_single_2002,
+    american_call_two_step_2002,
+    boundary_XT,
+)
 
 __all__ = [
     "bs_price",
@@ -34,4 +40,8 @@ __all__ = [
     "american_price_bs93",
     "DiscreteBarrierBGKPricer",
     "BjerksundStenslandForwardPricer",
+    "BjerksundStensland2002Pricer",
+    "american_call_single_2002",
+    "american_call_two_step_2002",
+    "boundary_XT",
 ]

@@ -1,7 +1,17 @@
 from .stepper import CNDynamics, CNGrid, CNSchedule, BarrierSpec, cn_solve
 from .american import AmericanFDMPricer
+from .american_black76 import AmericanFwdFDMPricer
 from .barrier import DiscreteBarrierFDMPricer
+from .cn_log import DiscreteBarrierCrankNicolsonLog
+from .hybrid import DiscreteBarrierFDMPricerAnalytic
 from .vanilla_fis import VanillaOptionPricerFIS
+from .risk import front_arena_style_spot_curve, risk_reprice_spot, risk_spot_scenario
+from .order_accuracy import (
+    compute_empirical_order,
+    diagnose_order_of_accuracy,
+    greek_order_of_accuracy,
+    predict_truncation_error,
+)
 
 __all__ = [
     "CNDynamics",
@@ -10,6 +20,16 @@ __all__ = [
     "BarrierSpec",
     "cn_solve",
     "AmericanFDMPricer",
+    "AmericanFwdFDMPricer",
     "DiscreteBarrierFDMPricer",
+    "DiscreteBarrierCrankNicolsonLog",
+    "DiscreteBarrierFDMPricerAnalytic",
     "VanillaOptionPricerFIS",
+    "front_arena_style_spot_curve",
+    "risk_reprice_spot",
+    "risk_spot_scenario",
+    "compute_empirical_order",
+    "diagnose_order_of_accuracy",
+    "greek_order_of_accuracy",
+    "predict_truncation_error",
 ]

@@ -1,0 +1,290 @@
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+from finite_difference_tpu.models.analytic import (
+    BjerksundStensland2002Pricer,
+    BjerksundStenslandOptionPricer,
+    bs_price,
+)
+from finite_difference_tpu.models.pde import (
+    AmericanFwdFDMPricer,
+    DiscreteBarrierCrankNicolsonLog,
+    DiscreteBarrierFDMPricer,
+    DiscreteBarrierFDMPricerAnalytic,
+    compute_empirical_order,
+    diagnose_order_of_accuracy,
+    front_arena_style_spot_curve,
+    risk_reprice_spot,
+    risk_spot_scenario,
+)
+from finite_difference_tpu.utils.curves import flat_curve
+
+VAL = dt.date(2025, 7, 28)
+MAT_1M = dt.date(2025, 8, 28)
+MAT_6M = dt.date(2026, 1, 28)
+
+
+class TestAmericanBlack76:
+    def test_no_early_exercise_call_equals_black76(self):
+        """Driftless forward: an American call is never exercised early only
+        when r <= 0; with r > 0 it can be. Check the European limit at r=0."""
+        pr = AmericanFwdFDMPricer(
+            forward=100.0, strike=95.0, valuation_date=VAL, maturity_date=MAT_6M,
+            sigma=0.25, option_type="call", discount_curve=flat_curve(0.0, VAL),
+            num_space_nodes=300, num_time_steps=300,
+        )
+        p = pr.price_log()
+        t = pr.time_to_expiry
+        euro = float(
+            bs_price(pr.spot_snapped, pr.strike_snapped, 0.25, t, 0.0, 0.0, True)
+        )
+        assert p == pytest.approx(euro, rel=3e-4)
+
+    def test_american_put_premium_over_european(self):
+        pr = AmericanFwdFDMPricer(
+            forward=100.0, strike=110.0, valuation_date=VAL, maturity_date=MAT_6M,
+            sigma=0.30, option_type="put", discount_curve=flat_curve(0.08, VAL),
+            num_space_nodes=300, num_time_steps=300,
+        )
+        p = pr.price_log()
+        r = pr.discount_rate_nacc
+        t = pr.time_to_expiry
+        # European put on the forward (Black-76)
+        euro = float(
+            bs_price(pr.spot_snapped, pr.strike_snapped, 0.30, t, r, r, False)
+        )
+        assert p > euro  # early exercise premium
+        assert pr.carry_rate_nacc == 0.0
+
+
+class TestCnLogPricer:
+    def _mk(self, **kw):
+        base = dict(
+            S0=100.0, K=100.0, T=0.5, sigma=0.25, r_disc=0.06, b_carry=0.06,
+            option_type="call", barrier_type="none",
+        )
+        base.update(kw)
+        return DiscreteBarrierCrankNicolsonLog(**base)
+
+    def test_auto_grid_rules(self):
+        p = self._mk(monitor_times=[0.1, 0.2, 0.3, 0.4])
+        p.configure_grid()
+        assert p.N_space >= 300
+        assert p.N_time >= max(p.N_space, 50)
+
+    def test_vanilla_matches_closed_form(self):
+        p = self._mk()
+        pde = p.price()
+        cf = p._vanilla_bs_price_and_greeks()["price"]
+        assert pde == pytest.approx(cf, rel=2e-3)
+
+    def test_in_out_parity(self):
+        mons = [0.1 * k for k in range(1, 6)]
+        ko = self._mk(barrier_type="up-and-out", upper_barrier=130.0,
+                      monitor_times=mons)
+        ki = self._mk(barrier_type="up-and-in", upper_barrier=130.0,
+                      monitor_times=mons)
+        vanilla = ko._vanilla_bs_price_and_greeks()["price"]
+        assert ko.price() + ki.price() == pytest.approx(vanilla, rel=1e-9)
+
+    def test_greeks_parity(self):
+        mons = [0.1 * k for k in range(1, 6)]
+        ki = self._mk(barrier_type="up-and-in", upper_barrier=130.0,
+                      monitor_times=mons)
+        g = ki.greeks()
+        assert np.isfinite([g["delta"], g["gamma"], g["vega"]]).all()
+
+
+class TestHybridPricer:
+    def _mk(self, monitors_per_day=1, **kw):
+        n_days = (MAT_1M - VAL).days
+        mons = [
+            VAL + dt.timedelta(days=k)
+            for k in range(1, n_days + 1)
+            for _ in range(1)
+        ]
+        base = dict(
+            trade_id="T1", direction="long", quantity=1, contract_multiplier=1.0,
+            option_type="call", barrier_type="up-and-out",
+            strike=190.0, lower_barrier=None, upper_barrier=260.0,
+            spot=229.74, volatility=0.2879,
+            valuation_date=VAL, maturity_date=MAT_1M,
+            monitoring_dates=mons,
+            discount_curve=flat_curve(0.0731, VAL),
+            time_steps=300, space_nodes=300,
+        )
+        base.update(kw)
+        return DiscreteBarrierFDMPricerAnalytic(**base)
+
+    def test_discrete_branch_matches_production_pricer(self):
+        """With few monitors the n_lim rule keeps the discrete branch; the
+        hybrid CN price must track DiscreteBarrierFDMPricer."""
+        # production pricer always monitors at expiry; pass it explicitly
+        # so both engines see the same schedule
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)] + [MAT_1M]
+        hybrid = self._mk(monitoring_dates=mons)
+        assert not hybrid.use_continuous_window
+        p_hybrid = hybrid.price()
+        ref = DiscreteBarrierFDMPricer(
+            spot=229.74, strike=190.0, valuation_date=VAL, maturity_date=MAT_1M,
+            sigma=0.2879, option_type="call", barrier_type="up-and-out",
+            upper_barrier=260.0, monitor_dates=mons,
+            discount_curve=flat_curve(0.0731, VAL),
+            num_space_nodes=300, num_time_steps=300,
+        ).price_log2()
+        assert p_hybrid == pytest.approx(ref, rel=2e-2)
+
+    def test_continuous_window_triggers_with_dense_monitoring(self):
+        """Dense daily monitors + tiny n budget trips the n_lim rule."""
+        hybrid = self._mk(
+            n_desired_for_decision=2, n_lim_multiplier=1,
+        )
+        assert hybrid.use_continuous_window
+        # BGK shift widens the upper barrier
+        assert hybrid.bgk_upper_barrier > 260.0
+        p = hybrid.price()
+        assert 0 < p < 60.0
+
+    def test_continuous_analytic_close_to_cn_fallback(self):
+        hybrid = self._mk(n_desired_for_decision=2, n_lim_multiplier=1)
+        S_eff = hybrid._escrowed_spot()
+        p_analytic = hybrid._continuous_branch_analytic(S_eff)
+        p_cn = hybrid._continuous_branch_cn(S_eff)
+        assert p_analytic == pytest.approx(p_cn, rel=0.08)
+
+    def test_knock_in_parity(self):
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
+        ko = self._mk(monitoring_dates=mons)
+        ki = self._mk(monitoring_dates=mons, barrier_type="up-and-in")
+        vanilla = ko._cn_price(None, None, {}, ko._escrowed_spot())
+        assert ko.price() + ki.price() == pytest.approx(vanilla, rel=1e-6)
+
+    def test_direction_scaling(self):
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
+        long = self._mk(monitoring_dates=mons, quantity=10)
+        short = self._mk(monitoring_dates=mons, quantity=10, direction="short")
+        assert long.price() == pytest.approx(-short.price())
+
+
+class TestRiskFunctions:
+    @pytest.fixture(scope="class")
+    def pricer(self):
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
+        return DiscreteBarrierFDMPricer(
+            spot=229.74, strike=190.0, valuation_date=VAL, maturity_date=MAT_1M,
+            sigma=0.2879, option_type="call", barrier_type="up-and-out",
+            upper_barrier=260.0, monitor_dates=mons,
+            discount_curve=flat_curve(0.0731, VAL),
+            num_space_nodes=200, num_time_steps=200,
+        )
+
+    def test_taylor_inside_domain(self, pricer):
+        out = risk_reprice_spot(pricer, pricer.spot * 1.005)
+        assert out["used_taylor_approx"]
+        # Taylor price close to a full revaluation
+        full = risk_reprice_spot(
+            pricer, pricer.spot * 1.005, force_full_revaluation=True
+        )
+        assert out["result"] == pytest.approx(full["result"], rel=5e-3)
+
+    def test_full_reval_outside_domain(self, pricer):
+        out = risk_reprice_spot(pricer, pricer.spot * 1.10)
+        assert not out["used_taylor_approx"]
+
+    def test_scenario_and_curve(self, pricer):
+        sc = risk_spot_scenario(pricer, pricer.spot * 1.002)
+        assert np.isfinite([sc["price"], sc["delta"], sc["gamma"]]).all()
+        curve = front_arena_style_spot_curve(
+            pricer, [pricer.spot * m for m in (0.99, 1.0, 1.01, 1.2)]
+        )
+        assert curve["used_taylor"] == [True, True, True, False]
+        assert len(curve["price"]) == 4
+
+
+class TestOrderOfAccuracy:
+    def test_smooth_first_order_model(self):
+        """Synthetic solver err = C*dt (first order): p ~ 1."""
+        exact = 10.0
+        fn = lambda n: exact + 3.0 * (1.0 / n)
+        fit = compute_empirical_order(fn, n_ladder=(40, 80, 160, 320, 640),
+                                      richardson_reference=False)
+        assert fit["order"] == pytest.approx(1.0, abs=0.05)
+
+    def test_second_order_model(self):
+        exact = 10.0
+        fn = lambda n: exact + 5.0 * (1.0 / n) ** 2
+        fit = compute_empirical_order(fn, n_ladder=(40, 80, 160, 320, 640),
+                                      richardson_reference=False)
+        assert fit["order"] == pytest.approx(2.0, abs=0.05)
+
+    def test_verdict_consistent_and_exceeds(self):
+        fn = lambda n: 10.0 + 5.0 * (1.0 / n) ** 2
+        # FA at N=30 -> truncation ~ 5/900 = 0.0056
+        d1 = diagnose_order_of_accuracy(fn, observed_difference=0.004,
+                                        n_production=30,
+                                        n_ladder=(40, 80, 160, 320, 640))
+        assert d1["verdict"] == "CONSISTENT"
+        d2 = diagnose_order_of_accuracy(fn, observed_difference=0.5,
+                                        n_production=30,
+                                        n_ladder=(40, 80, 160, 320, 640))
+        assert d2["verdict"] == "EXCEEDS"
+
+
+class TestBS2002:
+    def test_single_step_matches_bs93(self):
+        """The 2002 single-step with the 1993 boundary is BS93."""
+        p93 = BjerksundStenslandOptionPricer(
+            spot=100.0, strike=110.0, expiry=0.5, rate=0.08, vol=0.3,
+            div_yield=0.12,
+        ).price_put()
+        p02 = BjerksundStensland2002Pricer().price(
+            100.0, 110.0, 0.5, 0.08, 0.3, "put", q=0.12, method="single",
+        )["price"]
+        assert p02 == pytest.approx(p93, rel=1e-6)
+
+    def test_two_step_above_single(self):
+        """Two-step is a tighter (higher) lower bound than single-step."""
+        pr = BjerksundStensland2002Pricer()
+        common = dict(S=100.0, K=100.0, T=1.0, r=0.08, sigma=0.3, q=0.12)
+        p1 = pr.price(
+            common["S"], common["K"], common["T"], common["r"], common["sigma"],
+            "call", q=common["q"], method="single",
+        )["price"]
+        p2 = pr.price(
+            common["S"], common["K"], common["T"], common["r"], common["sigma"],
+            "call", q=common["q"], method="two_step",
+        )["price"]
+        assert p2 >= p1 - 1e-9
+        # and both above European
+        euro = float(bs_price(100.0, 100.0, 0.3, 1.0, 0.08, 0.12, True))
+        assert p1 >= euro - 1e-9
+
+    def test_two_step_vs_binomial(self):
+        from oracles import crr_american
+
+        pr = BjerksundStensland2002Pricer()
+        got = pr.price(100.0, 100.0, 1.0, 0.08, 0.3, "call", q=0.12,
+                       method="two_step")["price"]
+        oracle = crr_american(100.0, 100.0, 0.3, 1.0, 0.08, 0.08 - 0.12, True,
+                              n_steps=4000)
+        # BS2002's published accuracy is ~0.5% for deep-carry cases
+        assert got == pytest.approx(oracle, rel=1e-2)
+
+    def test_put_transform_and_greeks(self):
+        pr = BjerksundStensland2002Pricer()
+        g = pr.greeks(100.0, 110.0, 0.5, 0.08, 0.3, "put", method="two_step")
+        assert -1.0 < g["delta"] < 0.0
+        assert g["gamma"] > 0 and g["vega"] > 0
+
+    def test_proxy_method(self):
+        pr = BjerksundStensland2002Pricer()
+        out = pr.price(100.0, 100.0, 1.0, 0.08, 0.3, "call", q=0.12,
+                       method="proxy")
+        p1 = pr.price(100.0, 100.0, 1.0, 0.08, 0.3, "call", q=0.12,
+                      method="single")["price"]
+        p2 = pr.price(100.0, 100.0, 1.0, 0.08, 0.3, "call", q=0.12,
+                      method="two_step")["price"]
+        assert out["price"] == pytest.approx(2 * p2 - p1, rel=1e-12)
