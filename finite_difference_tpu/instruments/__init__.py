@@ -25,6 +25,7 @@ from .equity_pv import (
     trs_return_leg_pv,
 )
 from .equity_trs import EquityTRS
+from .commodity import CommodityAverageForwardInstrument, CommodityForwardInstrument
 
 __all__ = [
     "Instrument",
@@ -49,4 +50,6 @@ __all__ = [
     "filter_future_periods",
     "trs_return_leg_pv",
     "EquityTRS",
+    "CommodityAverageForwardInstrument",
+    "CommodityForwardInstrument",
 ]

@@ -44,6 +44,26 @@ class GBMSimulator:
             float(s0), scen_days, z, self.params.mu, self.params.sigma, self.days_in_year
         )
 
+    def sanity_check_mean(self, paths, s0: float, scen_days) -> Dict[str, float]:
+        """E[S(t)] vs S0 e^{mu t} (gbm_asset_price_diagnostic.py:137-161)."""
+        t = np.asarray(scen_days, dtype=float) / self.days_in_year
+        empirical = np.asarray(paths).mean(axis=1)
+        target = float(s0) * np.exp(float(self.params.mu) * t)
+        rel_err = (empirical - target) / np.maximum(target, 1e-12)
+        return {
+            "max_abs_rel_err": float(np.max(np.abs(rel_err))),
+            "rel_err": rel_err,
+        }
+
+    def sanity_check_variance(self, paths, s0: float, scen_days) -> Dict[str, float]:
+        """Var[log S/S0] vs sigma^2 t (gbm_asset_price_diagnostic.py:163-185)."""
+        t = np.asarray(scen_days, dtype=float) / self.days_in_year
+        log_ratio = np.log(np.asarray(paths) / float(s0))
+        emp_var = log_ratio.var(axis=1)
+        target = float(self.params.sigma) ** 2 * t
+        diff = emp_var - target
+        return {"max_abs_err": float(np.max(np.abs(diff))), "err": diff}
+
     @staticmethod
     def sanity_check_z(z) -> Dict[str, float]:
         """Moment diagnostics of the shock matrix (mean~0, std~1, |skew|,

@@ -322,3 +322,59 @@ class TestEquityTRS:
         assert np.isfinite(prof.mtm).all()
         # exposure should vary across paths once resets are stamped
         assert prof.mtm[:, 5].std() > 0
+
+
+class TestCommodityInstruments:
+    def _cube(self, n_times=8, n_paths=6):
+        from finite_difference_tpu.market_data import ScenarioCube
+
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        fwd_tenors = np.array([0.0, 0.5, 1.0, 2.0])
+        # forward curve level drifts up deterministically per step
+        fwd = np.broadcast_to(
+            (100.0 + np.arange(n_times))[:, None, None],
+            (n_times, n_paths, fwd_tenors.size),
+        ).copy()
+        disc = np.full((n_times, n_paths, TENORS.size), 0.06)
+        return ScenarioCube(
+            dates,
+            {
+                "FWD.OIL": ("curve", fwd, fwd_tenors),
+                "ZAR-SWAP": ("curve", disc, TENORS),
+            },
+        )
+
+    def test_forward_instrument_stamps_fixing(self):
+        from finite_difference_tpu.instruments import CommodityForwardInstrument
+
+        cube = self._cube()
+        delivery = cube.dates[3]
+        inst = CommodityForwardInstrument(
+            "fwd", delivery_date=delivery, strike=100.0, notional=1.0,
+            forward_curve_name="FWD.OIL", discount_curve_name="ZAR-SWAP",
+        )
+        prof = ExposureEngine(cube).compute(NettingSet("NS", [Trade(inst, "T")]))
+        # after delivery the NPV is zero
+        np.testing.assert_allclose(prof.mtm[:, 4:], 0.0)
+        # at delivery step the realized fixing (level 103) is locked in:
+        # mtm = df * (103 - 100)
+        assert prof.mtm[0, 3] == pytest.approx(3.0, rel=1e-6)
+        assert np.isfinite(prof.mtm).all()
+
+    def test_average_forward_uses_stamped_history(self):
+        from finite_difference_tpu.instruments import (
+            CommodityAverageForwardInstrument,
+        )
+
+        cube = self._cube()
+        avg_dates = [cube.dates[2], cube.dates[3], cube.dates[4]]
+        inst = CommodityAverageForwardInstrument(
+            "avg", averaging_dates=avg_dates, payment_date=cube.dates[5],
+            strike=100.0, notional=1.0,
+            forward_curve_name="FWD.OIL", discount_curve_name="ZAR-SWAP",
+        )
+        prof = ExposureEngine(cube).compute(NettingSet("NS", [Trade(inst, "T")]))
+        # at the payment step the average of stamped levels (102,103,104)=103
+        # discounted zero days -> mtm = 3
+        assert prof.mtm[0, 5] == pytest.approx(3.0, rel=1e-6)
+        np.testing.assert_allclose(prof.mtm[:, 6:], 0.0)
