@@ -89,12 +89,16 @@ def build_trade_batch(
     rannacher_steps: int = 2,
     num_space_nodes: Optional[int] = None,
     dtype=np.float64,
+    use_native: bool = True,
 ) -> BarrierTradeBatch:
     """Host-side canonicalisation: per-trade grids (production barrier grid
     policy) + per-trade monitor schedules into fixed-shape arrays.
 
     ``num_space_nodes``: static node-count bucket; defaults to the
     reference's ~4.265*N_time rule evaluated once (it is trade-independent).
+    ``use_native``: route grid/schedule construction through the C++ batch
+    builder (finite_difference_tpu.native) when it is available; the pure
+    numpy loop below is the reference implementation and fallback.
     """
     B = len(spots)
     if num_space_nodes is None:
@@ -112,6 +116,42 @@ def build_trade_batch(
     rebate_at_hit = np.asarray(
         rebate_at_hit if rebate_at_hit is not None else np.zeros(B, dtype=bool)
     )
+
+    if use_native:
+        from ... import native as _native
+
+        if _native.available():
+            has_lower = np.asarray([x is not None for x in lower])
+            has_upper = np.asarray([x is not None for x in upper])
+            grids = _native.barrier_log_grids(
+                spots, strikes, sigmas, t_expiry,
+                [x if x is not None else 0.0 for x in lower],
+                [x if x is not None else 0.0 for x in upper],
+                has_lower, has_upper, num_space_nodes,
+            )
+            scheds = _native.uniform_schedules(
+                t_expiry, n_time_steps, rannacher_steps, monitor_times
+            )
+            if grids is not None and scheds is not None:
+                x_min, dx = grids
+                dt_arr, theta, tau_next, monitor = scheds
+                f = lambda v: np.asarray(v, dtype=dtype)
+                zeros_sched = np.zeros((B, n_time_steps), dtype=dtype)
+                return BarrierTradeBatch(
+                    x_min=f(x_min), dx=f(dx), strike=f(strikes),
+                    is_call=np.asarray(is_call, dtype=bool),
+                    sigma=f(sigmas), r=f(r), b=f(b), q=q.astype(dtype),
+                    lower=f([x if x is not None else 0.0 for x in lower]),
+                    upper=f([x if x is not None else 0.0 for x in upper]),
+                    has_lower=has_lower, has_upper=has_upper,
+                    rebate=rebate.astype(dtype), rebate_at_hit=rebate_at_hit,
+                    rebate_rate=f(b), s_eff=f(spots), spot=f(spots),
+                    dt=dt_arr.astype(dtype), theta=theta.astype(dtype),
+                    tau_next=tau_next.astype(dtype),
+                    monitor=monitor.astype(bool),
+                    div_amount=zeros_sched,
+                    reset_lambda=np.zeros((B, n_time_steps), dtype=bool),
+                )
 
     cols: Dict[str, List] = {k: [] for k in (
         "x_min", "dx", "dt", "theta", "tau_next", "monitor", "div_amount",

@@ -1,0 +1,129 @@
+"""Native (C++) host runtime components.
+
+The device compute path is JAX/XLA/Pallas; host-side batch canonicalisation
+(per-trade grids and time schedules for 100k+ scenario sweeps) is the piece
+worth doing natively. ``fd_native.cpp`` is compiled on first use with the
+system g++ into a cached shared library and bound via ctypes; when no
+compiler is available the callers fall back to the pure-Python loop
+transparently (``available()`` reports which path is active).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "fd_native.cpp")
+_CACHE_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "finite_difference_tpu",
+)
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    lib_path = os.path.join(_CACHE_DIR, "libfdnative.so")
+    if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(_SRC):
+        return lib_path
+    tmp = tempfile.mktemp(suffix=".so", dir=_CACHE_DIR)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    os.replace(tmp, lib_path)
+    return lib_path
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+
+    dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8ptr = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64ptr = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+    lib.barrier_log_grids.argtypes = [
+        dptr, dptr, dptr, dptr, dptr, dptr, u8ptr, u8ptr,
+        ctypes.c_int64, ctypes.c_int64, dptr, dptr,
+    ]
+    lib.barrier_log_grids.restype = None
+    lib.uniform_schedules.argtypes = [
+        dptr, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        dptr, i64ptr, dptr, dptr, dptr, u8ptr,
+    ]
+    lib.uniform_schedules.restype = None
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def barrier_log_grids(
+    spot_eff, strike, sigma, t_expiry, lower, upper, has_lower, has_upper,
+    num_space_nodes: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Vectorised native grid policy; None when the native lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    c = lambda a: np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+    cu = lambda a: np.ascontiguousarray(np.asarray(a, dtype=np.uint8))
+    spot_eff = c(spot_eff)
+    B = spot_eff.shape[0]
+    x_min = np.empty(B)
+    dx = np.empty(B)
+    lib.barrier_log_grids(
+        spot_eff, c(strike), c(sigma), c(t_expiry), c(lower), c(upper),
+        cu(has_lower), cu(has_upper), B, int(num_space_nodes), x_min, dx,
+    )
+    return x_min, dx
+
+
+def uniform_schedules(
+    t_expiry, n_steps: int, rannacher: int, monitor_times_ragged,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Vectorised native schedules; None when the native lib is absent.
+
+    ``monitor_times_ragged``: sequence of per-trade monitor-time sequences.
+    Returns (dt, theta, tau_next, monitor) with shapes (B, n_steps).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    t_expiry = np.ascontiguousarray(np.asarray(t_expiry, dtype=np.float64))
+    B = t_expiry.shape[0]
+    offsets = np.zeros(B + 1, dtype=np.int64)
+    for i, mons in enumerate(monitor_times_ragged):
+        offsets[i + 1] = offsets[i] + len(mons)
+    flat = np.empty(int(offsets[-1]), dtype=np.float64)
+    for i, mons in enumerate(monitor_times_ragged):
+        flat[offsets[i] : offsets[i + 1]] = np.asarray(mons, dtype=np.float64)
+
+    dt = np.empty((B, n_steps))
+    theta = np.empty((B, n_steps))
+    tau_next = np.empty((B, n_steps))
+    monitor = np.empty((B, n_steps), dtype=np.uint8)
+    lib.uniform_schedules(
+        t_expiry, B, int(n_steps), int(rannacher), flat, offsets,
+        dt, theta, tau_next, monitor,
+    )
+    return dt, theta, tau_next, monitor
