@@ -8,6 +8,7 @@ from .risk_factor import CurveSlice, RiskFactorSlice, ScalarSlice, SurfaceSlice
 from .scenario_cube import ScenarioCube, StaticMarketData
 from .yield_curve import YieldCurve, hermite_rt_interp, linear_interp
 from .cpi import CPIPublication, HistoricalCPI, besa_bracket, first_of_month, shift_months
+from .cpi_term_structure import CPITermStructure
 
 __all__ = [
     "CurveSlice",
@@ -24,4 +25,5 @@ __all__ = [
     "besa_bracket",
     "first_of_month",
     "shift_months",
+    "CPITermStructure",
 ]

@@ -2,7 +2,9 @@ from .dates import to_date, day_offset, add_days, ensure_dates
 from .daycount import year_fraction, year_denominator
 from .calendars import SouthAfricaCalendar
 from .rates import nacc_to_naca, naca_to_nacc, discount_factor
-from .curves import DailyNacaCurve, flat_naca_dataframe, load_curve_csv
+from .curves import DailyNacaCurve, flat_curve, flat_naca_dataframe, load_curve_csv
+from .zero_curve import ZeroCurve
+from .zero_curve import discount_factor as discount_factor_methods
 
 __all__ = [
     "to_date",
@@ -15,7 +17,10 @@ __all__ = [
     "nacc_to_naca",
     "naca_to_nacc",
     "discount_factor",
+    "discount_factor_methods",
     "DailyNacaCurve",
+    "flat_curve",
     "flat_naca_dataframe",
     "load_curve_csv",
+    "ZeroCurve",
 ]

@@ -118,3 +118,79 @@ class TestCurves:
         dfs = curve.discount_factors(dates)
         for d, v in zip(dates, dfs):
             assert curve.get_discount_factor(d) == pytest.approx(float(v), rel=1e-15)
+
+
+class TestZeroCurve:
+    def test_df_and_zero_rate(self):
+        import datetime as dt
+        import math
+        from finite_difference_tpu.utils import ZeroCurve
+
+        val = dt.date(2025, 7, 28)
+        curve = ZeroCurve(
+            [0.05, 0.06, 0.07],
+            [dt.date(2026, 7, 28), dt.date(2027, 7, 28), dt.date(2030, 7, 28)],
+            val,
+        )
+        t1 = (dt.date(2026, 7, 28) - val).days / 365.0
+        assert curve.get_discount_factor(dt.date(2026, 7, 28)) == pytest.approx(
+            math.exp(-0.05 * t1), rel=1e-12
+        )
+        assert curve.get_zero_rate(dt.date(2027, 7, 28)) == pytest.approx(0.06)
+        # on/before value date -> DF 1
+        assert curve.get_discount_factor(val) == 1.0
+        # flat extrapolation beyond last node
+        far = curve.get_zero_rate(dt.date(2040, 1, 1))
+        assert far == pytest.approx(0.07)
+
+    def test_simple_forward(self):
+        import datetime as dt
+        from finite_difference_tpu.utils import ZeroCurve
+
+        val = dt.date(2025, 7, 28)
+        curve = ZeroCurve([0.06, 0.06], [dt.date(2026, 7, 28), dt.date(2030, 7, 28)], val)
+        f = curve.forward_rate(dt.date(2026, 7, 28), dt.date(2027, 7, 28))
+        # flat 6% NACC -> simple forward = (e^{0.06*tau} - 1)/tau
+        import math
+        tau = 365.0 / 365.0
+        assert f == pytest.approx((math.exp(0.06 * tau) - 1.0) / tau, rel=1e-9)
+
+    def test_discount_factor_methods(self):
+        import datetime as dt
+        import math
+        from finite_difference_tpu.utils import discount_factor_methods as dfm
+
+        d0, d1 = dt.date(2025, 7, 28), dt.date(2026, 7, 28)
+        t = 365.0 / 365.0
+        assert dfm(0.05, d0, d1, "continuous") == pytest.approx(math.exp(-0.05 * t))
+        assert dfm(0.05, d0, d1, "simple") == pytest.approx(1 / (1 + 0.05 * t))
+        assert dfm(0.05, d0, d1, "compounded", compounding_frequency=2) == pytest.approx(
+            1 / (1 + 0.025) ** 2
+        )
+        assert dfm(0.05, d0, d1, "discount") == pytest.approx(1 - 0.05 * t)
+        with pytest.raises(ValueError):
+            dfm(0.05, d0, d1, "bogus")
+
+
+class TestCPITermStructure:
+    def test_history_and_projection(self):
+        import datetime as dt
+        from finite_difference_tpu.market_data import CPITermStructure, shift_months
+
+        val = dt.date(2025, 7, 28)
+        hist = {shift_months(dt.date(2025, 7, 1), -k): 100.0 + k for k in range(0, 10)}
+        ts = CPITermStructure(
+            historical_cpi=hist,
+            inflation_zero_rates=[(dt.date(2026, 7, 28), 5.0), (dt.date(2030, 7, 28), 5.5)],
+            value_date=val,
+        )
+        # past date resolves through BESA history
+        past = ts.cpi(dt.date(2025, 7, 1))
+        assert past == hist[dt.date(2025, 3, 1)]
+        # one year out, CPI grows by ~ (1.05)
+        base = ts.cpi(val)
+        fut = ts.cpi(dt.date(2026, 7, 28))
+        assert fut / base == pytest.approx(1.05, rel=1e-3)
+        assert ts.index_ratio(dt.date(2026, 7, 28), val) == pytest.approx(
+            fut / base
+        )
