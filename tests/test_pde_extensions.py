@@ -288,3 +288,69 @@ class TestBS2002:
         p2 = pr.price(100.0, 100.0, 1.0, 0.08, 0.3, "call", q=0.12,
                       method="two_step")["price"]
         assert out["price"] == pytest.approx(2 * p2 - p1, rel=1e-12)
+
+
+class TestFISStencilPricer:
+    from finite_difference_tpu.models.pde import DiscreteBarrierFDMPricer2
+
+    def _mk(self, **kw):
+        from finite_difference_tpu.models.pde import DiscreteBarrierFDMPricer2
+
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
+        base = dict(
+            spot=229.74, strike=190.0, valuation_date=VAL, maturity_date=MAT_1M,
+            volatility=0.2879, option_type="call", barrier_type="up-and-out",
+            upper_barrier=260.0, monitoring_dates=mons,
+            flat_rate_nacc=0.0705, num_space_nodes=400, num_time_steps=400,
+        )
+        base.update(kw)
+        return DiscreteBarrierFDMPricer2(**base)
+
+    def test_vanilla_matches_closed_form(self):
+        pr = self._mk(barrier_type="none", monitoring_dates=[])
+        p = pr.price()
+        euro = float(
+            bs_price(229.74, 190.0, 0.2879, pr.tenor_years, 0.0705, 0.0, True)
+        )
+        assert p == pytest.approx(euro, rel=3e-3)
+
+    def test_ko_below_vanilla_and_tracks_log_pricer(self):
+        pr = self._mk()
+        p2 = pr.price()
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
+        ref = DiscreteBarrierFDMPricer(
+            spot=229.74, strike=190.0, valuation_date=VAL, maturity_date=MAT_1M,
+            sigma=0.2879, option_type="call", barrier_type="up-and-out",
+            upper_barrier=260.0, monitor_dates=mons,
+            discount_curve=flat_curve(0.0705, VAL),
+            num_space_nodes=400, num_time_steps=400,
+            underlying_spot_days=0,
+        ).price_log2()
+        # different grid policies (S-space vs log-S); agree within a few %
+        assert p2 == pytest.approx(ref, rel=6e-2)
+        vanilla = self._mk(barrier_type="none", monitoring_dates=[]).price()
+        assert p2 < vanilla
+
+    def test_in_out_parity(self):
+        ko = self._mk()
+        ki = self._mk(barrier_type="up-and-in")
+        vanilla = self._mk(barrier_type="none", monitoring_dates=[]).price()
+        # parity via the same engine's vanilla solve
+        assert ko.price() + ki.price() == pytest.approx(vanilla, rel=2e-3)
+
+    def test_nlim_continuous_window_and_fis_shift(self):
+        n_days = (MAT_1M - VAL).days
+        mons = [VAL + dt.timedelta(days=k) for k in range(1, n_days + 1)]
+        pr = self._mk(monitoring_dates=mons, num_time_steps=4)
+        # 31 daily monitors vs 4 time steps -> N_hat ~ 31 > 5*4=20
+        assert pr.use_bgk_correction
+        assert pr.bgk_upper > 260.0
+        assert np.isfinite(pr.price())
+
+    def test_barrier_greeks_near_barrier(self):
+        """Spot close to the barrier exercises the one-sided/Gamma_lim path."""
+        pr = self._mk(spot=255.0)
+        g = pr.greeks()
+        assert np.isfinite([g["delta"], g["gamma"], g["vega"]]).all()
+        # near a KO barrier the call delta should be strongly negative
+        assert g["delta"] < 0.0
