@@ -188,3 +188,48 @@ class TestXvaRunner:
         )
         assert out["asset_code"] == "BRENT"
         assert out["cva"] > 0 and out["peak_pfe"] >= out["peak_ee"]
+
+
+class TestReferenceModelParity:
+    """Golden numbers: the reference's OWN committed model outputs
+    (Scneario_results_summary.xlsx model block, BASELINE.md) — not just the
+    FA tolerance band. Our CN pricer must reproduce them to ~1e-4 rel."""
+
+    def test_xlsx_model_block(self, tmp_path):
+        cfg = pd.DataFrame(
+            [
+                {"scenario_name": "uo_call_H260", "S0": 229.74, "K": 190.0,
+                 "sigma": 0.28790, "rate": 0.073086,
+                 "barrier_type": "up-and-out", "upper_barrier": 260.0,
+                 "lower_barrier": np.nan, "FA_price": 32.413972,
+                 "FA_delta": np.nan, "FA_gamma": np.nan, "FA_vega": np.nan},
+                {"scenario_name": "uo_call_H420", "S0": 229.74, "K": 190.0,
+                 "sigma": 0.28790, "rate": 0.073086,
+                 "barrier_type": "up-and-out", "upper_barrier": 420.0,
+                 "lower_barrier": np.nan, "FA_price": 40.9325556,
+                 "FA_delta": np.nan, "FA_gamma": np.nan, "FA_vega": np.nan},
+                {"scenario_name": "ui_call_H260", "S0": 229.74, "K": 190.0,
+                 "sigma": 0.28790, "rate": 0.073086,
+                 "barrier_type": "up-and-in", "upper_barrier": 260.0,
+                 "lower_barrier": np.nan, "FA_price": 8.5185837,
+                 "FA_delta": np.nan, "FA_gamma": np.nan, "FA_vega": np.nan},
+            ]
+        )
+        p = tmp_path / "golden.csv"
+        cfg.to_csv(p, index=False)
+        df = run_all_scenarios(
+            str(p), None,
+            dict(valuation=VAL, maturity=MAT, monitor_dates=MONITORS,
+                 opt_type="call", num_space_nodes=500, num_time_steps=500),
+        )
+        reference_model = {"uo_call_H260": 32.464175, "uo_call_H420": 40.9325761,
+                           "ui_call_H260": 8.4683807}
+        for _, row in df.iterrows():
+            want = reference_model[row["scenario_name"]]
+            assert row["model_price"] == pytest.approx(want, rel=1e-4), (
+                row["scenario_name"]
+            )
+        # and the headline FA diff reproduces (0.1549%)
+        assert df.set_index("scenario_name").loc["uo_call_H260", "price_pct_diff"] == (
+            pytest.approx(0.1549, abs=0.01)
+        )
