@@ -7,7 +7,7 @@ equity_trs.py / test_1.py.
 from .risk_factor import CurveSlice, RiskFactorSlice, ScalarSlice, SurfaceSlice
 from .scenario_cube import ScenarioCube, StaticMarketData
 from .yield_curve import YieldCurve, hermite_rt_interp, linear_interp
-from .cpi import CPIPublication, HistoricalCPI, besa_bracket, first_of_month, shift_months
+from .cpi import BondHistoricalCPI, CPIPublication, HistoricalCPI, besa_bracket, first_of_month, shift_months
 from .cpi_term_structure import CPITermStructure
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "YieldCurve",
     "hermite_rt_interp",
     "linear_interp",
+    "BondHistoricalCPI",
     "CPIPublication",
     "HistoricalCPI",
     "besa_bracket",

@@ -127,6 +127,11 @@ class HistoricalCPI:
             fixings[next_date] = cpi_last * (df_anchor / next_df)
         return fixings
 
+    def published_cpi(self, d: dt.date) -> float:
+        """Bond-variant API name for the BESA-interpolated value
+        (historical_cpi_bond.py:199-219; same rule as cpi_value)."""
+        return self.cpi_value(d)
+
     def cpi_value(self, d: dt.date) -> float:
         """BESA-interpolated CPI(d), extending the map on demand
         (historical_cpi.py:206-226)."""
@@ -146,3 +151,9 @@ class HistoricalCPI:
         if j == j1:
             return cpi_j
         return interp_cpi(d, cpi_j, self._monthly_cpi[max(j1, earliest)])
+
+
+# Bond-convention alias (historical_cpi_bond.py:11): identical BESA
+# bracketing/interpolation; the reference variants differ only in the
+# accretion-era extension scratch logic, superseded by the documented rule.
+BondHistoricalCPI = HistoricalCPI

@@ -4,6 +4,7 @@ from .american_black76 import AmericanFwdFDMPricer
 from .barrier import DiscreteBarrierFDMPricer
 from .cn_log import DiscreteBarrierCrankNicolsonLog
 from .hybrid import DiscreteBarrierFDMPricerAnalytic
+from .crosscheck import MarketParams, QLDiscreteBarrierPricer, fis_time_steps
 from .fis_stencil import DiscreteBarrierFDMPricer2
 from .vanilla_fis import VanillaOptionPricerFIS
 from .risk import front_arena_style_spot_curve, risk_reprice_spot, risk_spot_scenario
@@ -25,6 +26,9 @@ __all__ = [
     "DiscreteBarrierFDMPricer",
     "DiscreteBarrierCrankNicolsonLog",
     "DiscreteBarrierFDMPricerAnalytic",
+    "MarketParams",
+    "QLDiscreteBarrierPricer",
+    "fis_time_steps",
     "DiscreteBarrierFDMPricer2",
     "VanillaOptionPricerFIS",
     "front_arena_style_spot_curve",

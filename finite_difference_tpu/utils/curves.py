@@ -175,3 +175,7 @@ def load_curve_csv(path: str, scale: float = 100.0) -> pd.DataFrame:
         }
     )
     return out
+
+
+# API alias matching the reference's class name (class_yield.py:10).
+NacaCurve = DailyNacaCurve

@@ -354,3 +354,53 @@ class TestFISStencilPricer:
         assert np.isfinite([g["delta"], g["gamma"], g["vega"]]).all()
         # near a KO barrier the call delta should be strongly negative
         assert g["delta"] < 0.0
+
+
+class TestCrossCheckPricer:
+    def test_crosscheck_vs_production(self):
+        """The independent cross-check engine (QL when present, cn_log
+        fallback) must agree with the production pricer within FD noise."""
+        from finite_difference_tpu.models.pde import (
+            MarketParams, QLDiscreteBarrierPricer, fis_time_steps,
+        )
+
+        assert fis_time_steps(24, 200, 4) == 200
+        assert fis_time_steps(100, 200, 4) == 400
+
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)] + [MAT_1M]
+        xc = QLDiscreteBarrierPricer(
+            MarketParams(spot=229.74, strike=190.0, sigma=0.2879,
+                         rate_nacc=0.0705),
+            is_call=True, barrier_type="up-and-out",
+            monitoring_dates=mons, maturity_date=MAT_1M, barrier=260.0,
+            valuation_date=VAL, grid_points=400, min_time_steps=400,
+        )
+        out = xc.price_and_greeks()
+        prod = DiscreteBarrierFDMPricer(
+            spot=229.74, strike=190.0, valuation_date=VAL, maturity_date=MAT_1M,
+            sigma=0.2879, option_type="call", barrier_type="up-and-out",
+            upper_barrier=260.0, monitor_dates=mons,
+            discount_curve=flat_curve(0.0705, VAL),
+            num_space_nodes=400, num_time_steps=400, underlying_spot_days=0,
+        ).price_log2()
+        assert out["price"] == pytest.approx(prod, rel=5e-2)
+
+    def test_ki_parity_identity(self):
+        from finite_difference_tpu.models.pde import (
+            MarketParams, QLDiscreteBarrierPricer,
+        )
+
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
+        common = dict(
+            market=MarketParams(spot=229.74, strike=190.0, sigma=0.2879,
+                                rate_nacc=0.0705),
+            is_call=True, monitoring_dates=mons, maturity_date=MAT_1M,
+            barrier=260.0, valuation_date=VAL, grid_points=300,
+            min_time_steps=300,
+        )
+        ko = QLDiscreteBarrierPricer(barrier_type="up-and-out", **common)
+        ki = QLDiscreteBarrierPricer(barrier_type="up-and-in", **common)
+        v = ko.price_vanilla_FD()["price"]
+        assert ko.price_and_greeks()["price"] + ki.price_and_greeks()["price"] == (
+            pytest.approx(v, rel=1e-9)
+        )
