@@ -107,6 +107,94 @@ def calibrate_implied(
     return {"Sigma": float(res.x[0]), "Alpha": float(res.x[1])}
 
 
+def extract_cs_params(
+    json_path: str, commodity_names=None, verbose: bool = False
+) -> Dict[str, Dict[str, float]]:
+    """Stored CSForwardPriceModelParameters from Price Factors
+    (cs_implied_calibration_new.py:620-706)."""
+    from ..scenarios.market_data import load_market_data
+
+    market_data = load_market_data(json_path)
+    price_factors = market_data.get("Price Factors", {})
+    prefix = "CSForwardPriceModelParameters."
+
+    if commodity_names is None:
+        commodity_names = [k[len(prefix):] for k in price_factors if k.startswith(prefix)]
+    elif isinstance(commodity_names, str):
+        commodity_names = [commodity_names]
+
+    results: Dict[str, Dict[str, float]] = {}
+    for name in commodity_names:
+        full_key = name if name.startswith(prefix) else prefix + name
+        clean = full_key[len(prefix):]
+        factor_data = price_factors.get(full_key)
+        if factor_data is None:
+            continue
+        sigma, alpha = factor_data.get("Sigma"), factor_data.get("Alpha")
+        if sigma is None or alpha is None:
+            continue
+        drift = factor_data.get("Drift", 0.0) or 0.0
+        results[clean] = {
+            "Sigma": float(sigma), "Alpha": float(alpha), "Drift": float(drift),
+        }
+        if verbose:
+            print(f"{clean}: Sigma={sigma} Alpha={alpha}")
+    return results
+
+
+def compare_cs_params(
+    calibrated: Dict[str, Dict[str, float]],
+    extracted: Dict[str, Dict[str, float]],
+    verbose: bool = False,
+) -> "pd.DataFrame":
+    """Scalar Sigma/Alpha comparison table
+    (cs_implied_calibration_new.py:706-838)."""
+    rows = []
+    for name, cal in calibrated.items():
+        ext = extracted.get(name)
+        if ext is None:
+            continue
+        for param in ("Sigma", "Alpha"):
+            c, e = cal.get(param), ext.get(param)
+            rows.append(
+                {
+                    "Commodity": name,
+                    "Parameter": param,
+                    "Calibrated": c,
+                    "Extracted": e,
+                    "Abs_Diff": abs(c - e) if c is not None and e is not None else None,
+                    "Rel_Diff_Pct": (
+                        abs(c - e) / max(abs(e), 1e-12) * 100.0
+                        if c is not None and e is not None
+                        else None
+                    ),
+                }
+            )
+    df = pd.DataFrame(rows)
+    if verbose and not df.empty:
+        print(df.to_string(index=False))
+    return df
+
+
+def run_cs_calibration(
+    json_path: str,
+    output_path: Optional[str] = None,
+    commodity_names=None,
+    verbose: bool = False,
+):
+    """Bootstrap + extract + compare (+ CSV export) in one call
+    (cs_implied_calibration_new.py:974 and export :840)."""
+    calibrated = bootstrap_from_json(json_path, None, verbose=verbose)
+    if commodity_names is not None:
+        names = [commodity_names] if isinstance(commodity_names, str) else commodity_names
+        calibrated = {k: v for k, v in calibrated.items() if k in names}
+    extracted = extract_cs_params(json_path, commodity_names, verbose=verbose)
+    comparison = compare_cs_params(calibrated, extracted, verbose=verbose)
+    if output_path:
+        comparison.to_csv(output_path, index=False)
+    return calibrated, extracted, comparison
+
+
 def get_day_count_accrual(reference_date, time_in_days, day_count_code="ACT_365"):
     """Year fraction for a day offset (cs_implied_calibration.py:56-92)."""
     if day_count_code in ("ACT_365", "ACT365", "ACT/365"):

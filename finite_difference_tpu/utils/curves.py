@@ -177,5 +177,6 @@ def load_curve_csv(path: str, scale: float = 100.0) -> pd.DataFrame:
     return out
 
 
-# API alias matching the reference's class name (class_yield.py:10).
+# API aliases matching the reference's names (class_yield.py:10, utils.py:72).
 NacaCurve = DailyNacaCurve
+create_rate_df = flat_naca_dataframe

@@ -336,3 +336,35 @@ class TestGBMFX:
         assert os.path.exists(os.path.join(out_dir, "gbm_fx_EUR.csv"))
         args = build_parser().parse_args([path, "--fx", "EUR", "-v"])
         assert args.fx == ["EUR"]
+
+
+class TestCSPipeline:
+    def test_extract_and_compare(self, tmp_path):
+        md = {
+            "MarketData": {
+                "Price Factors": {
+                    "CSForwardPriceModelParameters.BRENT.OIL": {
+                        "Sigma": 0.42, "Alpha": 1.1,
+                    }
+                },
+                "Price Models": {}, "Model Configuration": {},
+                "Correlations": {},
+            }
+        }
+        p = tmp_path / "md.json"
+        p.write_text(json.dumps(md))
+        from finite_difference_tpu.calibration import compare_cs_params, extract_cs_params
+
+        ext = extract_cs_params(str(p))
+        assert ext["BRENT.OIL"]["Sigma"] == 0.42
+        cal = {"BRENT.OIL": {"Sigma": 0.44, "Alpha": 1.05}}
+        df = compare_cs_params(cal, ext)
+        sig_row = df[(df["Parameter"] == "Sigma")].iloc[0]
+        assert sig_row["Abs_Diff"] == pytest.approx(0.02)
+
+    def test_create_rate_df_alias(self):
+        from finite_difference_tpu.utils import create_rate_df
+
+        df = create_rate_df(0.08)
+        assert df["Date"].iloc[0] == "2025/07/28"
+        assert (df["NACA"] == 0.08).all()
