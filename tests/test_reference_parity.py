@@ -417,3 +417,59 @@ class TestHybridDecisionParity:
             assert ours.bgk_upper_barrier == pytest.approx(
                 ref.bgk_upper_barrier, rel=1e-9
             )
+
+
+class TestBGKMCParity:
+    def test_torch_rng_mode_bit_identical(self):
+        """Same seed + torch RNG parity mode -> bit-identical MC price
+        (the RiskFlow reproduction path, discrete_barrier_bgk.py:751-768)."""
+        import discrete_barrier_bgk as ref_mod
+
+        from finite_difference_tpu.models.analytic import DiscreteBarrierBGKPricer
+
+        val, mat = dt.date(2025, 7, 28), dt.date(2025, 10, 28)
+        dates = pd.date_range(dt.date(2025, 7, 27), periods=420, freq="D")
+        curve = pd.DataFrame({"Date": dates.strftime("%Y-%m-%d"), "NACA": 0.0755})
+        mons = [val + dt.timedelta(days=3 * k) for k in range(1, 31)]
+        kwargs = dict(
+            spot=229.74, strike=220.0, valuation_date=val, maturity_date=mat,
+            option_type="call", barrier_type="up-and-out", upper_barrier=260.0,
+            monitor_dates=mons, discount_curve=curve, volatility=0.2879,
+            pricing_method="mc", mc_n_paths=4096, mc_seed=42,
+            mc_use_torch_rng=True,
+        )
+        p_ref = ref_mod.DiscreteBarrierBGKPricer(**kwargs).price()
+        p_ours = DiscreteBarrierBGKPricer(**kwargs).price()
+        assert p_ours == p_ref  # exact
+
+    def test_standalone_mc_statistical_agreement(self):
+        """Different RNG streams (numpy vs ours) must agree within stderr."""
+        import mc_discrete_barrier_option as ref_mod
+
+        from finite_difference_tpu.models.mc import MCConfig, price_discrete_barrier_mc
+        from finite_difference_tpu.models.mc.discrete_barrier import BarrierSpec
+        from finite_difference_tpu.utils.curves import flat_curve
+
+        val, mat = dt.date(2025, 7, 28), dt.date(2025, 8, 28)
+        mons = [val + dt.timedelta(days=2 * k) for k in range(1, 16)]
+        dates = pd.date_range(dt.date(2025, 7, 27), periods=120, freq="D")
+        curve_df = pd.DataFrame({"Date": dates.strftime("%Y-%m-%d"), "NACA": 0.0755})
+
+        ref_curve = ref_mod.NacaCurve(curve_df, val)
+        ref = ref_mod.price_discrete_barrier_mc(
+            spot=229.74, strike=190.0, vol=0.2879, option_type="call",
+            valuation=val, maturity=mat, discount_curve=ref_curve,
+            monitor_dates=mons,
+            barrier=ref_mod.BarrierSpec("up-and-out", level=260.0),
+            cfg=ref_mod.MCConfig(n_paths=200_000, seed=3),
+        )
+        ours = price_discrete_barrier_mc(
+            spot=229.74, strike=190.0, vol=0.2879, option_type="call",
+            valuation=val, maturity=mat,
+            discount_curve=flat_curve(0.0755, val),
+            monitor_dates=mons,
+            barrier=BarrierSpec("up-and-out", level=260.0),
+            cfg=MCConfig(n_paths=200_000, seed=3),
+        )
+        se = max(ref["stderr"], ours["stderr"])
+        assert abs(ours["price"] - ref["price"]) < 4 * se

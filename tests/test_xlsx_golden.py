@@ -1,0 +1,113 @@
+"""Golden regression vs the reference's committed scenario summary.
+
+Every row of Scneario_results_summary.xlsx's model block (sheets 1-4,
+rows 11-15: the reference engine's own 500x500 outputs for 20 scenarios
+covering all four call/put x in/out families) pinned against our pricer on
+the same 24-business-day ZA monitor schedule. Tolerances: prices to 5e-4
+rel (abs 1e-4 for the ~1e-5 parity-noise KI rows), greeks to 5e-3 rel.
+
+The FA-vs-model diffs the reference reports (e.g. the 0.1549% headline)
+reproduce automatically because both sides match.
+"""
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from finite_difference_tpu.models.pde import DiscreteBarrierFDMPricer
+from finite_difference_tpu.utils.curves import flat_curve
+
+VAL = dt.date(2025, 7, 28)
+MAT = dt.date(2025, 8, 28)
+MONITORS = [
+    dt.date(2025, 7, 28), dt.date(2025, 7, 29), dt.date(2025, 7, 30),
+    dt.date(2025, 7, 31), dt.date(2025, 8, 1), dt.date(2025, 8, 4),
+    dt.date(2025, 8, 5), dt.date(2025, 8, 6), dt.date(2025, 8, 7),
+    dt.date(2025, 8, 8), dt.date(2025, 8, 11), dt.date(2025, 8, 12),
+    dt.date(2025, 8, 13), dt.date(2025, 8, 14), dt.date(2025, 8, 15),
+    dt.date(2025, 8, 18), dt.date(2025, 8, 19), dt.date(2025, 8, 20),
+    dt.date(2025, 8, 21), dt.date(2025, 8, 22), dt.date(2025, 8, 25),
+    dt.date(2025, 8, 26), dt.date(2025, 8, 27), dt.date(2025, 8, 28),
+]
+RATE = 0.073085649282
+
+# (name, opt, btype, K, sigma, lower, upper, model_price, model_delta,
+#  model_gamma, model_vega) — xlsx model rows 11-15 per sheet
+GOLDEN = [
+    # Sheet 1: Call knock-outs
+    ("co1", "call", "up-and-out", 190.0, 0.287899981643, None, 260.0,
+     32.464174906875897, 0.122330501269814, -0.065045360125054602, -0.80200735270210499),
+    ("co2", "call", "up-and-out", 190.0, 0.287899981643, None, 420.0,
+     40.932576101800002, 0.99120615060498096, 1.23569532945566e-3, 1.5858548508163001e-2),
+    ("co3", "call", "up-and-out", 190.0, 0.287899981643, None, 240.0,
+     12.8984955654629, -0.79900392310436497, -0.053366924178646899, -0.58726173002270299),
+    ("co4", "call", "down-and-out", 200.0, 0.278483170115, 150.0, None,
+     31.1935362626187, 0.96554617906390605, 4.0918919511341301e-3, 0.050774047045720701),
+    ("co5", "call", "down-and-out", 220.0, 0.261319367995, 140.0, None,
+     13.716232712515099, 0.75262636730426602, 0.0180646178608867, 0.2111778964478),
+    # Sheet 2: Call knock-ins
+    ("ci1", "call", "up-and-in", 190.0, 0.287899981643, None, 260.0,
+     8.4683807425467901, 0.86894191858081904, 0.066272829031302993, 0.81786376729908705),
+    ("ci2", "call", "up-and-in", 190.0, 0.287899981643, None, 420.0,
+     -2.04523773632558e-5, 6.6269245653116594e-5, -8.22642320736223e-6, -2.1339111810902901e-6),
+    ("ci3", "call", "up-and-in", 190.0, 0.287899981643, None, 240.0,
+     28.034060083959702, 1.7902763429549899, 0.0545943930848952, 0.60311814461968505),
+    ("ci4", "call", "down-and-in", 200.0, 0.278483170115, 150.0, None,
+     -2.9547590855827302e-5, 2.67928988613941e-4, -2.70330697361353e-5, -9.4173806530761699e-7),
+    ("ci5", "call", "down-and-in", 220.0, 0.261319367995, 140.0, None,
+     -2.16467431446432e-5, 8.8558748080025396e-4, -3.8470577094013699e-5, 1.3839315471386701e-6),
+    # Sheet 3: Put knock-outs
+    ("po1", "put", "up-and-out", 260.0, 0.234882165755, None, 280.0,
+     28.997294437893999, -0.95441823233073797, 6.0885809449473501e-3, 0.064495720763701997),
+    ("po2", "put", "up-and-out", 260.0, 0.234882165755, None, 420.0,
+     28.997359536003501, -0.95422044902792802, 6.1110714591450198e-3, 0.064535977379875903),
+    ("po3", "put", "up-and-out", 260.0, 0.234882165755, None, 240.0,
+     20.8029963459574, -1.6227928623466701, -0.024604102947932902, -0.1913910030364),
+    ("po4", "put", "down-and-out", 250.0, 0.239975287381, 150.0, None,
+     19.862392172093902, -0.860666117466102, 0.0138031902723696, 0.14785509623784701),
+    ("po5", "put", "down-and-out", 230.0, 0.253462822027, 140.0, None,
+     6.2099541607035498, -0.46114326169532399, 0.02340594433781, 0.26569498628736798),
+    # Sheet 4: Put knock-ins
+    ("pi1", "put", "up-and-in", 260.0, 0.234882165755, None, 280.0,
+     1.5431450748337701e-5, 3.3021700531099502e-4, 3.6810978096188997e-5, 3.9856905331703199e-5),
+    ("pi2", "put", "up-and-in", 260.0, 0.234882165755, None, 420.0,
+     -4.9666658700431299e-5, 1.3243370250171001e-4, 1.43204638985185e-5, -3.9971084220269399e-7),
+    ("pi3", "put", "up-and-in", 260.0, 0.234882165755, None, 240.0,
+     8.1943135233874003, 0.66870484702124999, 0.030729494870976402, 0.255926580705434),
+    ("pi4", "put", "down-and-in", 250.0, 0.239975287381, 150.0, None,
+     -9.8732281077928906e-5, -9.9156590774474008e-4, -6.20930541235884e-5, 2.5908121870088499e-6),
+    ("pi5", "put", "down-and-in", 230.0, 0.253462822027, 140.0, None,
+     -9.0546526354096102e-5, 2.0528203486550002e-3, -2.1166298145212901e-5, 4.0009002333363199e-6),
+]
+
+
+@pytest.fixture(scope="module")
+def curve():
+    return flat_curve(RATE, VAL)
+
+
+@pytest.mark.parametrize(
+    "name,opt,btype,K,sigma,lower,upper,p,d,g,v", GOLDEN,
+    ids=[row[0] for row in GOLDEN],
+)
+def test_xlsx_model_block_golden(curve, name, opt, btype, K, sigma, lower, upper, p, d, g, v):
+    pricer = DiscreteBarrierFDMPricer(
+        spot=229.74, strike=K, valuation_date=VAL, maturity_date=MAT,
+        sigma=sigma, option_type=opt, barrier_type=btype,
+        lower_barrier=lower, upper_barrier=upper, monitor_dates=MONITORS,
+        discount_curve=curve, forward_curve=curve,
+        underlying_spot_days=0, option_days=0, option_settlement_days=0,
+        num_space_nodes=500, num_time_steps=500,
+    )
+    price = pricer.price_log2()
+    greeks = pricer.greeks_log2()
+
+    # prices: tight rel for real values, abs for the ~1e-5 KI parity noise
+    if abs(p) > 1e-3:
+        assert price == pytest.approx(p, rel=5e-4), "price"
+        assert greeks["delta"] == pytest.approx(d, rel=5e-3, abs=1e-5), "delta"
+        assert greeks["gamma"] == pytest.approx(g, rel=5e-3, abs=1e-5), "gamma"
+        assert greeks["vega"] == pytest.approx(v, rel=5e-3, abs=1e-5), "vega"
+    else:
+        assert price == pytest.approx(p, abs=1e-4), "price"
+        assert greeks["delta"] == pytest.approx(d, abs=1e-3), "delta"
