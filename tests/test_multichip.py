@@ -1,0 +1,82 @@
+"""Multi-chip sharding validation on a virtual 8-device CPU mesh.
+
+Runs in a subprocess so ``xla_force_host_platform_device_count`` applies
+before jax initializes (the in-process conftest already pinned a 1-device
+CPU backend). Exercises the same path as the driver's dryrun_multichip.
+"""
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=600, env=env, cwd=REPO,
+    )
+
+
+class TestMultichip:
+    def test_dryrun_multichip_8(self):
+        out = _run(
+            textwrap.dedent(
+                """
+                import jax
+                jax.config.update("jax_platforms", "cpu")
+                import __graft_entry__ as g
+                g.dryrun_multichip(8)
+                assert len(jax.devices()) == 8
+                print("DRYRUN_OK")
+                """
+            )
+        )
+        assert "DRYRUN_OK" in out.stdout, out.stderr[-2000:]
+
+    def test_sharded_batch_matches_single_device(self):
+        """price_barrier_batch over an 8-device mesh == unsharded result."""
+        out = _run(
+            textwrap.dedent(
+                """
+                import jax
+                jax.config.update("jax_platforms", "cpu")
+                jax.config.update("jax_enable_x64", True)
+                import numpy as np
+                from finite_difference_tpu.models.pde.batch import (
+                    build_trade_batch, price_barrier_batch,
+                )
+                from finite_difference_tpu.parallel import make_mesh
+
+                rng = np.random.default_rng(0)
+                B = 32
+                t = 31.0 / 365.0
+                tb = build_trade_batch(
+                    spots=list(rng.uniform(180.0, 250.0, B)),
+                    strikes=[190.0] * B,
+                    sigmas=list(rng.uniform(0.2, 0.35, B)),
+                    t_expiry=[t] * B, r=[0.0705] * B, b=[0.0705] * B,
+                    is_call=[True] * B, n_time_steps=32,
+                    monitor_times=[[t * (k + 1) / 4.0 for k in range(4)]] * B,
+                    upper=[260.0] * B, num_space_nodes=127,
+                )
+                single = price_barrier_batch(tb, n_nodes=128)
+                mesh = make_mesh(8, axis_names=("data",))
+                sharded = price_barrier_batch(tb, n_nodes=128, mesh=mesh)
+                for k in single:
+                    np.testing.assert_allclose(
+                        sharded[k], single[k], rtol=1e-12, err_msg=k
+                    )
+                print("SHARDED_OK")
+                """
+            )
+        )
+        assert "SHARDED_OK" in out.stdout, out.stderr[-2000:]
