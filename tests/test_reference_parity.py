@@ -473,3 +473,34 @@ class TestBGKMCParity:
         )
         se = max(ref["stderr"], ours["stderr"])
         assert abs(ours["price"] - ref["price"]) < 4 * se
+
+
+class TestCSImpliedOptimizerParity:
+    def test_same_objective_same_optimum(self):
+        """Our jax-gradient L-BFGS-B and the reference's scipy optimizer
+        minimize the same objective -> same (Sigma, Alpha) within optimizer
+        tolerance."""
+        import cs_implied_calibration as ref_mod
+
+        from finite_difference_tpu.calibration import calibrate_implied, cs_variance
+        from finite_difference_tpu.calibration.cs import black_european_option_price
+
+        true_sigma, true_alpha = 0.38, 0.9
+        options = []
+        for T, S in [(0.25, 0.35), (0.75, 0.85), (1.5, 1.6)]:
+            for K in (90.0, 100.0, 115.0):
+                var = float(cs_variance(true_sigma, true_alpha, T, S))
+                prem = float(
+                    black_european_option_price(
+                        100.0, K, 0.0, np.sqrt(var), 1.0, 1.0, 1.0
+                    )
+                ) * np.exp(-0.04 * T)
+                options.append(
+                    dict(Forward=100.0, Strike=K, r=0.04, T=T, S=S,
+                         Premium=prem, Units=1.0, Option_Type="Call",
+                         Weight=1.0)
+                )
+        ref = ref_mod.calibrate_implied([dict(o) for o in options])
+        ours = calibrate_implied(options)
+        assert ours["Sigma"] == pytest.approx(ref["Sigma"], abs=2e-3)
+        assert ours["Alpha"] == pytest.approx(ref["Alpha"], abs=2e-2)
