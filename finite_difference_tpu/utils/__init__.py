@@ -5,6 +5,7 @@ from .rates import nacc_to_naca, naca_to_nacc, discount_factor
 from .curves import DailyNacaCurve, NacaCurve, create_rate_df, flat_curve, flat_naca_dataframe, load_curve_csv
 from .zero_curve import ZeroCurve
 from .zero_curve import discount_factor as discount_factor_methods
+from .profiling import throughput, trace
 
 __all__ = [
     "to_date",
@@ -25,4 +26,6 @@ __all__ = [
     "flat_naca_dataframe",
     "load_curve_csv",
     "ZeroCurve",
+    "throughput",
+    "trace",
 ]

@@ -80,3 +80,37 @@ class TestMultichip:
             )
         )
         assert "SHARDED_OK" in out.stdout, out.stderr[-2000:]
+
+
+class TestShardedReductions:
+    def test_mean_stderr_matches_numpy(self):
+        out = _run(
+            textwrap.dedent(
+                """
+                import jax
+                jax.config.update("jax_platforms", "cpu")
+                jax.config.update("jax_enable_x64", True)
+                import numpy as np, jax.numpy as jnp
+                from finite_difference_tpu.parallel import (
+                    make_mesh, sharded_mean_stderr, sharded_exposure_profile,
+                )
+                mesh = make_mesh(8, axis_names=("data",))
+                rng = np.random.default_rng(0)
+                v = rng.normal(5.0, 2.0, size=4096)
+                mean, se = sharded_mean_stderr(jnp.asarray(v), mesh)
+                np.testing.assert_allclose(float(mean), v.mean(), rtol=1e-12)
+                np.testing.assert_allclose(
+                    float(se), v.std(ddof=1) / np.sqrt(len(v)), rtol=1e-10
+                )
+                mtm = rng.normal(0.0, 3.0, size=(4096, 7))
+                ee, pfe = sharded_exposure_profile(jnp.asarray(mtm), mesh)
+                exp = np.maximum(mtm, 0.0)
+                np.testing.assert_allclose(np.asarray(ee), exp.mean(axis=0), rtol=1e-12)
+                np.testing.assert_allclose(
+                    np.asarray(pfe), np.quantile(exp, 0.95, axis=0), rtol=1e-10
+                )
+                print("REDUCE_OK")
+                """
+            )
+        )
+        assert "REDUCE_OK" in out.stdout, out.stderr[-2000:]
