@@ -276,6 +276,159 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def build_american_batch(
+    spots: Sequence[float],
+    strikes: Sequence[float],
+    sigmas: Sequence[float],
+    t_expiry: Sequence[float],
+    r: Sequence[float],
+    b: Sequence[float],
+    is_call: Sequence[bool],
+    n_time_steps: int,
+    dividends_tau: Optional[Sequence[Sequence]] = None,
+    rannacher_steps: int = 2,
+    num_space_nodes: int = 400,
+    s_max_mult: float = 4.5,
+    dtype=np.float64,
+) -> BarrierTradeBatch:
+    """Struct-of-arrays batch of American trades on the shared stepper.
+
+    Same container as the barrier batch (barriers disabled); grids use the
+    American policy (american_log_grid) and schedules the segmented layout
+    with dividend jumps + IT resets. ``dividends_tau``: per trade, a list of
+    (tau_from_expiry, amount).
+    """
+    from .grid import american_log_grid, segmented_schedule
+
+    B = len(spots)
+    dividends_tau = dividends_tau or [[] for _ in range(B)]
+    cols: Dict[str, List] = {k: [] for k in (
+        "x_min", "dx", "dt", "theta", "tau_next", "monitor", "div_amount",
+        "reset_lambda",
+    )}
+    for i in range(B):
+        g = american_log_grid(
+            float(spots[i]), float(strikes[i]), float(sigmas[i]),
+            float(t_expiry[i]), num_space_nodes, s_max_mult,
+        )
+        cols["x_min"].append(g.x_min)
+        cols["dx"].append(g.dx)
+        sch = segmented_schedule(
+            float(t_expiry[i]), n_time_steps, dividends_tau[i],
+            rannacher_steps=rannacher_steps,
+            restart_rannacher_at_div=bool(is_call[i]),
+        )
+        # segmented schedules share length n_time_steps by construction;
+        # guard against per-trade drift from the remainder rule
+        if len(sch.dt) != n_time_steps:
+            pad = n_time_steps - len(sch.dt)
+            if pad < 0:
+                raise ValueError("segment steps exceeded n_time_steps")
+            z = np.zeros(pad)
+            sch = type(sch)(
+                dt=np.concatenate([sch.dt, z]),
+                theta=np.concatenate([sch.theta, np.full(pad, 0.5)]),
+                tau_next=np.concatenate(
+                    [sch.tau_next, np.full(pad, sch.tau_next[-1])]
+                ),
+                monitor=np.concatenate([sch.monitor, np.zeros(pad, bool)]),
+                div_amount=np.concatenate([sch.div_amount, z]),
+                reset_lambda=np.concatenate([sch.reset_lambda, np.zeros(pad, bool)]),
+            )
+        cols["dt"].append(sch.dt)
+        cols["theta"].append(sch.theta)
+        cols["tau_next"].append(sch.tau_next)
+        cols["monitor"].append(sch.monitor)
+        cols["div_amount"].append(sch.div_amount)
+        cols["reset_lambda"].append(sch.reset_lambda)
+
+    f = lambda v: np.asarray(v, dtype=dtype)
+    zB = np.zeros(B, dtype=dtype)
+    fB = np.zeros(B, dtype=bool)
+    return BarrierTradeBatch(
+        x_min=f(cols["x_min"]), dx=f(cols["dx"]), strike=f(strikes),
+        is_call=np.asarray(is_call, dtype=bool), sigma=f(sigmas), r=f(r),
+        b=f(b), q=zB, lower=zB, upper=zB, has_lower=fB, has_upper=fB,
+        rebate=zB, rebate_at_hit=fB, rebate_rate=f(b), s_eff=f(spots),
+        spot=f(spots),
+        dt=np.stack(cols["dt"]).astype(dtype),
+        theta=np.stack(cols["theta"]).astype(dtype),
+        tau_next=np.stack(cols["tau_next"]).astype(dtype),
+        monitor=np.stack(cols["monitor"]),
+        div_amount=np.stack(cols["div_amount"]).astype(dtype),
+        reset_lambda=np.stack(cols["reset_lambda"]),
+    )
+
+
+def _solve_one_american(batch: BarrierTradeBatch, sigma, n_nodes: int):
+    grid = CNGrid(batch.x_min, batch.dx)
+    dyn = CNDynamics(
+        strike=batch.strike, is_call=batch.is_call, sigma=sigma,
+        r=batch.r, b=batch.b, q=batch.q,
+    )
+    sch = CNSchedule(
+        dt=batch.dt, theta=batch.theta, tau_next=batch.tau_next,
+        monitor=batch.monitor, div_amount=batch.div_amount,
+        reset_lambda=batch.reset_lambda,
+    )
+    return cn_solve(
+        grid, dyn, sch, n_nodes, barrier=None, american=True,
+        with_dividends=True, euro_put_lower_boundary=False,
+    )
+
+
+def american_batch_kernel(
+    batch_dev, n_nodes: int, dv_sigma: float = 0.0001, with_greeks: bool = True
+):
+    """Device function (jit with static n_nodes/with_greeks): batched
+    American price/greeks — the vmapped twin of AmericanFDMPricer's
+    single-trade solve (Richardson omitted; pass a finer n_time_steps
+    instead — the sweep use case)."""
+
+    def solve(sig_field):
+        v, s = jax.vmap(
+            lambda bt: _solve_one_american(bt, sig_field(bt), n_nodes)
+        )(batch_dev)
+        return v, s
+
+    v, s = solve(lambda bt: bt.sigma)
+    price = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v)
+    out = {"price": price}
+    if with_greeks:
+        v_up, _ = solve(lambda bt: bt.sigma + dv_sigma)
+        price_up = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v_up)
+        out["vega"] = (price_up - price) / (dv_sigma * 100.0)
+
+        def dg(s_i, v_i, spot_i):
+            idx = jnp.clip(jnp.argmin(jnp.abs(s_i - spot_i)), 1, s_i.shape[0] - 2)
+            return nonuniform_central(s_i, v_i, idx)
+
+        delta, gamma = jax.vmap(dg)(s, v, batch_dev.spot)
+        out["delta"] = delta
+        out["gamma"] = gamma
+    return out
+
+
+def price_american_batch(
+    batch: BarrierTradeBatch,
+    n_nodes: int,
+    dv_sigma: float = 0.0001,
+    with_greeks: bool = True,
+    mesh=None,
+    axis_name: str = "data",
+) -> Dict[str, np.ndarray]:
+    """Batched American sweep; optionally shard the trade axis over a mesh."""
+    dev = jax.tree.map(jnp.asarray, batch)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(axis_name))
+        dev = jax.tree.map(lambda x: jax.device_put(x, shard), dev)
+    fn = jax.jit(american_batch_kernel, static_argnames=("n_nodes", "with_greeks"))
+    out = fn(dev, n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
 def price_barrier_batch(
     batch: BarrierTradeBatch,
     n_nodes: int,

@@ -99,3 +99,73 @@ class TestBatchedBarrier:
         # KO call price should decrease as spot approaches the barrier region
         # (just sanity: all finite, positive where ITM)
         assert np.isfinite(out_sharded["price"]).all()
+
+
+class TestAmericanBatch:
+    def test_matches_scalar_pricer(self):
+        """The batched American sweep must match AmericanFDMPricer per trade."""
+        import datetime as dt
+
+        from finite_difference_tpu.models.pde import AmericanFDMPricer
+        from finite_difference_tpu.models.pde.batch import (
+            build_american_batch,
+            price_american_batch,
+        )
+        from finite_difference_tpu.utils.curves import flat_curve
+
+        VAL, MAT = dt.date(2025, 7, 28), dt.date(2026, 1, 28)
+        curve = flat_curve(0.07, VAL)
+        spots = [90.0, 100.0, 110.0, 120.0]
+        scalar_prices = []
+        t_exp = None
+        rs = []
+        for s0 in spots:
+            pr = AmericanFDMPricer(
+                spot=s0, strike=100.0, valuation_date=VAL, maturity_date=MAT,
+                sigma=0.3, option_type="put", discount_curve=curve,
+                num_space_nodes=200, num_time_steps=200,
+                snap_spot_to_grid=False, snap_strike_to_grid=False,
+            )
+            scalar_prices.append(pr.price_log())
+            t_exp = pr.time_to_expiry
+            rs.append(pr.discount_rate_nacc)
+
+        tb = build_american_batch(
+            spots=spots, strikes=[100.0] * 4, sigmas=[0.3] * 4,
+            t_expiry=[t_exp] * 4, r=rs, b=rs, is_call=[False] * 4,
+            n_time_steps=200, num_space_nodes=200,
+        )
+        out = price_american_batch(tb, n_nodes=201, with_greeks=True)
+        np.testing.assert_allclose(out["price"], scalar_prices, rtol=1e-9)
+        assert np.isfinite(out["delta"]).all() and (out["delta"] < 0).all()
+
+    def test_dividend_jump_batched(self):
+        import datetime as dt
+
+        from finite_difference_tpu.models.pde import AmericanFDMPricer
+        from finite_difference_tpu.models.pde.batch import (
+            build_american_batch,
+            price_american_batch,
+        )
+        from finite_difference_tpu.utils.curves import flat_curve
+
+        VAL, MAT = dt.date(2025, 7, 28), dt.date(2026, 1, 28)
+        div_date = dt.date(2025, 10, 15)
+        curve = flat_curve(0.07, VAL)
+        pr = AmericanFDMPricer(
+            spot=100.0, strike=100.0, valuation_date=VAL, maturity_date=MAT,
+            sigma=0.3, option_type="put", discount_curve=curve,
+            dividend_schedule=[(div_date, 4.0)],
+            num_space_nodes=200, num_time_steps=200,
+            snap_spot_to_grid=False, snap_strike_to_grid=False,
+        )
+        want = pr.price_log()
+        divs_tau = pr._div_times_tau()
+        tb = build_american_batch(
+            spots=[100.0], strikes=[100.0], sigmas=[0.3],
+            t_expiry=[pr.time_to_expiry], r=[pr.discount_rate_nacc],
+            b=[pr.carry_rate_nacc], is_call=[False], n_time_steps=200,
+            dividends_tau=[divs_tau], num_space_nodes=200,
+        )
+        out = price_american_batch(tb, n_nodes=201, with_greeks=False)
+        np.testing.assert_allclose(out["price"][0], want, rtol=1e-9)
