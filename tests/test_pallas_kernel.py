@@ -79,3 +79,97 @@ class TestPallasCNKernel:
         np.testing.assert_allclose(got["price"], np.asarray(ref["price"]), rtol=1e-9)
         # rebate floor: KO near-certain trades still worth ~PV(rebate)
         assert (np.asarray(got["price"]) > 0).all()
+
+
+class TestPallasCRKernel:
+    def test_cr_level_coeffs_solve_matches_thomas(self):
+        """The packed scalar-class CR coefficients reproduce
+        thomas_solve_const to machine precision."""
+        import math
+
+        from finite_difference_tpu.models.pde.pallas_cr import cr_level_coeffs
+        from finite_difference_tpu.ops.tridiag import thomas_solve_const
+
+        rng = np.random.default_rng(0)
+        n = 64
+        a_l = jnp.asarray(rng.uniform(-0.5, -0.3, 4))
+        a_c = jnp.asarray(rng.uniform(1.8, 2.2, 4))
+        a_u = jnp.asarray(rng.uniform(-0.5, -0.3, 4))
+        d = rng.normal(size=(4, n))
+        want = np.asarray(thomas_solve_const(a_l, a_c, a_u, jnp.asarray(d)))
+        lv = np.asarray(cr_level_coeffs(a_l, a_c, a_u, n))
+        n_levels = int(math.log2(n))
+        for t in range(4):
+            dv = d[t].copy()
+            stack = []
+            for lev in range(n_levels):
+                evens, odds = dv[0::2].copy(), dv[1::2].copy()
+                stack.append(evens)
+                half = len(evens)
+                ev_up = np.concatenate([evens[1:], [0.0]])
+                alpha = np.full(half, lv[lev, 1, t])
+                alpha[0] = lv[lev, 0, t]
+                alpha[-1] = lv[lev, 2, t]
+                gamma = np.full(half, lv[lev, 4, t])
+                gamma[0] = lv[lev, 3, t]
+                gamma[-1] = lv[lev, 5, t]
+                dv = odds - alpha * evens - gamma * ev_up
+            x = dv / lv[0, 15, t]
+            for lev in range(n_levels - 1, -1, -1):
+                evens = stack.pop()
+                half = len(evens)
+                x_lo = np.concatenate([[0.0], x[:-1]])
+                ae = np.full(half, lv[lev, 7, t]); ae[0] = lv[lev, 6, t]; ae[-1] = lv[lev, 8, t]
+                be = np.full(half, lv[lev, 10, t]); be[0] = lv[lev, 9, t]; be[-1] = lv[lev, 11, t]
+                ce = np.full(half, lv[lev, 13, t]); ce[0] = lv[lev, 12, t]; ce[-1] = lv[lev, 14, t]
+                x_even = (evens - ae * x_lo - ce * x) / be
+                out = np.empty(2 * half)
+                out[0::2] = x_even
+                out[1::2] = x
+                x = out
+            np.testing.assert_allclose(x, want[t], atol=1e-10)
+
+    def test_cr_kernel_interpret_matches_xla(self):
+        from finite_difference_tpu.models.pde.pallas_cr import (
+            cn_barrier_solve_pallas_cr,
+        )
+
+        rng = np.random.default_rng(0)
+        B = 8
+        t = 31.0 / 365.0
+        tb = build_trade_batch(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[t] * B, r=[0.0705] * B, b=[0.0705] * B,
+            is_call=[True] * B, n_time_steps=64,
+            monitor_times=[[t * (k + 1) / 8.0 for k in range(8)]] * B,
+            upper=[260.0] * B, num_space_nodes=129,  # 130 nodes, interior 128
+        )
+        dev = jax.tree.map(jnp.asarray, tb)
+        ref = price_batch_kernel(dev, n_nodes=130, with_greeks=False)
+        v, s = cn_barrier_solve_pallas_cr(
+            dev, dev.sigma, n_nodes=130, n_steps=64, trade_block=8,
+            interpret=True,
+        )
+        price = np.asarray(jax.vmap(jnp.interp)(dev.s_eff, s, v))
+        np.testing.assert_allclose(price, np.asarray(ref["price"]), atol=1e-9)
+
+    def test_cr_requires_power_of_two_interior(self):
+        from finite_difference_tpu.models.pde.pallas_cr import (
+            cn_barrier_solve_pallas_cr,
+        )
+
+        rng = np.random.default_rng(0)
+        tb = build_trade_batch(
+            spots=[100.0] * 8, strikes=[100.0] * 8, sigmas=[0.3] * 8,
+            t_expiry=[0.25] * 8, r=[0.05] * 8, b=[0.05] * 8,
+            is_call=[True] * 8, n_time_steps=16, monitor_times=[[]] * 8,
+            num_space_nodes=99,
+        )
+        dev = jax.tree.map(jnp.asarray, tb)
+        with pytest.raises(ValueError, match="power of two"):
+            cn_barrier_solve_pallas_cr(
+                dev, dev.sigma, n_nodes=100, n_steps=16, trade_block=8,
+                interpret=True,
+            )
