@@ -80,7 +80,7 @@ def main() -> None:
     p_np = np.asarray(p, dtype=np.float64)
     ref = np.asarray(
         generalized_bs_price(
-            jnp.asarray(spots, jnp.float64),
+            jnp.asarray(np.asarray(spots, np.float64)),
             190.0,
             jnp.asarray(np.asarray(tb.sigma, np.float64)),
             t,
