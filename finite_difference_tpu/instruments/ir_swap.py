@@ -10,7 +10,7 @@ legs expose one-step compound factors that telescope to DF ratios.
 from __future__ import annotations
 
 import datetime as dt
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -18,7 +18,20 @@ from ..market_data.risk_factor import CurveSlice
 from ..market_data.yield_curve import YieldCurve
 from .cashflow import LegType, SwapLeg, leg_pv
 from .instrument import Instrument
-from .schedule import ScheduleConfig, build_overnight_tenors, generate_sub_periods
+from .schedule import (
+    ScheduleConfig,
+    add_months,
+    adjust,
+    build_overnight_tenors,
+    generate_sub_periods,
+)
+
+ResetTuple = Tuple[dt.date, str, dt.date, dt.date, bool]
+
+
+def _pathwise_curve(factor_slice: CurveSlice) -> YieldCurve:
+    """Vectorised (n_paths, n_tenors) yield curve from a scenario slice."""
+    return YieldCurve(year_fracs=factor_slice.tenors, rates=factor_slice.values)
 
 
 class IRSwap(Instrument):
@@ -50,7 +63,6 @@ class IRSwap(Instrument):
         self.pay_leg = pay_leg
         self.discount_curve_name = discount_curve_name
         self.include_sim_date_cashflows = include_sim_date_cashflows
-
         self.schedule_config = schedule_config or ScheduleConfig(
             calendar=calendar,
             business_convention=business_convention,
@@ -59,49 +71,57 @@ class IRSwap(Instrument):
             day_count=day_count,
             curve_day_count=curve_day_count,
         )
-        self._generate_schedules()
 
-    def _generate_schedules(self) -> None:
-        self.receive_schedule = self.schedule_config.build(
-            self.effective_date, self.maturity_date, self.receive_leg.frequency
+        sched = self.schedule_config
+        self.receive_schedule = sched.build(
+            effective_date, maturity_date, receive_leg.frequency
         )
-        self.pay_schedule = self.schedule_config.build(
-            self.effective_date, self.maturity_date, self.pay_leg.frequency
+        self.pay_schedule = sched.build(
+            effective_date, maturity_date, pay_leg.frequency
         )
+        # last adjusted payment date across both legs — PVs are zero past it
         self._effective_maturity: dt.date = max(
-            max(p for _, _, p, _ in self.receive_schedule),
-            max(p for _, _, p, _ in self.pay_schedule),
+            pay for leg in (self.receive_schedule, self.pay_schedule)
+            for _, _, pay, _ in leg
         )
 
     # ------------------------------------------------------------------
     # reset / fixing interface (ir_swap.py:100-129)
     # ------------------------------------------------------------------
 
-    def get_reset_dates(self) -> List[Tuple[dt.date, str, dt.date, dt.date, bool]]:
-        resets: List[Tuple[dt.date, str, dt.date, dt.date, bool]] = []
-        sc = self.schedule_config
+    def _floating(self) -> Iterator[Tuple[list, SwapLeg]]:
         for schedule, leg in (
             (self.receive_schedule, self.receive_leg),
             (self.pay_schedule, self.pay_leg),
         ):
-            if leg.leg_type != LegType.FLOATING:
-                continue
+            if leg.leg_type == LegType.FLOATING:
+                yield schedule, leg
+
+    def get_reset_dates(self) -> List[ResetTuple]:
+        """One reset tuple per floating accrual (or sub-)period.
+
+        Legs with ``reset_frequency_months > 0`` split each payment period
+        into compounding sub-periods, each with its own reset.
+        """
+        sc = self.schedule_config
+        out: List[ResetTuple] = []
+        for schedule, leg in self._floating():
             if leg.reset_frequency_months > 0:
-                for pay_start, pay_end, _, _ in schedule:
-                    for sub_start, sub_end, _ in generate_sub_periods(
+                out.extend(
+                    (sub0, leg.curve_name, sub0, sub1, False)
+                    for pay_start, pay_end, _, _ in schedule
+                    for sub0, sub1, _ in generate_sub_periods(
                         pay_start, pay_end, leg.reset_frequency_months,
                         sc.cal, sc.business_convention, sc.day_count,
                         direction="Backward",
-                    ):
-                        resets.append(
-                            (sub_start, leg.curve_name, sub_start, sub_end, False)
-                        )
-            else:
-                for start, end, _, _ in schedule:
-                    resets.append(
-                        (start, leg.curve_name, start, end, leg.overnight_compounding)
                     )
-        return resets
+                )
+            else:
+                out.extend(
+                    (start, leg.curve_name, start, end, leg.overnight_compounding)
+                    for start, end, _, _ in schedule
+                )
+        return out
 
     def compute_cf_increment(
         self,
@@ -116,14 +136,42 @@ class IRSwap(Instrument):
         1/DF(t_to) on the curve seen at t_from.
         """
         sc = self.schedule_config
-        fwd_slice: CurveSlice = time_slice[curve_name]
-        fwd_curve = YieldCurve(year_fracs=fwd_slice.tenors, rates=fwd_slice.values)
-        t_sched = build_overnight_tenors(
+        curve = _pathwise_curve(time_slice[curve_name])
+        tenors = build_overnight_tenors(
             t_from, t_to, val_date=t_from, calendar=sc.cal,
             curve_day_count=sc.curve_day_count,
         )
-        dfs = fwd_curve.discount_factor(t_sched)  # (n_paths, n_bdays+1)
+        dfs = curve.discount_factor(tenors)  # (n_paths, n_bdays+1)
         return np.prod(dfs[:, :-1] / dfs[:, 1:], axis=1)
+
+    def _forward_for_reset(
+        self,
+        curve: YieldCurve,
+        leg: Optional[SwapLeg],
+        scenario_date: dt.date,
+        p_start: dt.date,
+        p_end: dt.date,
+    ) -> np.ndarray:
+        """Simple forward over the reset's fixing window.
+
+        A leg with an explicit ``fixing_tenor_months`` projects over the
+        index tenor (e.g. 3M JIBAR inside a 6M accrual); otherwise the
+        accrual period itself is the fixing window.
+        """
+        sc = self.schedule_config
+        t0 = sc.curve_year_fraction(scenario_date, p_start)
+        if leg is not None and leg.fixing_tenor_months is not None:
+            fix_end = adjust(
+                add_months(p_start, leg.fixing_tenor_months),
+                sc.cal,
+                leg.forward_business_convention or "ModifiedFollowing",
+            )
+            return curve.forward_rate(
+                t0,
+                sc.curve_year_fraction(scenario_date, fix_end),
+                tau=sc.year_fraction(p_start, fix_end),
+            )
+        return curve.forward_rate(t0, sc.curve_year_fraction(scenario_date, p_end))
 
     def compute_fixings(
         self,
@@ -133,36 +181,19 @@ class IRSwap(Instrument):
     ) -> Dict[Tuple[str, dt.date], np.ndarray]:
         """Forward rates for resets from an earlier scenario's curve
         (ir_swap.py:179-233)."""
-        fixings: Dict[Tuple[str, dt.date], np.ndarray] = {}
-        sc = self.schedule_config
-        leg_by_curve = {
+        leg_of = {
             leg.curve_name: leg
-            for leg in (self.receive_leg, self.pay_leg)
-            if leg.leg_type == LegType.FLOATING and leg.curve_name
+            for _, leg in self._floating()
+            if leg.curve_name
         }
-        from .schedule import add_months, adjust
-
+        out: Dict[Tuple[str, dt.date], np.ndarray] = {}
         for _reset_date, curve_name, p_start, p_end in resets:
-            fwd_slice: CurveSlice = time_slice[curve_name]
-            fwd_curve = YieldCurve(
-                year_fracs=fwd_slice.tenors, rates=fwd_slice.values
+            out[(curve_name, p_start)] = self._forward_for_reset(
+                _pathwise_curve(time_slice[curve_name]),
+                leg_of.get(curve_name),
+                scenario_date, p_start, p_end,
             )
-            t_start = sc.curve_year_fraction(scenario_date, p_start)
-            leg = leg_by_curve.get(curve_name)
-            if leg is not None and leg.fixing_tenor_months is not None:
-                fix_end = adjust(
-                    add_months(p_start, leg.fixing_tenor_months),
-                    sc.cal,
-                    leg.forward_business_convention or "ModifiedFollowing",
-                )
-                t_end = sc.curve_year_fraction(scenario_date, fix_end)
-                fwd_tau = sc.year_fraction(p_start, fix_end)
-                rate = fwd_curve.forward_rate(t_start, t_end, tau=fwd_tau)
-            else:
-                t_end = sc.curve_year_fraction(scenario_date, p_end)
-                rate = fwd_curve.forward_rate(t_start, t_end)
-            fixings[(curve_name, p_start)] = rate
-        return fixings
+        return out
 
     # ------------------------------------------------------------------
     # pricing (ir_swap.py:236-279)
@@ -177,26 +208,28 @@ class IRSwap(Instrument):
     ) -> np.ndarray:
         disc_slice: CurveSlice = market_state[self.discount_curve_name]
         n_paths = disc_slice.values.shape[0]
-
         if val_date > self._effective_maturity:
             return np.zeros(n_paths)
 
-        discount_curve = YieldCurve(
-            year_fracs=disc_slice.tenors, rates=disc_slice.values
+        def one_leg(schedule, leg):
+            return leg_pv(
+                schedule,
+                leg,
+                notional=self.notional,
+                val_date=val_date,
+                market_state=market_state,
+                discount_curve=_pathwise_curve(disc_slice),
+                n_paths=n_paths,
+                schedule_config=self.schedule_config,
+                fixings=fixings,
+                # due-today flows count on the terminal date so the final
+                # coupon is not dropped (RiskFlow behaviour)
+                include_on_val_date=(
+                    self.include_sim_date_cashflows
+                    or val_date == self._effective_maturity
+                ),
+            )
+
+        return one_leg(self.receive_schedule, self.receive_leg) - one_leg(
+            self.pay_schedule, self.pay_leg
         )
-        include_on_date = (
-            self.include_sim_date_cashflows or val_date == self._effective_maturity
-        )
-        common = dict(
-            notional=self.notional,
-            val_date=val_date,
-            market_state=market_state,
-            discount_curve=discount_curve,
-            n_paths=n_paths,
-            schedule_config=self.schedule_config,
-            fixings=fixings,
-            include_on_val_date=include_on_date,
-        )
-        rec_pv = leg_pv(self.receive_schedule, self.receive_leg, **common)
-        pay_pv = leg_pv(self.pay_schedule, self.pay_leg, **common)
-        return rec_pv - pay_pv
