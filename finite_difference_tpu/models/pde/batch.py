@@ -409,6 +409,80 @@ def american_batch_kernel(
     return out
 
 
+def _run_batch_driver(
+    kernel,
+    batch: BarrierTradeBatch,
+    n_nodes: int,
+    dv_sigma: float,
+    with_greeks: bool,
+    mesh,
+    axis_name: str,
+    max_chunk: Optional[int],
+) -> Dict[str, np.ndarray]:
+    """Shared driver: shard over a mesh, or chunk big single-chip batches.
+
+    The per-step working set crosses an HBM cliff above roughly
+    B=1024 x N=1024 f32 on one chip (throughput collapses several-fold —
+    see docs/PERF_NOTES.md). Chunking at ``max_chunk`` trades keeps every
+    launch below the cliff while reusing one compiled kernel; the final
+    short chunk is padded with its first trade so a single compiled shape
+    serves all chunks.
+    """
+    fn = jax.jit(kernel, static_argnames=("n_nodes", "with_greeks"))
+    kw = dict(n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks)
+    B = batch.batch_size
+
+    def to_device(x):
+        # Sweep batches share one schedule across all trades; the (B, n_steps)
+        # schedule arrays then dominate host->device transfer. Ship one row
+        # and expand on device (an HBM write, not a PCIe/tunnel transfer).
+        if isinstance(x, jax.Array):
+            return x  # already device-resident — don't round-trip to host
+        x = np.asarray(x)
+        if (
+            x.ndim >= 1
+            and x.shape[0] == B
+            and B > 1
+            and x.size > B
+            and (x == x[:1]).all()
+        ):
+            one = jnp.asarray(x[:1])
+            return jnp.repeat(one, B, axis=0)
+        return jnp.asarray(x)
+
+    dev = jax.tree.map(to_device, batch)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(axis_name))
+        dev = jax.tree.map(lambda x: jax.device_put(x, shard), dev)
+        out = fn(dev, **kw)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    if max_chunk is None or B <= max_chunk:
+        out = fn(dev, **kw)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    pieces = []
+    for start in range(0, B, max_chunk):
+        stop = min(start + max_chunk, B)
+        piece = jax.tree.map(lambda x: x[start:stop], dev)
+        if stop - start < max_chunk:
+            pad = max_chunk - (stop - start)
+            piece = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
+                ),
+                piece,
+            )
+        pieces.append(fn(piece, **kw))
+    return {
+        k: np.concatenate([np.asarray(p[k]) for p in pieces])[:B]
+        for k in pieces[0]
+    }
+
+
 def price_american_batch(
     batch: BarrierTradeBatch,
     n_nodes: int,
@@ -416,17 +490,18 @@ def price_american_batch(
     with_greeks: bool = True,
     mesh=None,
     axis_name: str = "data",
+    max_chunk: Optional[int] = 1024,
 ) -> Dict[str, np.ndarray]:
-    """Batched American sweep; optionally shard the trade axis over a mesh."""
-    dev = jax.tree.map(jnp.asarray, batch)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    """Batched American sweep; optionally shard the trade axis over a mesh.
 
-        shard = NamedSharding(mesh, P(axis_name))
-        dev = jax.tree.map(lambda x: jax.device_put(x, shard), dev)
-    fn = jax.jit(american_batch_kernel, static_argnames=("n_nodes", "with_greeks"))
-    out = fn(dev, n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks)
-    return {k: np.asarray(v) for k, v in out.items()}
+    Without a mesh, batches larger than ``max_chunk`` run in chunks to stay
+    below the single-chip working-set cliff (pass ``max_chunk=None`` to
+    force one launch).
+    """
+    return _run_batch_driver(
+        american_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
+        mesh, axis_name, max_chunk,
+    )
 
 
 def price_barrier_batch(
@@ -436,21 +511,17 @@ def price_barrier_batch(
     with_greeks: bool = True,
     mesh=None,
     axis_name: str = "data",
+    max_chunk: Optional[int] = 1024,
 ) -> Dict[str, np.ndarray]:
     """Price a trade batch; optionally shard the batch axis over ``mesh``.
 
     With a mesh, arrays are placed with NamedSharding over ``axis_name`` and
     XLA partitions the whole program with zero collectives (embarrassingly
-    parallel over trades).
+    parallel over trades). Without a mesh, batches larger than ``max_chunk``
+    run in chunks of that size to stay below the single-chip working-set
+    cliff (pass ``max_chunk=None`` to force one launch).
     """
-    dev = jax.tree.map(jnp.asarray, batch)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        shard = NamedSharding(mesh, P(axis_name))
-        dev = jax.tree.map(lambda x: jax.device_put(x, shard), dev)
-    fn = jax.jit(
-        price_batch_kernel, static_argnames=("n_nodes", "with_greeks")
+    return _run_batch_driver(
+        price_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
+        mesh, axis_name, max_chunk,
     )
-    out = fn(dev, n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks)
-    return {k: np.asarray(val) for k, val in out.items()}

@@ -169,3 +169,52 @@ class TestAmericanBatch:
         )
         out = price_american_batch(tb, n_nodes=201, with_greeks=False)
         np.testing.assert_allclose(out["price"][0], want, rtol=1e-9)
+
+
+class TestChunkedDriver:
+    """Chunked execution (working-set cliff mitigation) is bit-identical."""
+
+    def test_chunked_equals_single_launch(self):
+        rng = np.random.default_rng(1)
+        B = 37  # deliberately not divisible by the chunk size
+        t = 31.0 / 365.0
+        tb = build_trade_batch(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[t] * B,
+            r=[0.0705] * B,
+            b=[0.0705] * B,
+            is_call=[True] * B,
+            n_time_steps=64,
+            monitor_times=[[t * (k + 1) / 8.0 for k in range(8)]] * B,
+            upper=[260.0] * B,
+            num_space_nodes=255,
+        )
+        whole = price_barrier_batch(tb, n_nodes=256, max_chunk=None)
+        chunked = price_barrier_batch(tb, n_nodes=256, max_chunk=16)
+        for k in whole:
+            np.testing.assert_array_equal(whole[k], chunked[k], err_msg=k)
+
+    def test_american_chunked_equals_single_launch(self):
+        from finite_difference_tpu.models.pde.batch import price_american_batch
+
+        rng = np.random.default_rng(2)
+        B = 20
+        t = 0.25
+        tb = build_trade_batch(
+            spots=list(rng.uniform(150.0, 200.0, B)),
+            strikes=[170.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[t] * B,
+            r=[0.0705] * B,
+            b=[0.0705] * B,
+            is_call=[False] * B,
+            n_time_steps=64,
+            monitor_times=[[]] * B,
+            num_space_nodes=255,
+        )
+        whole = price_american_batch(tb, n_nodes=256, max_chunk=None)
+        chunked = price_american_batch(tb, n_nodes=256, max_chunk=8)
+        for k in whole:
+            np.testing.assert_array_equal(whole[k], chunked[k], err_msg=k)
