@@ -418,6 +418,7 @@ def _run_batch_driver(
     mesh,
     axis_name: str,
     max_chunk: Optional[int],
+    dtype=None,
 ) -> Dict[str, np.ndarray]:
     """Shared driver: shard over a mesh, or chunk big single-chip batches.
 
@@ -427,7 +428,22 @@ def _run_batch_driver(
     launch below the cliff while reusing one compiled kernel; the final
     short chunk is padded with its first trade so a single compiled shape
     serves all chunks.
+
+    ``dtype`` selects the precision ladder (measured, docs/PERF_NOTES.md):
+    f32 ~10k grids/s/chip at ~4e-4 rel vs the f64 oracle; f64 (XLA
+    emulation on TPU) ~1.4k grids/s at ~3e-11 — still above the 1250
+    grids/s/chip v5p-8 baseline share when ≤1e-6 accuracy is required.
     """
+    if dtype is not None:
+        dtype = jnp.dtype(dtype)
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "dtype=float64 requires jax.config.update('jax_enable_x64', True) "
+                "before any jax computation."
+            )
+        batch = batch.astype(np.dtype(dtype))
+        if max_chunk is not None and dtype.itemsize > 4:
+            max_chunk = max(1, max_chunk // 2)  # same working-set budget
     fn = jax.jit(kernel, static_argnames=("n_nodes", "with_greeks"))
     kw = dict(n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks)
     B = batch.batch_size
@@ -491,16 +507,18 @@ def price_american_batch(
     mesh=None,
     axis_name: str = "data",
     max_chunk: Optional[int] = 1024,
+    dtype=None,
 ) -> Dict[str, np.ndarray]:
     """Batched American sweep; optionally shard the trade axis over a mesh.
 
     Without a mesh, batches larger than ``max_chunk`` run in chunks to stay
     below the single-chip working-set cliff (pass ``max_chunk=None`` to
-    force one launch).
+    force one launch). ``dtype=jnp.float64`` selects the high-accuracy
+    (emulated on TPU) precision rung.
     """
     return _run_batch_driver(
         american_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
-        mesh, axis_name, max_chunk,
+        mesh, axis_name, max_chunk, dtype,
     )
 
 
@@ -512,6 +530,7 @@ def price_barrier_batch(
     mesh=None,
     axis_name: str = "data",
     max_chunk: Optional[int] = 1024,
+    dtype=None,
 ) -> Dict[str, np.ndarray]:
     """Price a trade batch; optionally shard the batch axis over ``mesh``.
 
@@ -520,8 +539,10 @@ def price_barrier_batch(
     parallel over trades). Without a mesh, batches larger than ``max_chunk``
     run in chunks of that size to stay below the single-chip working-set
     cliff (pass ``max_chunk=None`` to force one launch).
+    ``dtype=jnp.float64`` selects the high-accuracy (emulated on TPU)
+    precision rung — ~3e-11 vs the CPU oracle at ~1.4k grids/s/chip.
     """
     return _run_batch_driver(
         price_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
-        mesh, axis_name, max_chunk,
+        mesh, axis_name, max_chunk, dtype,
     )

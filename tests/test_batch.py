@@ -218,3 +218,31 @@ class TestChunkedDriver:
         chunked = price_american_batch(tb, n_nodes=256, max_chunk=8)
         for k in whole:
             np.testing.assert_array_equal(whole[k], chunked[k], err_msg=k)
+
+    def test_dtype_ladder(self):
+        """driver dtype= selects the precision rung; f64 equals default
+        x64 path, f32 tracks it to f32 accumulation error."""
+        rng = np.random.default_rng(3)
+        B = 8
+        t = 31.0 / 365.0
+        tb = build_trade_batch(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[t] * B,
+            r=[0.0705] * B,
+            b=[0.0705] * B,
+            is_call=[True] * B,
+            n_time_steps=64,
+            monitor_times=[[t * (k + 1) / 8.0 for k in range(8)]] * B,
+            upper=[260.0] * B,
+            num_space_nodes=255,
+        )
+        base = price_barrier_batch(tb, n_nodes=256, with_greeks=False)
+        p64 = price_barrier_batch(tb, n_nodes=256, with_greeks=False, dtype="float64")
+        p32 = price_barrier_batch(tb, n_nodes=256, with_greeks=False, dtype="float32")
+        np.testing.assert_allclose(p64["price"], base["price"], rtol=1e-14)
+        assert p32["price"].dtype == np.float32
+        np.testing.assert_allclose(
+            p32["price"].astype(np.float64), p64["price"], rtol=5e-4
+        )
