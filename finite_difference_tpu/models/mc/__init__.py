@@ -2,8 +2,11 @@ from .rng import SobolNormalRng, threefry_normals, norm_icdf
 from .gbm import GBMParams, GBMSimulator
 from .clewlow_strickland import CSParams, CSForwardCurveSimulator
 from .discrete_barrier import MCConfig, price_discrete_barrier_mc
+from .hw1f import HW1FCurveSimulator, HW1FParams
 
 __all__ = [
+    "HW1FCurveSimulator",
+    "HW1FParams",
     "SobolNormalRng",
     "threefry_normals",
     "norm_icdf",
