@@ -32,6 +32,11 @@ from .simulation import (
     run_simulation_from_json,
     run_multi_factor_simulation_from_json,
 )
+from .joint_cube import (
+    GBMScalarFactor,
+    HW1FCurveFactor,
+    simulate_joint_cube,
+)
 from .diagnostics import (
     correlation_recovery,
     cs_log_variance,
@@ -82,4 +87,7 @@ __all__ = [
     "parameter_recovery",
     "run_full_diagnostics",
     "tail_analysis",
+    "GBMScalarFactor",
+    "HW1FCurveFactor",
+    "simulate_joint_cube",
 ]

@@ -148,3 +148,76 @@ class TestHW1FExposureLoop:
         times_days = np.array([(d - val).days for d in cube.dates], float)
         cva = calc.cva_from_ee(times_days, ee)
         assert cva > 0
+
+
+class TestJointCube:
+    def _specs(self):
+        from finite_difference_tpu.models.mc.gbm import GBMParams
+        from finite_difference_tpu.scenarios.joint_cube import (
+            GBMScalarFactor,
+            HW1FCurveFactor,
+        )
+
+        sim = _sim(alpha=0.15, sigma=0.01)
+        return {
+            "ZAR-SWAP": HW1FCurveFactor(simulator=sim, tenors=TENORS0),
+            "FX.USDZAR": GBMScalarFactor(params=GBMParams(mu=0.0, sigma=0.15),
+                                         s0=18.0),
+        }
+
+    def test_shapes_and_t0_slices(self):
+        from finite_difference_tpu.scenarios.joint_cube import simulate_joint_cube
+
+        val = dt.date(2025, 7, 28)
+        cube = simulate_joint_cube(
+            val, [30, 60, 90], self._specs(), n_paths=64, seed=5
+        )
+        assert cube.n_times == 4 and cube.n_paths == 64
+        s0 = cube.get_time_slice(0)
+        np.testing.assert_allclose(s0["FX.USDZAR"].values, 18.0)
+        np.testing.assert_allclose(
+            s0["ZAR-SWAP"].values, np.broadcast_to(RATES0, (64, RATES0.size))
+        )
+
+    def test_cross_factor_correlation_recovered(self):
+        from finite_difference_tpu.scenarios.joint_cube import simulate_joint_cube
+
+        val = dt.date(2025, 7, 28)
+        rho = 0.7
+        cube = simulate_joint_cube(
+            val, list(range(7, 371, 7)), self._specs(), n_paths=20_000,
+            correlations={("ZAR-SWAP", "FX.USDZAR"): rho}, seed=9,
+        )
+        fx = cube.factor_array("FX.USDZAR")          # (n_times, n_paths)
+        rates = cube.factor_array("ZAR-SWAP")[:, :, 0]  # short tenor
+        d_fx = np.diff(np.log(fx), axis=0)
+        d_r = np.diff(rates, axis=0)
+        cors = [np.corrcoef(d_fx[t], d_r[t])[0, 1] for t in range(d_fx.shape[0])]
+        assert abs(np.mean(cors) - rho) < 0.03
+
+    def test_mixed_cube_through_exposure_engine(self):
+        from finite_difference_tpu.instruments import IRSwap, LegType, SwapLeg
+        from finite_difference_tpu.portfolio import NettingSet, Trade
+        from finite_difference_tpu.scenarios.joint_cube import simulate_joint_cube
+        from finite_difference_tpu.xva import ExposureEngine
+
+        val = dt.date(2025, 7, 28)
+        cube = simulate_joint_cube(
+            val, [30 * i for i in range(1, 13)] + [400], self._specs(),
+            n_paths=128, correlations={("ZAR-SWAP", "FX.USDZAR"): -0.3},
+            seed=3,
+        )
+        swap = IRSwap(
+            name="s", effective_date=val, maturity_date=dt.date(2026, 7, 28),
+            notional=1_000_000,
+            receive_leg=SwapLeg(LegType.FLOATING, frequency=3,
+                                curve_name="ZAR-SWAP"),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=3, fixed_rate=0.073),
+            discount_curve_name="ZAR-SWAP",
+        )
+        ns = NettingSet(
+            "NS", [Trade(swap, "T1", currency="USD",
+                         fx_rate_factor="FX.USDZAR")]
+        )
+        prof = ExposureEngine(cube).compute(ns)
+        assert prof.ee().max() > 0
