@@ -112,3 +112,42 @@ def run_all_american_scenarios(
     if output_csv_path:
         results_df.to_csv(output_csv_path, index=False)
     return results_df
+
+
+def build_parser():
+    """CLI mirroring the reference's run_american_scenarios.py __main__."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m finite_difference_tpu.runners.american_scenarios",
+        description="American scenario sweep: config CSV in, FA-diff CSV out.",
+    )
+    p.add_argument("config_csv")
+    p.add_argument("-o", "--output-csv", default=None)
+    p.add_argument("--valuation", default="2025-07-28")
+    p.add_argument("--maturity", default="2025-08-28")
+    p.add_argument("--opt-type", default="put", choices=["call", "put"])
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    import datetime as _dt
+
+    args = build_parser().parse_args(argv)
+    base = dict(
+        valuation=_dt.date.fromisoformat(args.valuation),
+        maturity=_dt.date.fromisoformat(args.maturity),
+        opt_type=args.opt_type,
+    )
+    df = run_all_american_scenarios(
+        args.config_csv, args.output_csv, base, verbose=args.verbose
+    )
+    cols = [c for c in df.columns
+            if c in ("scenario_name", "model_price", "FA_price", "price_pct_diff")]
+    print(df[cols].to_string(index=False))
+    return df
+
+
+if __name__ == "__main__":
+    main()

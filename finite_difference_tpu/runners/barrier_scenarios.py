@@ -286,3 +286,58 @@ def run_all_scenarios_batched(
     if output_csv_path:
         results_df.to_csv(output_csv_path, index=False)
     return results_df
+
+
+def build_parser():
+    """CLI mirroring the reference's run_config_scenarios.py __main__
+    defaults (val 2025-07-28, 1-month tenor, daily ZA monitor dates)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m finite_difference_tpu.runners.barrier_scenarios",
+        description="Barrier scenario sweep: config CSV in, FA-diff CSV out.",
+    )
+    p.add_argument("config_csv", help="scenario config CSV")
+    p.add_argument("-o", "--output-csv", default=None)
+    p.add_argument("--valuation", default="2025-07-28", help="ISO date")
+    p.add_argument("--maturity", default="2025-08-28", help="ISO date")
+    p.add_argument("--opt-type", default="call", choices=["call", "put"])
+    p.add_argument("--batched", action="store_true",
+                   help="price the whole table as one device batch")
+    p.add_argument("--num-space-nodes", type=int, default=None,
+                   help="batched path grid override")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    import datetime as _dt
+
+    from ..utils.calendars import build_monitoring_dates
+
+    args = build_parser().parse_args(argv)
+    val = _dt.date.fromisoformat(args.valuation)
+    mat = _dt.date.fromisoformat(args.maturity)
+    base = dict(
+        valuation=val,
+        maturity=mat,
+        monitor_dates=build_monitoring_dates(val, mat, "daily"),
+        opt_type=args.opt_type,
+    )
+    if args.batched:
+        df = run_all_scenarios_batched(
+            args.config_csv, args.output_csv, base,
+            num_space_nodes=args.num_space_nodes,
+        )
+    else:
+        df = run_all_scenarios(
+            args.config_csv, args.output_csv, base, verbose=args.verbose
+        )
+    cols = [c for c in df.columns
+            if c in ("scenario_name", "model_price", "FA_price", "price_pct_diff")]
+    print(df[cols].to_string(index=False))
+    return df
+
+
+if __name__ == "__main__":
+    main()

@@ -233,3 +233,27 @@ class TestReferenceModelParity:
         assert df.set_index("scenario_name").loc["uo_call_H260", "price_pct_diff"] == (
             pytest.approx(0.1549, abs=0.01)
         )
+
+
+class TestRunnerCLIs:
+    def test_barrier_cli_writes_csv(self, tmp_path):
+        from finite_difference_tpu.runners.barrier_scenarios import main
+
+        out = tmp_path / "out.csv"
+        df = main([_barrier_config(tmp_path), "-o", str(out)])
+        assert out.exists()
+        assert "model_price" in df.columns and len(df) >= 1
+
+    def test_american_cli(self, tmp_path):
+        import pandas as pd
+
+        from finite_difference_tpu.runners.american_scenarios import main
+
+        cfg = tmp_path / "amer.csv"
+        pd.DataFrame(
+            [{"scenario_name": "a1", "S0": 176.39, "K": 170.0,
+              "sigma": 0.296783, "rate": 0.070538, "FA_price": 2.9847,
+              "FA_delta": None, "FA_gamma": None, "FA_vega": None}]
+        ).to_csv(cfg, index=False)
+        df = main([str(cfg), "--opt-type", "put"])
+        assert np.isfinite(df["model_price"]).all()
