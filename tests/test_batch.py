@@ -246,3 +246,44 @@ class TestChunkedDriver:
         np.testing.assert_allclose(
             p32["price"].astype(np.float64), p64["price"], rtol=5e-4
         )
+
+
+class TestBatchedDoubleBarrier:
+    def test_double_and_lower_match_scalar_pricer(self):
+        """down-and-out and double-out batched trades reproduce the scalar
+        production pricer (same grid)."""
+        n_time = 200
+        monitors = build_monitoring_dates(VAL, MAT, "daily")
+        curve = flat_naca_dataframe(0.073085649282)
+        cases = [
+            dict(barrier_type="down-and-out", lower_barrier=180.0),
+            dict(barrier_type="double-out", lower_barrier=180.0,
+                 upper_barrier=300.0),
+        ]
+        pricers = [
+            DiscreteBarrierFDMPricer(
+                spot=229.74, strike=190.0, valuation_date=VAL,
+                maturity_date=MAT, sigma=0.2879, option_type="call",
+                monitor_dates=monitors, discount_curve=curve,
+                underlying_spot_days=0, num_time_steps=n_time, **c,
+            )
+            for c in cases
+        ]
+        n_sp = pricers[0].num_space_nodes
+        tb = build_trade_batch(
+            spots=[p.spot for p in pricers],
+            strikes=[p.strike for p in pricers],
+            sigmas=[p.sigma for p in pricers],
+            t_expiry=[p.time_to_expiry for p in pricers],
+            r=[p.discount_rate_nacc for p in pricers],
+            b=[p.carry_rate_nacc for p in pricers],
+            is_call=[True] * 2,
+            n_time_steps=n_time,
+            monitor_times=[p.monitor_times for p in pricers],
+            lower=[p.lower_barrier for p in pricers],
+            upper=[getattr(p, "upper_barrier", None) for p in pricers],
+            num_space_nodes=n_sp,
+        )
+        out = price_barrier_batch(tb, n_nodes=n_sp + 1, with_greeks=False)
+        for i, p in enumerate(pricers):
+            assert out["price"][i] == pytest.approx(p.price_log2(), rel=1e-9), i
