@@ -111,3 +111,89 @@ def test_xlsx_model_block_golden(curve, name, opt, btype, K, sigma, lower, upper
     else:
         assert price == pytest.approx(p, abs=1e-4), "price"
         assert greeks["delta"] == pytest.approx(d, abs=1e-3), "delta"
+
+
+# ---------------------------------------------------------------------------
+# Sheets 5/6 ("Anton" / "Anton-Put"): barrier-ladder model blocks, parsed
+# straight from the committed xlsx at collection time. Sheet5 rows 25-28
+# duplicate sheet1 scenarios and are skipped; sheet6's FA columns for rows
+# 25-28 are the documented KO/KI-swap pathology, but the MODEL values are
+# genuine put outputs, so every row still pins our pricer.
+# ---------------------------------------------------------------------------
+
+XLSX = "/root/reference/Scneario_results_summary.xlsx"
+
+
+def _parse_anton_rows():
+    import os
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    if not os.path.exists(XLSX):
+        return []
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    z = zipfile.ZipFile(XLSX)
+    ss = []
+    root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+    for si in root.findall(f"{{{M}}}si"):
+        ss.append("".join(t.text or "" for t in si.iter(f"{{{M}}}t")))
+
+    rows = []
+    for sheet, opt, skip_names in (
+        ("sheet5", "call", {"scenario_1", "scenario_2", "scenario_3",
+                            "scenario_4"}),
+        ("sheet6", "put", set()),
+    ):
+        root = ET.fromstring(z.read(f"xl/worksheets/{sheet}.xml"))
+        for row in root.iter(f"{{{M}}}row"):
+            cells = {}
+            for c in row.iter(f"{{{M}}}c"):
+                ref = "".join(ch for ch in c.attrib["r"] if ch.isalpha())
+                v = c.find(f"{{{M}}}v")
+                if v is None or v.text is None:
+                    continue
+                val = ss[int(v.text)] if c.attrib.get("t") == "s" else v.text
+                cells[ref] = val
+            if int(row.attrib["r"]) < 25 or "I" not in cells:
+                continue
+            name = cells.get("A", "")
+            if not name or name in skip_names or name == "scenario_name":
+                continue
+            rows.append((
+                f"{sheet}-{name}", opt, cells["F"],
+                float(cells["C"]), float(cells["D"]),
+                float(cells["H"]) if "H" in cells else None,
+                float(cells["G"]) if "G" in cells else None,
+                float(cells["I"]), float(cells["M"]),
+                float(cells["Q"]), float(cells["U"]),
+            ))
+    return rows
+
+
+ANTON = _parse_anton_rows()
+
+
+@pytest.mark.parametrize(
+    "name,opt,btype,K,sigma,lower,upper,p,d,g,v", ANTON,
+    ids=[row[0] for row in ANTON],
+)
+def test_xlsx_anton_ladder_golden(curve, name, opt, btype, K, sigma,
+                                  lower, upper, p, d, g, v):
+    pricer = DiscreteBarrierFDMPricer(
+        spot=229.74, strike=K, valuation_date=VAL, maturity_date=MAT,
+        sigma=sigma, option_type=opt, barrier_type=btype,
+        lower_barrier=lower, upper_barrier=upper, monitor_dates=MONITORS,
+        discount_curve=curve, forward_curve=curve,
+        underlying_spot_days=0, option_days=0, option_settlement_days=0,
+        num_space_nodes=500, num_time_steps=500,
+    )
+    price = pricer.price_log2()
+    greeks = pricer.greeks_log2()
+    if abs(p) > 1e-3:
+        assert price == pytest.approx(p, rel=5e-4), "price"
+        assert greeks["delta"] == pytest.approx(d, rel=5e-3, abs=1e-5), "delta"
+        assert greeks["gamma"] == pytest.approx(g, rel=5e-3, abs=1e-5), "gamma"
+        assert greeks["vega"] == pytest.approx(v, rel=5e-3, abs=1e-5), "vega"
+    else:
+        assert price == pytest.approx(p, abs=1e-4), "price"
+        assert greeks["delta"] == pytest.approx(d, abs=1e-3), "delta"
