@@ -183,7 +183,7 @@ class ExposureEngine:
 
         if netting_set.csa is not None:
             collateral = self._simulate_collateral(
-                mtm_paths, scenario_dates, netting_set.csa
+                mtm_paths, scenario_dates, netting_set.csa, netting_set
             )
         else:
             collateral = np.zeros((n_paths, n_times))
@@ -453,7 +453,7 @@ class ExposureEngine:
     # ------------------------------------------------------------------
 
     def _simulate_collateral(
-        self, mtm_paths: np.ndarray, dates: List[date], csa
+        self, mtm_paths: np.ndarray, dates: List[date], csa, netting_set=None
     ) -> np.ndarray:
         """Pathwise collateral with MPOR lookback and two-sided VM (:593-633)."""
         n_paths, n_times = mtm_paths.shape
@@ -468,20 +468,66 @@ class ExposureEngine:
             lagged_mtm = mtm_paths[:, lag_idx]
             vm_recv = np.maximum(lagged_mtm - csa.vm_threshold, 0.0)
             vm_post = np.maximum(-lagged_mtm - csa.vm_threshold_post, 0.0)
-            collateral[:, t_idx] = vm_recv - vm_post + self._compute_im(n_paths, csa)
+            collateral[:, t_idx] = vm_recv - vm_post + self._compute_im(
+                n_paths, csa, sim_date, netting_set
+            )
 
         return collateral
 
-    def _compute_im(self, n_paths: int, csa) -> np.ndarray:
-        """Pathwise IM for one time step (:635-648)."""
+    @staticmethod
+    def _trade_asset_class(instrument) -> str:
+        """Explicit ``asset_class`` attribute wins; else infer from type."""
+        explicit = getattr(instrument, "asset_class", None)
+        if explicit:
+            return str(explicit)
+        name = type(instrument).__name__.lower()
+        if "swap" in name or "bond" in name or "fra" in name:
+            return "interest_rate"
+        if "equity" in name or "trs" in name:
+            return "equity"
+        if "commodity" in name:
+            return "commodity"
+        if "fx" in name:
+            return "fx"
+        return "other"
+
+    def _compute_im(
+        self, n_paths: int, csa, sim_date: Optional[date] = None,
+        netting_set=None,
+    ) -> np.ndarray:
+        """Pathwise IM for one time step (:635-648).
+
+        SCHEDULE goes beyond the reference (which raises NotImplementedError
+        there): gross standardised-schedule IM — sum over live trades of
+        |notional| x grid pct(asset class, residual maturity), NGR fixed at
+        1 (conservative; see portfolio.csa.IM_SCHEDULE_GRID).
+        """
         if csa.im_method is InitialMarginMethod.NONE:
             return np.zeros(n_paths)
         if csa.im_method is InitialMarginMethod.FIXED:
             return np.full(n_paths, csa.im_amount)
         if csa.im_method is InitialMarginMethod.SCHEDULE:
-            raise NotImplementedError(
-                "Schedule-based IM requires notional and regulatory factor data."
-            )
+            if netting_set is None or sim_date is None:
+                raise ValueError(
+                    "Schedule IM needs the netting set and simulation date."
+                )
+            from ..portfolio.csa import schedule_im_factor
+
+            im = 0.0
+            for trade in netting_set.trades:
+                inst = trade.instrument
+                end = getattr(inst, "effective_maturity", None) or getattr(
+                    inst, "maturity_date", None
+                )
+                if end is None or end <= sim_date:
+                    continue
+                residual = (end - sim_date).days / 365.25
+                notional = abs(float(getattr(inst, "notional", 0.0)))
+                im += (
+                    abs(trade.notional_scale) * notional
+                    * schedule_im_factor(self._trade_asset_class(inst), residual)
+                )
+            return np.full(n_paths, im)
         if csa.im_method is InitialMarginMethod.SIMM:
             raise NotImplementedError("SIMM is not yet implemented.")
         raise ValueError(f"Unknown IM method: {csa.im_method}")

@@ -387,3 +387,44 @@ class TestIRSwap:
         start = swap.receive_schedule[0][0]
         assert swap.get_ois_initial_cf("OIS", VAL - dt.timedelta(days=90)) == 1.015
         assert swap.get_ois_initial_cf("OIS", start) in (1.015, None)
+
+
+class TestScheduleIM:
+    def test_schedule_im_grid(self):
+        from finite_difference_tpu.portfolio.csa import schedule_im_factor
+
+        assert schedule_im_factor("interest_rate", 1.0) == 0.01
+        assert schedule_im_factor("interest_rate", 3.0) == 0.02
+        assert schedule_im_factor("interest_rate", 10.0) == 0.04
+        assert schedule_im_factor("equity", 1.0) == 0.15
+        assert schedule_im_factor("unknown-thing", 1.0) == 0.15
+
+    def test_schedule_im_in_collateral(self):
+        """Schedule IM = |notional| x bucket pct while the trade is live,
+        and rolls down the maturity buckets / off at maturity."""
+        cube = _flat_cube(n_times=6)  # 30-day steps
+        inst = _ConstInstrument("a", 100.0, cube.dates[2])
+        inst.notional = 1_000_000  # residual < 2y -> 1% IR bucket... but
+        inst.asset_class = "equity"  # explicit attribute wins -> 15%
+        csa = CSA(mpor_days=0, im_method=InitialMarginMethod.SCHEDULE)
+        ns = NettingSet("NS", [Trade(inst, "T1")], csa=csa)
+        prof = ExposureEngine(cube).compute(ns)
+        # collateral = VM (=mtm above 0 threshold) + IM while trade live
+        im_live = 0.15 * 1_000_000
+        np.testing.assert_allclose(prof.collateral[:, 0], 100.0 + im_live)
+        # after maturity the trade contributes no IM and no mtm
+        np.testing.assert_allclose(prof.collateral[:, -1], 0.0)
+
+    def test_ir_bucket_rolldown(self):
+        from finite_difference_tpu.portfolio.csa import schedule_im_factor
+
+        cube = _flat_cube(n_times=6)
+        inst = _ConstInstrument("swap-like", 0.0, cube.dates[-1])
+        inst.notional = 1_000_000
+        inst.asset_class = "interest_rate"
+        csa = CSA(mpor_days=0, im_method=InitialMarginMethod.SCHEDULE)
+        ns = NettingSet("NS", [Trade(inst, "T1")], csa=csa)
+        prof = ExposureEngine(cube).compute(ns)
+        # residual maturity < 2y on every sim date here -> 1% bucket
+        assert schedule_im_factor("interest_rate", 0.4) == 0.01
+        np.testing.assert_allclose(prof.collateral[:, 0], 0.01 * 1_000_000)
