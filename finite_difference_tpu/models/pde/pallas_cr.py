@@ -344,6 +344,10 @@ def cn_barrier_solve_pallas_cr(
     v = pl.pallas_call(
         kernel,
         grid=(B // TB,),
+        # independent trade blocks: parallel across TensorCores on megacore
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         in_specs=[
             trade_spec(), trade_spec(), trade_spec(), trade_spec(),
             set_spec(), set_spec(), set_spec(),

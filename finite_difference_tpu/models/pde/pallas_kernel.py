@@ -274,6 +274,11 @@ def cn_barrier_solve_pallas(
     v = pl.pallas_call(
         kernel,
         grid=(B // TB,),
+        # trade blocks are independent: on megacore parts (v5p+) the grid
+        # dimension splits across TensorCores; no-op on single-core v5e
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         in_specs=[
             trade_spec(),  # strike
             trade_spec(),  # is_call
