@@ -105,6 +105,7 @@ def main() -> None:
         "iters": iters,
         "dtype": str(np.dtype(dtype)),
         "platform": "tpu" if on_tpu else "cpu",
+        "device_kind": jax.devices()[0].device_kind,
         "far_barrier_max_rel_err_vs_bs": rel_err,
     }
     print(json.dumps(result))
