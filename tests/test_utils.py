@@ -194,3 +194,27 @@ class TestCPITermStructure:
         assert ts.index_ratio(dt.date(2026, 7, 28), val) == pytest.approx(
             fut / base
         )
+
+
+class TestProfiling:
+    def test_throughput_harness(self):
+        import jax.numpy as jnp
+
+        from finite_difference_tpu.utils.profiling import throughput
+
+        res = throughput(lambda: jnp.ones(16) * 2.0, items_per_call=16,
+                         iters=3, warmup=1)
+        assert res["seconds_per_call"] > 0
+        assert res["items_per_sec"] > 0
+
+    def test_trace_context(self, tmp_path):
+        import jax.numpy as jnp
+
+        from finite_difference_tpu.utils.profiling import trace
+
+        logdir = str(tmp_path / "trace")
+        with trace(logdir) as d:
+            (jnp.arange(8) * 2).sum().block_until_ready()
+        assert d == logdir
+        import os
+        assert os.path.isdir(logdir) and os.listdir(logdir)
