@@ -546,3 +546,42 @@ def price_barrier_batch(
         price_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
         mesh, axis_name, max_chunk, dtype,
     )
+
+
+def price_american_batch_richardson(
+    *,
+    n_nodes: int,
+    n_time_steps: int,
+    n_time_steps_fine: Optional[int] = None,
+    dv_sigma: float = 0.0001,
+    with_greeks: bool = True,
+    mesh=None,
+    axis_name: str = "data",
+    max_chunk: Optional[int] = 1024,
+    dtype=None,
+    **build_kwargs,
+) -> Dict[str, np.ndarray]:
+    """Richardson-extrapolated batched American sweep.
+
+    Two batched solves at ``n_time_steps`` and (default) twice that,
+    combined as (4 P_fine - P_coarse)/3 per output — the batched twin of
+    the scalar pricer's ``price_log2`` (whose reference quirk of refining
+    to 2*num_space_nodes can be matched by passing ``n_time_steps_fine``).
+    For O(dt^2) CN this cancels the leading time-truncation term, so a
+    Richardson pair at (N, 2N) beats a flat run at ~4N steps for ~3/4 the
+    sequential work (see docs/PERF_NOTES.md "Speed-of-light check" — step
+    count is the binding cost on TPU).
+    """
+    fine = n_time_steps_fine or 2 * n_time_steps
+    common = dict(
+        n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks,
+        mesh=mesh, axis_name=axis_name, max_chunk=max_chunk, dtype=dtype,
+    )
+    out_c = price_american_batch(
+        build_american_batch(n_time_steps=n_time_steps, **build_kwargs),
+        **common,
+    )
+    out_f = price_american_batch(
+        build_american_batch(n_time_steps=fine, **build_kwargs), **common
+    )
+    return {k: (4.0 * out_f[k] - out_c[k]) / 3.0 for k in out_f}

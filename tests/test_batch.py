@@ -287,3 +287,59 @@ class TestBatchedDoubleBarrier:
         out = price_barrier_batch(tb, n_nodes=n_sp + 1, with_greeks=False)
         for i, p in enumerate(pricers):
             assert out["price"][i] == pytest.approx(p.price_log2(), rel=1e-9), i
+
+
+class TestAmericanRichardson:
+    def test_matches_scalar_price_log2(self):
+        """Batched Richardson = scalar price_log2 when the step convention
+        matches (fine = 2*num_space_nodes, the reference quirk)."""
+        from finite_difference_tpu.models.pde import AmericanFDMPricer
+        from finite_difference_tpu.models.pde.batch import (
+            price_american_batch_richardson,
+        )
+        from finite_difference_tpu.utils.curves import flat_curve
+
+        VAL, MAT = dt.date(2025, 7, 28), dt.date(2025, 8, 28)
+        curve = flat_curve(0.070538, VAL)
+        pr = AmericanFDMPricer(
+            spot=176.39, strike=170.0, valuation_date=VAL, maturity_date=MAT,
+            sigma=0.296783, option_type="put", discount_curve=curve,
+            num_space_nodes=200, num_time_steps=200,
+            snap_spot_to_grid=False, snap_strike_to_grid=False,
+        )
+        want = pr.price_log2()  # Richardson at (200, 2*200 nodes quirk)
+        out = price_american_batch_richardson(
+            n_nodes=201,
+            n_time_steps=200,
+            n_time_steps_fine=2 * 200,  # quirk: 2*num_space_nodes = 400
+            with_greeks=False,
+            spots=[176.39], strikes=[170.0], sigmas=[0.296783],
+            t_expiry=[pr.time_to_expiry], r=[pr.discount_rate_nacc],
+            b=[pr.carry_rate_nacc], is_call=[False], num_space_nodes=200,
+        )
+        np.testing.assert_allclose(out["price"][0], want, rtol=1e-9)
+
+    def test_richardson_beats_flat_at_same_cost(self):
+        """(64,128) Richardson is closer to a 2048-step truth than a flat
+        192-step run of equal sequential cost."""
+        from finite_difference_tpu.models.pde.batch import (
+            build_american_batch,
+            price_american_batch,
+            price_american_batch_richardson,
+        )
+
+        kw = dict(spots=[100.0], strikes=[100.0], sigmas=[0.3],
+                  t_expiry=[0.25], r=[0.05], b=[0.05], is_call=[False],
+                  num_space_nodes=300)
+        truth = price_american_batch(
+            build_american_batch(n_time_steps=2048, **kw), n_nodes=301,
+            with_greeks=False,
+        )["price"][0]
+        rich = price_american_batch_richardson(
+            n_nodes=301, n_time_steps=64, with_greeks=False, **kw
+        )["price"][0]
+        flat = price_american_batch(
+            build_american_batch(n_time_steps=192, **kw), n_nodes=301,
+            with_greeks=False,
+        )["price"][0]
+        assert abs(rich - truth) < abs(flat - truth)
