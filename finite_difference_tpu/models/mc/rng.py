@@ -61,3 +61,38 @@ class SobolNormalRng:
         u = 0.5 + (1.0 - eps) * (sobol - 0.5)
         z = np.asarray(norm_icdf(jnp.asarray(u)))
         return np.ascontiguousarray(z.T)
+
+
+def _bit_reverse_u32(x: "jnp.ndarray") -> "jnp.ndarray":
+    """Bitwise reversal of uint32 (5 masked swaps)."""
+    x = ((x >> 1) & jnp.uint32(0x55555555)) | ((x & jnp.uint32(0x55555555)) << 1)
+    x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 8) & jnp.uint32(0x00FF00FF)) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    return (x >> 16) | (x << 16)
+
+
+def sobol1d_uniforms(n: int, fast_forward: int = 0) -> "jnp.ndarray":
+    """Device-native dimension-1 Sobol (= van der Corput base 2) points.
+
+    The reference's QRNG is torch's CPU SobolEngine (rng.py:26-44); this is
+    the TPU-resident, jit-able counterpart for the dimension-1 case the XVA
+    engine actually uses (engine.py draws (1, n) and reshapes). Unscrambled:
+    point i is the radical inverse of the counter, computed as a uint32 bit
+    reversal — counter-based like threefry, so ``fast_forward`` is just an
+    offset and the stream shards trivially.
+    """
+    idx = jnp.arange(fast_forward, fast_forward + n, dtype=jnp.uint32)
+    gray = idx ^ (idx >> 1)  # standard Sobol (Gray-code) ordering
+    return _bit_reverse_u32(gray).astype(jnp.float64) * (0.5 ** 32)
+
+
+def sobol1d_normals(n: int, fast_forward: int = 0) -> "jnp.ndarray":
+    """N(0,1) from :func:`sobol1d_uniforms` with the RiskFlow eps-shift
+    away from {0, 1} before the inverse CDF."""
+    u = sobol1d_uniforms(n, fast_forward)
+    eps = jnp.finfo(jnp.float64).eps
+    u = 0.5 + (1.0 - eps) * (u - 0.5)
+    from jax.scipy.special import ndtri
+
+    return ndtri(u)

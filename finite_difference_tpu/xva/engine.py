@@ -70,6 +70,13 @@ class CommodityXvaEngine:
         )
 
     def _draw_normals(self, n_steps: int, n_sims: int) -> jnp.ndarray:
+        if self.rng_backend == "sobol_device":
+            from ..models.mc.rng import sobol1d_normals
+
+            z = sobol1d_normals(
+                n_steps * n_sims, fast_forward=self.sim_cfg.fast_forward
+            )
+            return z.reshape(n_steps, n_sims)
         if self.rng_backend == "sobol":
             rng = SobolNormalRng(
                 seed=self.sim_cfg.seed, fast_forward=self.sim_cfg.fast_forward
