@@ -343,3 +343,61 @@ class TestAmericanRichardson:
             with_greeks=False,
         )["price"][0]
         assert abs(rich - truth) < abs(flat - truth)
+
+
+class TestRandomizedConsistency:
+    def test_random_trades_match_scalar(self):
+        """Seeded fuzz: random barrier configs (type, level, rebate, monitor
+        count) priced batched vs scalar — must agree to 1e-8 on the same
+        grid."""
+        rng = np.random.default_rng(20260816)
+        curve = flat_naca_dataframe(0.0731)
+        n_time = 120
+        pricers, rebates, at_hits = [], [], []
+        for _ in range(10):
+            sigma = float(rng.uniform(0.15, 0.45))
+            spot = float(rng.uniform(150.0, 260.0))
+            strike = float(rng.uniform(150.0, 260.0))
+            kind = rng.choice(["up-and-out", "down-and-out", "double-out"])
+            upper = float(rng.uniform(spot * 1.05, spot * 1.6)) if kind != "down-and-out" else None
+            low = float(rng.uniform(spot * 0.6, spot * 0.95)) if kind != "up-and-out" else None
+            rebate = float(rng.choice([0.0, 2.5]))
+            at_hit = bool(rng.integers(0, 2)) if rebate else False
+            n_mon = int(rng.integers(4, 24))
+            monitors = build_monitoring_dates(VAL, MAT, "daily")[::max(1, 24 // n_mon)]
+            if monitors[-1] != MAT:
+                monitors = monitors + [MAT]
+            pricers.append(DiscreteBarrierFDMPricer(
+                spot=spot, strike=strike, valuation_date=VAL,
+                maturity_date=MAT, sigma=sigma, option_type="call",
+                barrier_type=kind, lower_barrier=low, upper_barrier=upper,
+                monitor_dates=monitors, rebate_amount=rebate,
+                rebate_at_hit=at_hit, discount_curve=curve,
+                underlying_spot_days=0, num_time_steps=n_time,
+                fixed_num_space_nodes=511,
+            ))
+            rebates.append(rebate)
+            at_hits.append(at_hit)
+
+        tb = build_trade_batch(
+            spots=[p.spot for p in pricers],
+            strikes=[p.strike for p in pricers],
+            sigmas=[p.sigma for p in pricers],
+            t_expiry=[p.time_to_expiry for p in pricers],
+            r=[p.discount_rate_nacc for p in pricers],
+            b=[p.carry_rate_nacc for p in pricers],
+            is_call=[True] * len(pricers),
+            n_time_steps=n_time,
+            monitor_times=[p.monitor_times for p in pricers],
+            lower=[p.lower_barrier for p in pricers],
+            upper=[p.upper_barrier for p in pricers],
+            rebate=rebates,
+            rebate_at_hit=at_hits,
+            num_space_nodes=511,
+        )
+        out = price_barrier_batch(tb, n_nodes=512, with_greeks=False)
+        for i, p in enumerate(pricers):
+            np.testing.assert_allclose(
+                out["price"][i], p.price_log2(), rtol=1e-8, atol=1e-10,
+                err_msg=f"trade {i}: {p.barrier_type} rebate={rebates[i]} at_hit={at_hits[i]}",
+            )
