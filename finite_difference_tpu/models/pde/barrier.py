@@ -71,6 +71,12 @@ class DiscreteBarrierFDMPricer:
 
     Constructor mirrors discrete_barrier_fdm_pricer.py:42-83. Curves are
     DataFrames with ["Date", "NACA"] or DailyNacaCurve objects.
+
+    NOTE (reference quirk preserved): ``num_space_nodes`` is only a
+    default — the grid auto-chooser overrides it, exactly like the
+    reference's ``configure_grid`` (discrete_barrier_fdm_pricer.py:322-341)
+    overwrites the constructor value. Pass ``fixed_num_space_nodes`` to pin
+    the node count (e.g. to match a batched bucket).
     """
 
     def __init__(
