@@ -96,3 +96,53 @@ def sobol1d_normals(n: int, fast_forward: int = 0) -> "jnp.ndarray":
     from jax.scipy.special import ndtri
 
     return ndtri(u)
+
+
+def sobol_direction_matrix(dimension: int) -> np.ndarray:
+    """(dimension, n_bits) uint32 Sobol direction integers.
+
+    Seeded from scipy's Joe-Kuo table (a regular dependency of this
+    package); falls back to a tiny built-in d=1 table if the private
+    attribute moves in a future scipy.
+    """
+    try:
+        from scipy.stats import qmc
+
+        sv = np.asarray(qmc.Sobol(d=dimension, scramble=False)._sv)
+        return sv.astype(np.uint32)
+    except Exception:
+        if dimension != 1:
+            raise
+        bits = 30
+        return (np.uint32(1) << (bits - 1 - np.arange(bits, dtype=np.uint32)))[None, :]
+
+
+def sobol_uniforms(
+    n: int, dimension: int, fast_forward: int = 0
+) -> "jnp.ndarray":
+    """(n, dimension) device-native unscrambled Sobol points.
+
+    Gray-code construction: point k is the XOR of the direction integers
+    selected by the bits of gray(k) — 30 static XOR steps inside jit, all
+    device-resident. Matches scipy's ``qmc.Sobol(scramble=False)`` exactly
+    (tested); ``fast_forward`` is a counter offset.
+    """
+    sv = jnp.asarray(sobol_direction_matrix(dimension))  # (d, bits)
+    n_bits = sv.shape[1]
+    idx = jnp.arange(fast_forward, fast_forward + n, dtype=jnp.uint32)
+    gray = idx ^ (idx >> 1)
+    acc = jnp.zeros((n, dimension), dtype=jnp.uint32)
+    for j in range(n_bits):
+        bit = ((gray >> j) & jnp.uint32(1)).astype(jnp.uint32)
+        acc = acc ^ (bit[:, None] * sv[None, :, j])
+    return acc.astype(jnp.float64) * (0.5 ** 30)
+
+
+def sobol_normals(n: int, dimension: int, fast_forward: int = 0) -> "jnp.ndarray":
+    """(n, dimension) N(0,1) via the RiskFlow eps-shift + inverse CDF."""
+    u = sobol_uniforms(n, dimension, fast_forward)
+    eps = jnp.finfo(jnp.float64).eps
+    u = 0.5 + (1.0 - eps) * (u - 0.5)
+    from jax.scipy.special import ndtri
+
+    return ndtri(u)

@@ -115,6 +115,9 @@ def generate_random_numbers(
     exactly: ``torch.randn(n_factors, half*n_steps)`` from the *current*
     torch RNG state (caller seeds via torch.manual_seed), correlate, reshape,
     antithetic concat (cs_simulation.py:725-770).
+    ``rng_backend="sobol_device"`` uses the device-native unscrambled Sobol
+    (one QMC dimension per factor-step pair, one point per path); being
+    deterministic, ``seed`` acts as a fast-forward offset into the stream.
     """
     n_factors = cholesky_L.shape[0]
     half = batch_size // 2 if use_antithetic else batch_size
@@ -130,9 +133,21 @@ def generate_random_numbers(
             correlated = torch.concat([correlated, -correlated], dim=-1)
         return correlated.numpy().astype(np.float64)
 
-    if key is None:
-        key = jax.random.PRNGKey(seed)
-    z = jax.random.normal(key, (n_factors, num_timesteps * half), dtype=jnp.float64)
+    if rng_backend == "sobol_device":
+        # device-native QMC: one Sobol dimension per (factor, step) pair,
+        # one point per path — the standard RiskFlow dimension layout
+        from ..models.mc.rng import sobol_normals
+
+        z = sobol_normals(half, n_factors * num_timesteps, fast_forward=seed)
+        z = z.T.reshape(n_factors, num_timesteps, half).reshape(
+            n_factors, num_timesteps * half
+        )
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        z = jax.random.normal(
+            key, (n_factors, num_timesteps * half), dtype=jnp.float64
+        )
     correlated = (jnp.asarray(cholesky_L) @ z).reshape(n_factors, num_timesteps, half)
     if use_antithetic:
         correlated = jnp.concatenate([correlated, -correlated], axis=-1)

@@ -232,3 +232,37 @@ class TestDeviceSobol:
         z = eng._draw_normals(4, 2048)
         assert z.shape == (4, 2048)
         assert abs(float(z.mean())) < 5e-3
+
+
+class TestMultiDimDeviceSobol:
+    def test_matches_scipy_all_dims(self):
+        from scipy.stats import qmc
+
+        from finite_difference_tpu.models.mc.rng import sobol_uniforms
+
+        for d in (1, 2, 5, 13):
+            want = qmc.Sobol(d=d, scramble=False).random(128)
+            got = np.asarray(sobol_uniforms(128, d))
+            np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_fast_forward_offset(self):
+        from finite_difference_tpu.models.mc.rng import sobol_uniforms
+
+        full = np.asarray(sobol_uniforms(64, 3))
+        np.testing.assert_array_equal(
+            np.asarray(sobol_uniforms(24, 3, fast_forward=40)), full[40:]
+        )
+
+    def test_scenario_backend_correlation(self):
+        """QMC correlated normals recover the target correlation."""
+        from finite_difference_tpu.scenarios import build_cholesky
+        from finite_difference_tpu.scenarios.simulation import (
+            generate_random_numbers,
+        )
+
+        L = build_cholesky({("A", "B"): 0.6}, ["A", "B"])
+        z = generate_random_numbers(L, num_timesteps=16, batch_size=4096,
+                                    rng_backend="sobol_device", seed=0)
+        assert z.shape == (2, 16, 4096)
+        cors = [np.corrcoef(z[0, t], z[1, t])[0, 1] for t in range(16)]
+        assert abs(np.mean(cors) - 0.6) < 0.02
