@@ -71,12 +71,16 @@ class CommodityXvaEngine:
 
     def _draw_normals(self, n_steps: int, n_sims: int) -> jnp.ndarray:
         if self.rng_backend == "sobol_device":
-            from ..models.mc.rng import sobol1d_normals
+            # proper QMC layout: one Sobol dimension per time step, one
+            # point per simulation (the reference's torch path instead draws
+            # d=1 and reshapes, which destroys the low-discrepancy structure
+            # along paths — kept only in the parity backend "sobol")
+            from ..models.mc.rng import sobol_normals
 
-            z = sobol1d_normals(
-                n_steps * n_sims, fast_forward=self.sim_cfg.fast_forward
+            z = sobol_normals(
+                n_sims, n_steps, fast_forward=self.sim_cfg.fast_forward
             )
-            return z.reshape(n_steps, n_sims)
+            return z.T  # (n_steps, n_sims)
         if self.rng_backend == "sobol":
             rng = SobolNormalRng(
                 seed=self.sim_cfg.seed, fast_forward=self.sim_cfg.fast_forward
