@@ -138,7 +138,10 @@ def generate_random_numbers(
         # one point per path — the standard RiskFlow dimension layout
         from ..models.mc.rng import sobol_normals
 
-        z = sobol_normals(half, n_factors * num_timesteps, fast_forward=seed)
+        # +1 skips the all-zeros origin point (an ~-8 sigma draw everywhere)
+        z = sobol_normals(
+            half, n_factors * num_timesteps, fast_forward=seed + 1
+        )
         z = z.T.reshape(n_factors, num_timesteps, half).reshape(
             n_factors, num_timesteps * half
         )

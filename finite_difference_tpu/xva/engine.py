@@ -77,8 +77,9 @@ class CommodityXvaEngine:
             # along paths — kept only in the parity backend "sobol")
             from ..models.mc.rng import sobol_normals
 
+            # +1 skips the all-zeros origin point (an ~-8 sigma path)
             z = sobol_normals(
-                n_sims, n_steps, fast_forward=self.sim_cfg.fast_forward
+                n_sims, n_steps, fast_forward=self.sim_cfg.fast_forward + 1
             )
             return z.T  # (n_steps, n_sims)
         if self.rng_backend == "sobol":
