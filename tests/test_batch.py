@@ -401,3 +401,57 @@ class TestRandomizedConsistency:
                 out["price"][i], p.price_log2(), rtol=1e-8, atol=1e-10,
                 err_msg=f"trade {i}: {p.barrier_type} rebate={rebates[i]} at_hit={at_hits[i]}",
             )
+
+
+class TestRandomizedAmericanConsistency:
+    def test_random_american_trades_match_scalar(self):
+        """Seeded fuzz: random American puts/calls with 0-2 discrete
+        dividends, batched vs scalar price_log on the same grid."""
+        from finite_difference_tpu.models.pde import AmericanFDMPricer
+        from finite_difference_tpu.models.pde.batch import (
+            build_american_batch,
+            price_american_batch,
+        )
+        from finite_difference_tpu.utils.curves import flat_curve
+
+        rng = np.random.default_rng(77)
+        VAL, MAT = dt.date(2025, 7, 28), dt.date(2026, 1, 28)
+        curve = flat_curve(0.07, VAL)
+        n_time = 150
+        pricers = []
+        for _ in range(8):
+            n_div = int(rng.integers(0, 3))
+            divs = [
+                (VAL + dt.timedelta(days=int(rng.integers(30, 170))),
+                 float(rng.uniform(1.0, 5.0)))
+                for _ in range(n_div)
+            ]
+            divs.sort()
+            pricers.append(AmericanFDMPricer(
+                spot=float(rng.uniform(80.0, 130.0)),
+                strike=float(rng.uniform(80.0, 130.0)),
+                valuation_date=VAL, maturity_date=MAT,
+                sigma=float(rng.uniform(0.15, 0.45)),
+                option_type=str(rng.choice(["put", "call"])),
+                discount_curve=curve, dividend_schedule=divs,
+                num_space_nodes=250, num_time_steps=n_time,
+                snap_spot_to_grid=False, snap_strike_to_grid=False,
+            ))
+        tb = build_american_batch(
+            spots=[p.spot for p in pricers],
+            strikes=[p.strike for p in pricers],
+            sigmas=[p.sigma for p in pricers],
+            t_expiry=[p.time_to_expiry for p in pricers],
+            r=[p.discount_rate_nacc for p in pricers],
+            b=[p.carry_rate_nacc for p in pricers],
+            is_call=[p.option_type == "call" for p in pricers],
+            n_time_steps=n_time,
+            dividends_tau=[p._div_times_tau() for p in pricers],
+            num_space_nodes=250,
+        )
+        out = price_american_batch(tb, n_nodes=251, with_greeks=False)
+        for i, p in enumerate(pricers):
+            np.testing.assert_allclose(
+                out["price"][i], p.price_log(), rtol=1e-8,
+                err_msg=f"trade {i}: {p.option_type} divs={len(p.dividend_schedule)}",
+            )
