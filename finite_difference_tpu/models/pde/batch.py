@@ -472,27 +472,32 @@ def _run_batch_driver(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         shard = NamedSharding(mesh, P(axis_name))
-        dev = jax.tree.map(lambda x: jax.device_put(x, shard), dev)
-        out = fn(dev, **kw)
-        return {k: np.asarray(v) for k, v in out.items()}
+        place = lambda x: jax.device_put(x, shard)
+        run = lambda piece: fn(jax.tree.map(place, piece), **kw)
+        # the working-set cliff is PER CHIP: chunk so each device's shard
+        # stays under max_chunk trades
+        chunk = None if max_chunk is None else max_chunk * mesh.size
+    else:
+        run = lambda piece: fn(piece, **kw)
+        chunk = max_chunk
 
-    if max_chunk is None or B <= max_chunk:
-        out = fn(dev, **kw)
+    if chunk is None or B <= chunk:
+        out = run(dev)
         return {k: np.asarray(v) for k, v in out.items()}
 
     pieces = []
-    for start in range(0, B, max_chunk):
-        stop = min(start + max_chunk, B)
+    for start in range(0, B, chunk):
+        stop = min(start + chunk, B)
         piece = jax.tree.map(lambda x: x[start:stop], dev)
-        if stop - start < max_chunk:
-            pad = max_chunk - (stop - start)
+        if stop - start < chunk:
+            pad = chunk - (stop - start)
             piece = jax.tree.map(
                 lambda x: jnp.concatenate(
                     [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
                 ),
                 piece,
             )
-        pieces.append(fn(piece, **kw))
+        pieces.append(run(piece))
     return {
         k: np.concatenate([np.asarray(p[k]) for p in pieces])[:B]
         for k in pieces[0]

@@ -455,3 +455,31 @@ class TestRandomizedAmericanConsistency:
                 out["price"][i], p.price_log(), rtol=1e-8,
                 err_msg=f"trade {i}: {p.option_type} divs={len(p.dividend_schedule)}",
             )
+
+
+class TestMeshChunking:
+    def test_mesh_chunked_equals_mesh_single(self):
+        """With a mesh, chunking keeps each device shard under max_chunk and
+        is bit-identical to a single sharded launch."""
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(8)
+        B = 48  # 6 trades/device; chunk at 2/device -> 3 chunks of 16
+        t = 31.0 / 365.0
+        rng = np.random.default_rng(5)
+        tb = build_trade_batch(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[t] * B,
+            r=[0.0705] * B,
+            b=[0.0705] * B,
+            is_call=[True] * B,
+            n_time_steps=32,
+            monitor_times=[[t * (k + 1) / 4.0 for k in range(4)]] * B,
+            upper=[260.0] * B,
+            num_space_nodes=127,
+        )
+        whole = price_barrier_batch(tb, n_nodes=128, mesh=mesh, max_chunk=None)
+        chunked = price_barrier_batch(tb, n_nodes=128, mesh=mesh, max_chunk=2)
+        for k in whole:
+            np.testing.assert_array_equal(whole[k], chunked[k], err_msg=k)
