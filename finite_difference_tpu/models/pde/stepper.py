@@ -66,7 +66,10 @@ class BarrierSpec(NamedTuple):
     has_upper: jnp.ndarray  # bool
     rebate: jnp.ndarray
     rebate_at_hit: jnp.ndarray  # bool
-    rebate_rate: jnp.ndarray  # rate used to PV a maturity rebate back from expiry
+    # rate used to PV a maturity-paid rebate back from expiry; the
+    # reference discounts this at the CARRY rate, not the discount rate
+    # (discrete_barrier_fdm_pricer.py:424) — preserved for parity
+    rebate_rate: jnp.ndarray
 
     @staticmethod
     def none(dtype=jnp.float64):
