@@ -33,7 +33,7 @@ def main() -> None:
     n_space_nodes = 1023  # -> 1024 grid nodes
     n_steps = 512
     batch = 1024 if on_tpu else 16
-    iters = 5 if on_tpu else 1
+    iters = 20 if on_tpu else 1  # ~2s of timed work; tames tunnel jitter
     dtype = np.float32 if on_tpu else np.float64
 
     rng = np.random.default_rng(0)
