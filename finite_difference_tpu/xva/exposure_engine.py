@@ -203,6 +203,41 @@ class ExposureEngine:
     # Fixing cache (Category B resets)
     # ------------------------------------------------------------------
 
+    def _state_at(
+        self, scenario_dates: List[date], d: date,
+        all_states: Optional[List[dict]] = None,
+    ) -> dict:
+        """Market state from the nearest-prior scenario date."""
+        idx = max(0, bisect_right(scenario_dates, d) - 1)
+        if all_states is not None:
+            return all_states[idx]
+        return {**self.static_data.factors, **self.cube.get_time_slice(idx)}
+
+    def _ois_accrue(
+        self, instrument, curve_name: str, p_start: date,
+        from_date: Optional[date], to_date: date,
+        scenario_dates: List[date], cf: Optional[np.ndarray],
+    ) -> np.ndarray:
+        """Roll the compounded OIS factor forward over realized steps.
+
+        A fresh accrual seeds from the trade's ``old_resets``-style initial
+        factor (RiskFlow convention) and walks from the period start;
+        otherwise it resumes from where the cache stopped.
+        """
+        if cf is None:
+            initial = instrument.get_ois_initial_cf(curve_name, p_start)
+            cf = np.full(
+                self.cube.n_paths,
+                1.0 if initial is None else float(initial),
+            )
+            from_date = p_start
+        steps = [t for t in scenario_dates if from_date <= t < to_date]
+        for t_j, t_j1 in zip(steps, steps[1:] + [to_date]):
+            cf = cf * instrument.compute_cf_increment(
+                curve_name, t_j, t_j1, self._state_at(scenario_dates, t_j)
+            )
+        return cf
+
     def _build_fixings(
         self,
         instrument,
@@ -221,75 +256,35 @@ class ExposureEngine:
 
         fixings: Dict[tuple, np.ndarray] = {}
         inst_id = id(instrument)
-        n_paths = self.cube.n_paths
 
         for reset_tuple in instrument.get_reset_dates():
             reset_date, curve_name, p_start, p_end = reset_tuple[:4]
-            is_overnight = reset_tuple[4] if len(reset_tuple) > 4 else False
-
-            if is_overnight and reset_date >= sim_date:
-                continue
-            if not is_overnight and reset_date > sim_date:
+            is_overnight = len(reset_tuple) > 4 and reset_tuple[4]
+            # OIS accrues strictly-past resets; LIBOR fixes on the reset day
+            if reset_date > sim_date or (is_overnight and reset_date == sim_date):
                 continue
 
             if is_overnight and has_ois:
                 cf_key = (inst_id, curve_name, p_start, "_ois_cf")
                 last_key = (inst_id, curve_name, p_start, "_ois_last")
-                prev_date = fixing_cache.get(last_key)
-                cf_realized = fixing_cache.get(cf_key)
-
-                if prev_date is None:
-                    initial_cf = instrument.get_ois_initial_cf(curve_name, p_start)
-                    cf_realized = (
-                        np.full(n_paths, float(initial_cf))
-                        if initial_cf is not None
-                        else np.ones(n_paths)
-                    )
-                    step_starts = [
-                        t for t in scenario_dates if p_start <= t < sim_date
-                    ]
-                else:
-                    step_starts = [
-                        t for t in scenario_dates if prev_date <= t < sim_date
-                    ]
-
-                for j, t_j in enumerate(step_starts):
-                    t_j1 = (
-                        step_starts[j + 1] if j + 1 < len(step_starts) else sim_date
-                    )
-                    t_j_idx = max(0, bisect_right(scenario_dates, t_j) - 1)
-                    fix_slice = {
-                        **self.static_data.factors,
-                        **self.cube.get_time_slice(t_j_idx),
-                    }
-                    cf_realized = cf_realized * instrument.compute_cf_increment(
-                        curve_name, t_j, t_j1, fix_slice
-                    )
-
-                fixing_cache[cf_key] = cf_realized
+                cf = self._ois_accrue(
+                    instrument, curve_name, p_start,
+                    fixing_cache.get(last_key), sim_date,
+                    scenario_dates, fixing_cache.get(cf_key),
+                )
+                fixing_cache[cf_key] = cf
                 fixing_cache[last_key] = sim_date
-                fixings[(curve_name, p_start)] = cf_realized
-
+                fixings[(curve_name, p_start)] = cf
             elif has_libor:
                 cache_key = (inst_id, curve_name, p_start)
                 if cache_key not in fixing_cache:
-                    fix_t_idx = max(0, bisect_right(scenario_dates, reset_date) - 1)
-                    fix_slice = (
-                        all_states[fix_t_idx]
-                        if all_states is not None
-                        else {
-                            **self.static_data.factors,
-                            **self.cube.get_time_slice(fix_t_idx),
-                        }
-                    )
                     computed = instrument.compute_fixings(
                         [(reset_date, curve_name, p_start, p_end)],
-                        fix_slice,
+                        self._state_at(scenario_dates, reset_date, all_states),
                         reset_date,
                     )
-                    fixing_cache.update(
-                        {(inst_id, k[0], k[1]): v for k, v in computed.items()}
-                    )
+                    for (cn, ps), rate in computed.items():
+                        fixing_cache[(inst_id, cn, ps)] = rate
                 fixings[(curve_name, p_start)] = fixing_cache[cache_key]
 
         return fixings
@@ -311,39 +306,30 @@ class ExposureEngine:
         if not hasattr(instrument, "get_cpi_reference_dates"):
             return {}
 
-        inst_id = id(instrument)
-        accumulated = cpi_fixings_cache.setdefault(inst_id, {})
+        stamped = cpi_fixings_cache.setdefault(id(instrument), {})
 
+        # pre-seed the T_last_pub level so unpublished brackets can project
+        # from it (the RiskFlow convention), then stamp each reference month
+        # exactly once from the state interpolated to its bracket date
         if hasattr(instrument, "_compute_t_last_pub_fixing"):
-            accumulated.update(
-                instrument._compute_t_last_pub_fixing(
-                    base_market_state, sim_date, accumulated
-                )
-            )
-
-        cpi_last_pub_date = (
-            instrument.get_cpi_last_pub_date(sim_date)
-            if hasattr(instrument, "get_cpi_last_pub_date")
-            else None
+            stamped.update(instrument._compute_t_last_pub_fixing(
+                base_market_state, sim_date, stamped
+            ))
+        due = (
+            (d, n) for d, n in instrument.get_cpi_reference_dates()
+            if d <= sim_date and d not in stamped
         )
+        for ref_date, _name in due:
+            idx = max(0, bisect_right(scenario_dates, ref_date) - 1)
+            stamped.update(instrument._compute_cpi_fixing_for_date(
+                ref_date,
+                _interp_scenario_state(all_states, scenario_dates, idx, ref_date),
+            ))
 
-        for ref_date, _cpi_name in instrument.get_cpi_reference_dates():
-            if ref_date > sim_date:
-                break
-            if ref_date in accumulated:
-                continue
-            fix_t_idx = max(0, bisect_right(scenario_dates, ref_date) - 1)
-            fix_state = _interp_scenario_state(
-                all_states, scenario_dates, fix_t_idx, ref_date
-            )
-            accumulated.update(
-                instrument._compute_cpi_fixing_for_date(ref_date, fix_state)
-            )
-
-        return {
-            "cpi_fixings": accumulated,
-            "cpi_last_pub_date": cpi_last_pub_date,
-        }
+        out = {"cpi_fixings": stamped, "cpi_last_pub_date": None}
+        if hasattr(instrument, "get_cpi_last_pub_date"):
+            out["cpi_last_pub_date"] = instrument.get_cpi_last_pub_date(sim_date)
+        return out
 
     # ------------------------------------------------------------------
     # Commodity fixing accumulator
