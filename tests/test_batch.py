@@ -363,13 +363,14 @@ class TestRandomizedConsistency:
             low = float(rng.uniform(spot * 0.6, spot * 0.95)) if kind != "up-and-out" else None
             rebate = float(rng.choice([0.0, 2.5]))
             at_hit = bool(rng.integers(0, 2)) if rebate else False
+            opt = str(rng.choice(["call", "put"]))
             n_mon = int(rng.integers(4, 24))
             monitors = build_monitoring_dates(VAL, MAT, "daily")[::max(1, 24 // n_mon)]
             if monitors[-1] != MAT:
                 monitors = monitors + [MAT]
             pricers.append(DiscreteBarrierFDMPricer(
                 spot=spot, strike=strike, valuation_date=VAL,
-                maturity_date=MAT, sigma=sigma, option_type="call",
+                maturity_date=MAT, sigma=sigma, option_type=opt,
                 barrier_type=kind, lower_barrier=low, upper_barrier=upper,
                 monitor_dates=monitors, rebate_amount=rebate,
                 rebate_at_hit=at_hit, discount_curve=curve,
@@ -386,7 +387,7 @@ class TestRandomizedConsistency:
             t_expiry=[p.time_to_expiry for p in pricers],
             r=[p.discount_rate_nacc for p in pricers],
             b=[p.carry_rate_nacc for p in pricers],
-            is_call=[True] * len(pricers),
+            is_call=[p.option_type == "call" for p in pricers],
             n_time_steps=n_time,
             monitor_times=[p.monitor_times for p in pricers],
             lower=[p.lower_barrier for p in pricers],
