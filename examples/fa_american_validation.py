@@ -9,6 +9,7 @@ comparison table to CSV.
 Run:  python examples/fa_american_validation.py [output.csv]
 """
 import os
+import tempfile
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -58,7 +59,7 @@ def build_pricer() -> VanillaOptionPricerFIS:
     )
 
 
-def main(output_csv: str = "fa_american_comparison.csv") -> pd.DataFrame:
+def main(output_csv: str = os.path.join(tempfile.gettempdir(), "fa_american_comparison.csv")) -> pd.DataFrame:
     pricer = build_pricer()
 
     print("Convergence ladder (Richardson prices):")

@@ -67,7 +67,7 @@ BASE_PARAMS = dict(
 )
 
 
-def main(output_csv: str = "fa_barrier_results.csv") -> pd.DataFrame:
+def main(output_csv: str = os.path.join(tempfile.gettempdir(), "fa_barrier_results.csv")) -> pd.DataFrame:
     with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
         pd.DataFrame(SCENARIOS).to_csv(f.name, index=False)
         config_path = f.name
