@@ -29,9 +29,23 @@ def make_mesh(
     """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) needs {n_devices} devices but jax "
+                f"sees only {len(devs)} ({devs[0].platform}). For a virtual "
+                "CPU mesh, set XLA_FLAGS=--xla_force_host_platform_device_"
+                f"count={n_devices} and jax.config.update('jax_platforms', "
+                "'cpu') BEFORE any jax operation (a fresh subprocess — see "
+                "tests/test_multichip.py and __graft_entry__.dryrun_multichip)."
+            )
         devs = devs[:n_devices]
     if shape is None:
         shape = (len(devs),)
+    if int(np.prod(shape)) != len(devs):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {int(np.prod(shape))} devices, "
+            f"got {len(devs)}"
+        )
     arr = np.asarray(devs).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
 
