@@ -21,6 +21,15 @@ from .bjerksund_stensland_2002 import (
     american_call_two_step_2002,
     boundary_XT,
 )
+from .batch import (
+    continuous_barrier_sweep,
+    continuous_barrier_sweep_greeks,
+    bgk_discrete_sweep,
+    bs93_sweep,
+    bs93_sweep_greeks,
+    bs2002_sweep,
+    monitoring_decision,
+)
 
 __all__ = [
     "bs_price",
@@ -44,4 +53,11 @@ __all__ = [
     "american_call_single_2002",
     "american_call_two_step_2002",
     "boundary_XT",
+    "continuous_barrier_sweep",
+    "continuous_barrier_sweep_greeks",
+    "bgk_discrete_sweep",
+    "bs93_sweep",
+    "bs93_sweep_greeks",
+    "bs2002_sweep",
+    "monitoring_decision",
 ]

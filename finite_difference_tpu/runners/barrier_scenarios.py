@@ -174,6 +174,7 @@ def run_all_scenarios_batched(
     mesh=None,
     num_space_nodes: Optional[int] = None,
     dtype=np.float64,
+    route: str = "pde",
 ) -> pd.DataFrame:
     """TPU path: the whole scenario table as one batched device program.
 
@@ -181,7 +182,17 @@ def run_all_scenarios_batched(
     runner, then prices with ``price_barrier_batch`` (vmap over scenarios,
     optionally sharded over ``mesh``). KI prices come from in-out parity
     against the batched Black-76 vanilla.
+
+    ``route='hybrid'`` applies the FIS n_lim monitoring decision per trade
+    (discrete_barrier_analytic_pricer.py:278-342): continuous-regime trades
+    go to the batched analytic sweep with BGK-shifted barriers
+    (models.analytic.batch — ~10^6 trades/s-class), the rest to the CN
+    batch. ``route='pde'`` sends everything through the CN batch.
     """
+    from ..models.analytic.batch import (
+        continuous_barrier_sweep_greeks,
+        monitoring_decision,
+    )
     from ..models.analytic.black_scholes import black76_price
     from ..models.pde.batch import build_trade_batch, price_barrier_batch
     from ..utils.daycount import year_fraction
@@ -220,32 +231,86 @@ def run_all_scenarios_batched(
             lowers.append(lo)
 
     nacc = np.array([naca_to_nacc(row["rate"]) for _, row in rows])
-    tb = build_trade_batch(
-        spots=[row["S0"] for _, row in rows],
-        strikes=[row["K"] for _, row in rows],
-        sigmas=[row["sigma"] for _, row in rows],
-        t_expiry=[t_exp] * B,
-        r=list(nacc),
-        b=list(nacc),
-        is_call=[opt_type == "call"] * B,
-        n_time_steps=n_time,
-        monitor_times=[monitor_times] * B,
-        lower=lowers,
-        upper=uppers,
-        num_space_nodes=n_nodes,
-        dtype=dtype,
-    )
-    out = price_barrier_batch(tb, n_nodes=n_nodes + 1, mesh=mesh)
+    spots = np.array([row["S0"] for _, row in rows], dtype=np.float64)
+    strikes = np.array([row["K"] for _, row in rows], dtype=np.float64)
+    sigmas = np.array([row["sigma"] for _, row in rows], dtype=np.float64)
+
+    if route == "hybrid":
+        use_cont, bgk_adj = monitoring_decision(
+            np.full(B, t_exp), [monitor_times] * B, sigmas
+        )
+    elif route == "pde":
+        use_cont = np.zeros(B, dtype=bool)
+        bgk_adj = np.ones(B)
+    else:
+        raise ValueError(f"route must be 'pde' or 'hybrid', got {route!r}")
+    pde_idx = np.where(~use_cont)[0]
+    cont_idx = np.where(use_cont)[0]
+
+    price_arr = np.zeros(B)
+    delta_arr = np.zeros(B)
+    gamma_arr = np.zeros(B)
+    vega_arr = np.zeros(B)
+    pde_routed = np.zeros(B, dtype=bool)
+    pde_routed[pde_idx] = True
+
+    if len(pde_idx):
+        sub = lambda seq: [seq[i] for i in pde_idx]
+        tb = build_trade_batch(
+            spots=sub(list(spots)),
+            strikes=sub(list(strikes)),
+            sigmas=sub(list(sigmas)),
+            t_expiry=[t_exp] * len(pde_idx),
+            r=sub(list(nacc)),
+            b=sub(list(nacc)),
+            is_call=[opt_type == "call"] * len(pde_idx),
+            n_time_steps=n_time,
+            monitor_times=[monitor_times] * len(pde_idx),
+            lower=sub(lowers),
+            upper=sub(uppers),
+            num_space_nodes=n_nodes,
+            dtype=dtype,
+        )
+        out = price_barrier_batch(tb, n_nodes=n_nodes + 1, mesh=mesh)
+        price_arr[pde_idx] = out["price"]
+        delta_arr[pde_idx] = out["delta"]
+        gamma_arr[pde_idx] = out["gamma"]
+        vega_arr[pde_idx] = out["vega"]
+
+    if len(cont_idx):
+        # continuous regime: analytic sweep with BGK-shifted barriers
+        # (H_lo/adj, H_up*adj); IN trades price directly (RR is_in), so no
+        # parity fix-up is needed for these lanes.
+        sub = lambda seq: [seq[i] for i in cont_idx]
+        lo_shift = [
+            None if lowers[i] is None else float(lowers[i]) / bgk_adj[i]
+            for i in cont_idx
+        ]
+        up_shift = [
+            None if uppers[i] is None else float(uppers[i]) * bgk_adj[i]
+            for i in cont_idx
+        ]
+        g = continuous_barrier_sweep_greeks(
+            spots[cont_idx], strikes[cont_idx], t_exp, nacc[cont_idx],
+            nacc[cont_idx], sigmas[cont_idx],
+            lower=lo_shift, upper=up_shift,
+            is_call=np.full(len(cont_idx), opt_type == "call"),
+            is_in=np.asarray([is_in[i] for i in cont_idx]),
+        )
+        price_arr[cont_idx] = np.asarray(g["price"])
+        delta_arr[cont_idx] = np.asarray(g["delta"])
+        gamma_arr[cont_idx] = np.asarray(g["gamma"])
+        vega_arr[cont_idx] = np.asarray(g["vega"])
 
     results = []
     for idx, (_, row) in enumerate(rows):
-        ko_price = float(out["price"][idx])
+        ko_price = float(price_arr[idx])
         delta, gamma, vega = (
-            float(out["delta"][idx]),
-            float(out["gamma"][idx]),
-            float(out["vega"][idx]),
+            float(delta_arr[idx]),
+            float(gamma_arr[idx]),
+            float(vega_arr[idx]),
         )
-        if is_in[idx]:
+        if is_in[idx] and pde_routed[idx]:
             df = np.exp(-nacc[idx] * t_exp)
             fwd = row["S0"] / df
             vanilla = float(
@@ -306,6 +371,9 @@ def build_parser():
                    help="price the whole table as one device batch")
     p.add_argument("--num-space-nodes", type=int, default=None,
                    help="batched path grid override")
+    p.add_argument("--route", default="pde", choices=["pde", "hybrid"],
+                   help="batched path: 'hybrid' sends continuous-regime "
+                        "trades (FIS n_lim rule) to the analytic sweep")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -328,6 +396,7 @@ def main(argv=None):
         df = run_all_scenarios_batched(
             args.config_csv, args.output_csv, base,
             num_space_nodes=args.num_space_nodes,
+            route=args.route,
         )
     else:
         df = run_all_scenarios(

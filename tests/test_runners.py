@@ -91,6 +91,50 @@ class TestBarrierRunner:
             scalar["model_price"].sum(), rel=2e-2
         )
 
+    def test_hybrid_route_discrete_regime_equals_pde(self, tmp_path):
+        """24 daily monitors over 1 month stay under the n_lim threshold, so
+        route='hybrid' must take the CN path and reproduce route='pde'."""
+        cfg = _barrier_config(tmp_path)
+        base = dict(BASE, num_space_nodes=300, num_time_steps=300)
+        pde = run_all_scenarios_batched(cfg, None, base, route="pde")
+        hyb = run_all_scenarios_batched(cfg, None, base, route="hybrid")
+        np.testing.assert_allclose(
+            hyb["model_price"], pde["model_price"], rtol=1e-12
+        )
+
+    def test_hybrid_route_continuous_regime_matches_scalar_hybrid(self, tmp_path):
+        """A 10y daily-monitor trade trips the FIS n_lim rule; the routed
+        batched price must equal the scalar hybrid pricer's analytic branch
+        (RR with BGK-shifted barriers)."""
+        from finite_difference_tpu.models.pde.hybrid import (
+            DiscreteBarrierFDMPricerAnalytic,
+        )
+        from finite_difference_tpu.utils.curves import flat_naca_dataframe
+
+        mat = dt.date(2035, 7, 28)
+        monitors = [
+            VAL + dt.timedelta(days=i) for i in range(1, (mat - VAL).days + 1)
+        ]
+        base = dict(
+            valuation=VAL, maturity=mat, monitor_dates=monitors,
+            opt_type="call", num_space_nodes=200, num_time_steps=200,
+        )
+        cfg = _barrier_config(tmp_path)
+        hyb = run_all_scenarios_batched(cfg, None, base, route="hybrid")
+
+        curve = flat_naca_dataframe(0.0731, start=VAL, end=mat + dt.timedelta(days=5))
+        for i, bt in enumerate(["up-and-out", "up-and-in"]):
+            scalar = DiscreteBarrierFDMPricerAnalytic(
+                option_type="call", barrier_type=bt, strike=190.0,
+                upper_barrier=260.0, spot=229.74, volatility=0.2879,
+                valuation_date=VAL, maturity_date=mat,
+                monitoring_dates=monitors, discount_curve=curve,
+            )
+            assert scalar.use_continuous_window
+            assert hyb["model_price"].iloc[i] == pytest.approx(
+                scalar.price(), rel=5e-4
+            ), bt
+
 
 class TestAmericanRunner:
     def test_run_all(self, tmp_path):
