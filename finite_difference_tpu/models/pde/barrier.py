@@ -268,10 +268,12 @@ class DiscreteBarrierFDMPricer:
             q=f(self.div_yield_nacc),
         )
 
-    def _solve_grids(self, sigmas: List[float], ko_type: str) -> np.ndarray:
+    def _solve_grids(
+        self, sigmas: List[float], ko_type: str, n_time_steps: Optional[int] = None
+    ) -> np.ndarray:
         sch_np = uniform_schedule(
             self.time_to_expiry,
-            self.num_time_steps,
+            n_time_steps or self.num_time_steps,
             rannacher_steps=self.rannacher_steps,
             monitor_times=self.monitor_times,
         )
@@ -355,9 +357,13 @@ class DiscreteBarrierFDMPricer:
     # ------------------------------------------------------------------ #
     # Public API                                                          #
     # ------------------------------------------------------------------ #
-    def _pde_price_and_greeks(self, dv_sigma: float = 0.0001) -> Dict[str, float]:
+    def _pde_price_and_greeks(
+        self, dv_sigma: float = 0.0001, n_time_steps: Optional[int] = None
+    ) -> Dict[str, float]:
         ko = self._effective_ko_type()
-        v_all = self._solve_grids([self.sigma, self.sigma + dv_sigma], ko)
+        v_all = self._solve_grids(
+            [self.sigma, self.sigma + dv_sigma], ko, n_time_steps=n_time_steps
+        )
         price = self._interp_price(v_all[0])
         price_up = self._interp_price(v_all[1])
         delta, gamma = self._delta_gamma_from_grid(v_all[0])
@@ -369,9 +375,24 @@ class DiscreteBarrierFDMPricer:
         )
         return {"price": price, "delta": delta, "gamma": gamma, "vega": vega, "theta": theta}
 
-    def price_log(self) -> float:
-        ko = self._effective_ko_type()
-        return self._interp_price(self._solve_grids([self.sigma], ko)[0])
+    def price_log(
+        self, apply_KO: bool = True, use_richardson: bool = False
+    ) -> float:
+        """KO-leg PDE price. ``apply_KO=False`` skips the monitor projection
+        (vanilla PDE — the diagnostics use of the reference's flag);
+        ``use_richardson`` extrapolates a (N, 2N)-time-step pair as
+        (4 P_2N - P_N)/3, cancelling CN's O(dt^2) leading error (the
+        batched twin is price_american_batch_richardson)."""
+        ko = self._effective_ko_type() if apply_KO else "none"
+        p = self._interp_price(self._solve_grids([self.sigma], ko)[0])
+        if not use_richardson:
+            return p
+        p_fine = self._interp_price(
+            self._solve_grids(
+                [self.sigma], ko, n_time_steps=2 * self.num_time_steps
+            )[0]
+        )
+        return (4.0 * p_fine - p) / 3.0
 
     def price_log2(self, apply_KO: bool = True, use_richardson: bool = False) -> float:
         bt = self.barrier_type.lower()
@@ -381,11 +402,13 @@ class DiscreteBarrierFDMPricer:
             if self.already_hit:
                 df = self.discount_curve.get_discount_factor(self.discount_end_date)
                 return self.rebate_amount * df
-            return self.price_log()
+            return self.price_log(apply_KO=apply_KO, use_richardson=use_richardson)
         if bt in ("down-and-in", "up-and-in", "double-in"):
             if self.already_in:
                 return self._vanilla_black76_price()
-            return self._vanilla_black76_price() - self.price_log()
+            return self._vanilla_black76_price() - self.price_log(
+                apply_KO=apply_KO, use_richardson=use_richardson
+            )
         raise ValueError(f"Unsupported barrier_type: {self.barrier_type}")
 
     def greeks_log2(self, dv_sigma: float = 0.0001, use_richardson: bool = False) -> Dict[str, float]:
@@ -395,14 +418,33 @@ class DiscreteBarrierFDMPricer:
         if bt in ("down-and-out", "up-and-out", "double-out"):
             if self.already_hit:
                 return {k: 0.0 for k in ("price", "delta", "gamma", "vega", "theta")}
-            return self._pde_price_and_greeks(dv_sigma=dv_sigma)
+            return self._pde_greeks_maybe_richardson(dv_sigma, use_richardson)
         if bt in ("down-and-in", "up-and-in", "double-in"):
             if self.already_in:
                 return self._vanilla_black76_greeks_fd()
             g_van = self._vanilla_black76_greeks_fd()
-            g_ko = self._pde_price_and_greeks(dv_sigma=dv_sigma)
+            g_ko = self._pde_greeks_maybe_richardson(dv_sigma, use_richardson)
             return {k: g_van[k] - g_ko[k] for k in g_van}
         raise ValueError(f"Unsupported barrier_type: {self.barrier_type}")
+
+    def _pde_greeks_maybe_richardson(
+        self, dv_sigma: float, use_richardson: bool
+    ) -> Dict[str, float]:
+        g = self._pde_price_and_greeks(dv_sigma=dv_sigma)
+        if not use_richardson:
+            return g
+        g_fine = self._pde_price_and_greeks(
+            dv_sigma=dv_sigma, n_time_steps=2 * self.num_time_steps
+        )
+        out = {k: (4.0 * g_fine[k] - g[k]) / 3.0 for k in ("price", "delta", "gamma", "vega")}
+        # theta from the BS PDE identity on the extrapolated values
+        # (discrete_barrier_fdm_pricer.py:843-870)
+        out["theta"] = -(
+            0.5 * self.sigma**2 * self.spot**2 * out["gamma"]
+            + (self.carry_rate_nacc - self.div_yield_nacc) * self.spot * out["delta"]
+            - self.discount_rate_nacc * out["price"]
+        )
+        return out
 
     # ------------------------------------------------------------------ #
     # Diagnostics                                                         #

@@ -133,26 +133,67 @@ class TestDiscreteBarrierPricer:
     def test_fa_xlsx_up_and_out_call_far_barrier(self):
         """Scneario_results_summary.xlsx sheet1 H=420: model 40.9325761 /
         FA 40.9325556 (5e-7% diff) on the production 500-step grid with 24
-        daily ZA monitors, zero lags."""
+        daily ZA monitors, zero lags. FA itself is the benchmark here, but
+        the two agree to 5.2e-6 so the gate is 1e-5."""
         monitors = build_monitoring_dates(VAL, MAT_1M, "daily")
         pr = self._mk(
             barrier_type="up-and-out", upper_barrier=420.0, monitor_dates=monitors,
             underlying_spot_days=0, num_time_steps=500,
         )
         p = pr.price_log2()
-        assert p == pytest.approx(40.9325556, rel=5e-5)
+        assert p == pytest.approx(40.9325761, rel=1e-5)  # reference model
+        assert p == pytest.approx(40.9325556, rel=1e-5)  # FA
 
     def test_fa_xlsx_up_and_out_call_near_barrier(self):
         """xlsx sheet1 H=260: reference model 32.464175, FA 32.413972
-        (0.155% apart). Gate vs the reference model at 1e-3 and FA at 3e-3."""
+        (0.155% apart). The default grid reproduces the reference MODEL to
+        8.6e-7 (gate 2e-6); the FA gate stays at 3e-3 because the 0.155%
+        model-vs-FA gap is the reference's own committed headline diff."""
         monitors = build_monitoring_dates(VAL, MAT_1M, "daily")
         pr = self._mk(
             barrier_type="up-and-out", upper_barrier=260.0, monitor_dates=monitors,
             underlying_spot_days=0, num_time_steps=500,
         )
         p = pr.price_log2()
-        assert p == pytest.approx(32.464175, rel=1e-3)
+        assert p == pytest.approx(32.464175, rel=2e-6)
         assert p == pytest.approx(32.413972, rel=3e-3)
+
+    def test_apply_ko_false_prices_vanilla_pde(self):
+        """price_log2(apply_KO=False) skips the monitor projection and must
+        reproduce the far-barrier European PDE value."""
+        monitors = build_monitoring_dates(VAL, MAT_1M, "daily")
+        near = self._mk(
+            barrier_type="up-and-out", upper_barrier=260.0, monitor_dates=monitors,
+            underlying_spot_days=0, num_time_steps=500,
+        )
+        p_vanilla_pde = near.price_log2(apply_KO=False)
+        far = self._mk(
+            barrier_type="up-and-out", upper_barrier=420.0, monitor_dates=monitors,
+            underlying_spot_days=0, num_time_steps=500,
+        )
+        # same dynamics, different grids; both European to ~grid accuracy
+        assert p_vanilla_pde == pytest.approx(far.price_log2(), rel=1e-4)
+        assert p_vanilla_pde > near.price_log2()
+
+    def test_use_richardson_improves_time_convergence(self):
+        """(4 P_2N - P_N)/3 at N=250 must land closer to the N=2000 truth
+        than the plain N=250 run (grid pinned so only dt varies)."""
+        monitors = build_monitoring_dates(VAL, MAT_1M, "daily")
+        mk = lambda n: self._mk(
+            barrier_type="up-and-out", upper_barrier=260.0,
+            monitor_dates=monitors, underlying_spot_days=0,
+            num_time_steps=n, fixed_num_space_nodes=501,
+        )
+        truth = mk(2000).price_log2()
+        plain = mk(250).price_log2()
+        rich = mk(250).price_log2(use_richardson=True)
+        assert abs(rich - truth) < abs(plain - truth)
+        g = mk(250).greeks_log2(use_richardson=True)
+        g_plain = mk(250).greeks_log2()
+        assert g["price"] == pytest.approx(rich, rel=1e-12)
+        for k in ("delta", "gamma", "vega", "theta"):
+            assert np.isfinite(g[k])
+            assert g[k] == pytest.approx(g_plain[k], rel=0.2, abs=1e-3), k
 
     def test_ko_below_vanilla_and_monotone_in_barrier(self):
         monitors = build_monitoring_dates(VAL, MAT_1M, "daily")
