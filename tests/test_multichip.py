@@ -42,6 +42,52 @@ class TestMultichip:
         )
         assert "DRYRUN_OK" in out.stdout, out.stderr[-2000:]
 
+    def test_chunked_mesh_batch_at_cliff(self):
+        """B=4096 through the mesh driver with per-shard chunking: chunk =
+        max_chunk * mesh.size, so each device's shard stays under the
+        single-chip working-set cliff; output equals the single-device
+        chunked run bit-for-bit (f64)."""
+        out = _run(
+            textwrap.dedent(
+                """
+                import jax
+                jax.config.update("jax_platforms", "cpu")
+                jax.config.update("jax_enable_x64", True)
+                import numpy as np
+                from finite_difference_tpu.models.pde.batch import (
+                    build_trade_batch, price_barrier_batch,
+                )
+                from finite_difference_tpu.parallel import make_mesh
+
+                rng = np.random.default_rng(1)
+                B = 4096
+                t = 31.0 / 365.0
+                tb = build_trade_batch(
+                    spots=list(rng.uniform(180.0, 250.0, B)),
+                    strikes=[190.0] * B,
+                    sigmas=list(rng.uniform(0.2, 0.35, B)),
+                    t_expiry=[t] * B, r=[0.0705] * B, b=[0.0705] * B,
+                    is_call=[True] * B, n_time_steps=16,
+                    monitor_times=[[t * (k + 1) / 4.0 for k in range(4)]] * B,
+                    upper=[260.0] * B, num_space_nodes=63,
+                )
+                single = price_barrier_batch(
+                    tb, n_nodes=64, max_chunk=256, with_greeks=False
+                )
+                mesh = make_mesh(8, axis_names=("data",))
+                # mesh path chunks at max_chunk*mesh.size = 2048 -> 2 launches
+                sharded = price_barrier_batch(
+                    tb, n_nodes=64, mesh=mesh, max_chunk=256, with_greeks=False
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(sharded["price"]), np.asarray(single["price"])
+                )
+                print("CLIFF_OK")
+                """
+            )
+        )
+        assert "CLIFF_OK" in out.stdout, out.stderr[-2000:]
+
     def test_sharded_batch_matches_single_device(self):
         """price_barrier_batch over an 8-device mesh == unsharded result."""
         out = _run(
