@@ -12,6 +12,7 @@ from .american_scenarios import run_all_american_scenarios, run_american_scenari
 from .bs_scenarios import run_all_bs_scenarios, run_bs_scenario
 from .bgk_scenarios import build_flat_curve, run_all_bgk_scenarios, run_bgk_scenario
 from .xva_main import run_asset
+from .irswap_fa import IRSwapFAPricer, run_irswap_fa_check, synthetic_zar_curves
 
 __all__ = [
     "run_all_scenarios",
@@ -25,4 +26,7 @@ __all__ = [
     "run_all_bgk_scenarios",
     "run_bgk_scenario",
     "run_asset",
+    "IRSwapFAPricer",
+    "run_irswap_fa_check",
+    "synthetic_zar_curves",
 ]
