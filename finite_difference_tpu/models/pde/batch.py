@@ -230,28 +230,52 @@ def _solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
 
 
 def price_batch_kernel(
-    batch_dev, n_nodes: int, dv_sigma: float = 0.0001, with_greeks: bool = True
+    batch_dev,
+    n_nodes: int,
+    dv_sigma: float = 0.0001,
+    with_greeks: bool = True,
+    greeks_mode: str = "bump",
 ):
     """Device function (jit me): batch pytree of arrays -> dict of (B,) arrays.
 
-    Vega uses the reference's one-sided sigma bump; delta/gamma the
-    non-uniform central stencil at spot; theta the BS PDE identity
-    (discrete_barrier_fdm_pricer.py:843-870).
+    Delta/gamma come from the non-uniform central stencil at spot (free —
+    the solved grid is already there); theta from the BS PDE identity
+    (discrete_barrier_fdm_pricer.py:843-870). Vega:
+
+    - ``greeks_mode='bump'``: the reference's one-sided sigma bump — a
+      second full solve at sigma+dv (fd_american_equity.py:1014-1035).
+    - ``greeks_mode='ad'``: forward-mode ``jax.jvp`` of the CN scan wrt
+      sigma — ONE augmented solve, exact dP/dsigma (no bump-h truncation),
+      same grid (the tangent flows through the dynamics coefficients only,
+      exactly like the bump, which also holds the grid fixed).
     """
 
     def solve(sig_field):
         v, s = jax.vmap(lambda bt: _solve_one(bt, sig_field(bt), n_nodes))(batch_dev)
         return v, s
 
-    v, s = solve(lambda bt: bt.sigma)
-    price = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v)
-    out = {"price": price}
-    if not with_greeks:
-        return out
+    if with_greeks and greeks_mode == "ad":
+        def price_of_sigma(sig):
+            v_, s_ = jax.vmap(lambda bt, sg: _solve_one(bt, sg, n_nodes))(
+                batch_dev, sig
+            )
+            return jax.vmap(jnp.interp)(batch_dev.s_eff, s_, v_), (v_, s_)
 
-    v_up, _ = solve(lambda bt: bt.sigma + dv_sigma)
-    price_up = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v_up)
-    out["vega"] = (price_up - price) / (dv_sigma * 100.0)
+        (price, (v, s)), (dprice, _) = jax.jvp(
+            price_of_sigma,
+            (batch_dev.sigma,),
+            (jnp.ones_like(batch_dev.sigma),),
+        )
+        out = {"price": price, "vega": dprice / 100.0}
+    else:
+        v, s = solve(lambda bt: bt.sigma)
+        price = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v)
+        out = {"price": price}
+        if not with_greeks:
+            return out
+        v_up, _ = solve(lambda bt: bt.sigma + dv_sigma)
+        price_up = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v_up)
+        out["vega"] = (price_up - price) / (dv_sigma * 100.0)
 
     def dg(s_i, v_i, spot_i):
         idx = jnp.clip(jnp.argmin(jnp.abs(s_i - spot_i)), 1, s_i.shape[0] - 2)
@@ -378,12 +402,19 @@ def _solve_one_american(batch: BarrierTradeBatch, sigma, n_nodes: int):
 
 
 def american_batch_kernel(
-    batch_dev, n_nodes: int, dv_sigma: float = 0.0001, with_greeks: bool = True
+    batch_dev,
+    n_nodes: int,
+    dv_sigma: float = 0.0001,
+    with_greeks: bool = True,
+    greeks_mode: str = "bump",
 ):
     """Device function (jit with static n_nodes/with_greeks): batched
     American price/greeks — the vmapped twin of AmericanFDMPricer's
     single-trade solve (Richardson omitted; pass a finer n_time_steps
-    instead — the sweep use case)."""
+    instead — the sweep use case). ``greeks_mode='ad'`` computes vega by
+    jvp through the scan (incl. the Ikonen-Toivanen projection, whose
+    jnp.where carries the correct subgradient) instead of the sigma bump.
+    """
 
     def solve(sig_field):
         v, s = jax.vmap(
@@ -391,21 +422,36 @@ def american_batch_kernel(
         )(batch_dev)
         return v, s
 
-    v, s = solve(lambda bt: bt.sigma)
-    price = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v)
-    out = {"price": price}
-    if with_greeks:
+    if with_greeks and greeks_mode == "ad":
+        def price_of_sigma(sig):
+            v_, s_ = jax.vmap(
+                lambda bt, sg: _solve_one_american(bt, sg, n_nodes)
+            )(batch_dev, sig)
+            return jax.vmap(jnp.interp)(batch_dev.s_eff, s_, v_), (v_, s_)
+
+        (price, (v, s)), (dprice, _) = jax.jvp(
+            price_of_sigma,
+            (batch_dev.sigma,),
+            (jnp.ones_like(batch_dev.sigma),),
+        )
+        out = {"price": price, "vega": dprice / 100.0}
+    else:
+        v, s = solve(lambda bt: bt.sigma)
+        price = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v)
+        out = {"price": price}
+        if not with_greeks:
+            return out
         v_up, _ = solve(lambda bt: bt.sigma + dv_sigma)
         price_up = jax.vmap(jnp.interp)(batch_dev.s_eff, s, v_up)
         out["vega"] = (price_up - price) / (dv_sigma * 100.0)
 
-        def dg(s_i, v_i, spot_i):
-            idx = jnp.clip(jnp.argmin(jnp.abs(s_i - spot_i)), 1, s_i.shape[0] - 2)
-            return nonuniform_central(s_i, v_i, idx)
+    def dg(s_i, v_i, spot_i):
+        idx = jnp.clip(jnp.argmin(jnp.abs(s_i - spot_i)), 1, s_i.shape[0] - 2)
+        return nonuniform_central(s_i, v_i, idx)
 
-        delta, gamma = jax.vmap(dg)(s, v, batch_dev.spot)
-        out["delta"] = delta
-        out["gamma"] = gamma
+    delta, gamma = jax.vmap(dg)(s, v, batch_dev.spot)
+    out["delta"] = delta
+    out["gamma"] = gamma
     return out
 
 
@@ -419,6 +465,7 @@ def _run_batch_driver(
     axis_name: str,
     max_chunk: Optional[int],
     dtype=None,
+    greeks_mode: str = "bump",
 ) -> Dict[str, np.ndarray]:
     """Shared driver: shard over a mesh, or chunk big single-chip batches.
 
@@ -444,8 +491,11 @@ def _run_batch_driver(
         batch = batch.astype(np.dtype(dtype))
         if max_chunk is not None and dtype.itemsize > 4:
             max_chunk = max(1, max_chunk // 2)  # same working-set budget
-    fn = jax.jit(kernel, static_argnames=("n_nodes", "with_greeks"))
-    kw = dict(n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks)
+    fn = jax.jit(kernel, static_argnames=("n_nodes", "with_greeks", "greeks_mode"))
+    kw = dict(
+        n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks,
+        greeks_mode=greeks_mode,
+    )
     B = batch.batch_size
 
     def to_device(x):
@@ -513,6 +563,7 @@ def price_american_batch(
     axis_name: str = "data",
     max_chunk: Optional[int] = 1024,
     dtype=None,
+    greeks_mode: str = "bump",
 ) -> Dict[str, np.ndarray]:
     """Batched American sweep; optionally shard the trade axis over a mesh.
 
@@ -523,7 +574,7 @@ def price_american_batch(
     """
     return _run_batch_driver(
         american_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
-        mesh, axis_name, max_chunk, dtype,
+        mesh, axis_name, max_chunk, dtype, greeks_mode,
     )
 
 
@@ -536,8 +587,12 @@ def price_barrier_batch(
     axis_name: str = "data",
     max_chunk: Optional[int] = 1024,
     dtype=None,
+    greeks_mode: str = "bump",
 ) -> Dict[str, np.ndarray]:
     """Price a trade batch; optionally shard the batch axis over ``mesh``.
+
+    ``greeks_mode='ad'`` computes vega by one jvp-augmented solve instead
+    of the sigma-bump re-solve (exact derivative, no bump-h error).
 
     With a mesh, arrays are placed with NamedSharding over ``axis_name`` and
     XLA partitions the whole program with zero collectives (embarrassingly
@@ -549,7 +604,7 @@ def price_barrier_batch(
     """
     return _run_batch_driver(
         price_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
-        mesh, axis_name, max_chunk, dtype,
+        mesh, axis_name, max_chunk, dtype, greeks_mode,
     )
 
 

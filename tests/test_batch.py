@@ -484,3 +484,90 @@ class TestMeshChunking:
         chunked = price_barrier_batch(tb, n_nodes=128, mesh=mesh, max_chunk=2)
         for k in whole:
             np.testing.assert_array_equal(whole[k], chunked[k], err_msg=k)
+
+
+class TestADGreeks:
+    """greeks_mode='ad': jvp vega through the CN scan vs bump and truth."""
+
+    def _kw(self, B=8, rng_seed=0):
+        t = 31.0 / 365.0
+        rng = np.random.default_rng(rng_seed)
+        return dict(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[t] * B, r=[0.0705] * B, b=[0.0705] * B,
+            is_call=[True] * B, n_time_steps=64,
+            monitor_times=[[t * (k + 1) / 8.0 for k in range(8)]] * B,
+            upper=[260.0] * B, num_space_nodes=127,
+        )
+
+    def test_barrier_ad_vega_is_exact_derivative(self):
+        """AD vega == central difference with tiny h (grids pinned so only
+        the dynamics see the bump — the same convention the bump path
+        uses); and it beats the production 1e-4 one-sided bump's error."""
+        import dataclasses
+
+        kw = self._kw()
+        tb = build_trade_batch(**kw)
+        ad = price_barrier_batch(tb, n_nodes=128, greeks_mode="ad")
+        h = 1e-6
+        up = dataclasses.replace(
+            build_trade_batch(**{**kw, "sigmas": [s + h for s in kw["sigmas"]]}),
+            x_min=tb.x_min, dx=tb.dx,
+        )
+        dn = dataclasses.replace(
+            build_trade_batch(**{**kw, "sigmas": [s - h for s in kw["sigmas"]]}),
+            x_min=tb.x_min, dx=tb.dx,
+        )
+        p_up = price_barrier_batch(up, n_nodes=128, with_greeks=False)["price"]
+        p_dn = price_barrier_batch(dn, n_nodes=128, with_greeks=False)["price"]
+        truth = (p_up - p_dn) / (2.0 * h) / 100.0
+        np.testing.assert_allclose(ad["vega"], truth, rtol=1e-6, atol=1e-10)
+
+        bump = price_barrier_batch(tb, n_nodes=128)["vega"]
+        err_ad = np.abs(np.asarray(ad["vega"]) - truth)
+        err_bump = np.abs(np.asarray(bump) - truth)
+        assert np.all(err_ad <= err_bump + 1e-12)
+
+    def test_barrier_ad_price_delta_gamma_match_bump_path(self):
+        tb = build_trade_batch(**self._kw())
+        ad = price_barrier_batch(tb, n_nodes=128, greeks_mode="ad")
+        bump = price_barrier_batch(tb, n_nodes=128, greeks_mode="bump")
+        for k in ("price", "delta", "gamma", "theta"):
+            np.testing.assert_allclose(ad[k], bump[k], rtol=1e-12, err_msg=k)
+
+    def test_american_ad_vega(self):
+        """jvp through the Ikonen-Toivanen projection: matches tiny-h
+        central difference away from the exercise-boundary kinks."""
+        from finite_difference_tpu.models.pde.batch import (
+            build_american_batch, price_american_batch,
+        )
+
+        B = 8
+        rng = np.random.default_rng(3)
+        kw = dict(
+            spots=list(rng.uniform(150.0, 200.0, B)),
+            strikes=[170.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[0.25] * B, r=[0.0705] * B, b=[0.0705] * B,
+            is_call=[False] * B, n_time_steps=64, num_space_nodes=128,
+        )
+        tb = build_american_batch(**kw)
+        ad = price_american_batch(tb, n_nodes=129, greeks_mode="ad")
+        import dataclasses
+
+        h = 1e-6
+        up = dataclasses.replace(
+            build_american_batch(**{**kw, "sigmas": [s + h for s in kw["sigmas"]]}),
+            x_min=tb.x_min, dx=tb.dx,
+        )
+        dn = dataclasses.replace(
+            build_american_batch(**{**kw, "sigmas": [s - h for s in kw["sigmas"]]}),
+            x_min=tb.x_min, dx=tb.dx,
+        )
+        p_up = price_american_batch(up, n_nodes=129, with_greeks=False)["price"]
+        p_dn = price_american_batch(dn, n_nodes=129, with_greeks=False)["price"]
+        truth = (p_up - p_dn) / (2.0 * h) / 100.0
+        np.testing.assert_allclose(ad["vega"], truth, rtol=5e-5, atol=1e-8)
+        assert np.all(np.asarray(ad["vega"]) > 0)  # puts: positive vega
