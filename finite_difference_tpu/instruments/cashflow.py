@@ -117,9 +117,14 @@ def leg_pv(
     fixings: Optional[Dict[Tuple[str, dt.date], np.ndarray]] = None,
     include_on_val_date: bool = False,
 ) -> np.ndarray:
-    """Pathwise PV of one swap leg: (n_paths,)."""
+    """Pathwise PV of one swap leg: (n_paths,).
+
+    Curve queries are BATCHED: one ``discount_factor`` call covers every
+    payment date, and one covers every pending forward bracket — the
+    per-period single-point interpolation calls were the exposure
+    engine's measured hot spot (docs/PERF_NOTES.md).
+    """
     sc = schedule_config
-    pv = np.zeros(n_paths)
 
     fwd_curve = None
     if leg.leg_type == LegType.FLOATING and leg.curve_name is not None:
@@ -128,12 +133,23 @@ def leg_pv(
             year_fracs=fwd_slice.tenors, rates=fwd_slice.values
         )
 
-    for p_start, p_end, pay_date, accrual in schedule:
-        if pay_date < val_date or (pay_date == val_date and not include_on_val_date):
-            continue
+    live = [
+        (p_start, p_end, pay_date, accrual)
+        for p_start, p_end, pay_date, accrual in schedule
+        if not (
+            pay_date < val_date
+            or (pay_date == val_date and not include_on_val_date)
+        )
+    ]
+    if not live:
+        return np.zeros(n_paths)
+    m = len(live)
 
+    rate_cols = np.empty((n_paths, m))
+    pending: List[Tuple[int, float, float, float]] = []  # col, t0, t1, tau
+    for col, (p_start, p_end, pay_date, accrual) in enumerate(live):
         if leg.leg_type == LegType.FIXED:
-            rate = np.full(n_paths, leg.fixed_rate)
+            rate_cols[:, col] = leg.fixed_rate
         elif leg.reset_frequency_months > 0:
             # compounded sub-period rates: prod(1 + r_i tau_i) - 1 over accrual
             growth = np.ones(n_paths)
@@ -147,15 +163,52 @@ def leg_pv(
                     fwd_curve, fixings, n_paths,
                 )
                 growth = growth * (1.0 + r_sub * sub_tau)
-            rate = (growth - 1.0) / accrual if accrual > 0 else np.zeros(n_paths)
-        else:
-            rate = _period_rate(
+            rate_cols[:, col] = (
+                (growth - 1.0) / accrual if accrual > 0 else 0.0
+            )
+        elif leg.overnight_compounding:
+            rate_cols[:, col] = _period_rate(
                 leg, sc, val_date, p_start, p_end, accrual,
                 fwd_curve, fixings, n_paths,
             )
+        else:
+            # same policy as _period_rate, with the forward batched
+            if (
+                p_start <= val_date
+                and fixings is not None
+                and (leg.curve_name, p_start) in fixings
+            ):
+                rate_cols[:, col] = np.asarray(
+                    fixings[(leg.curve_name, p_start)], dtype=float
+                )
+            elif fwd_curve is None:
+                rate_cols[:, col] = 0.0
+            else:
+                t_start = sc.curve_year_fraction(val_date, max(p_start, val_date))
+                if leg.fixing_tenor_months is not None:
+                    fwd_conv = leg.forward_business_convention or "ModifiedFollowing"
+                    fix_end = adjust(
+                        add_months(p_start, leg.fixing_tenor_months), sc.cal, fwd_conv
+                    )
+                    t_end = sc.curve_year_fraction(val_date, fix_end)
+                    fwd_tau = sc.year_fraction(p_start, fix_end)
+                else:
+                    t_end = sc.curve_year_fraction(val_date, p_end)
+                    fwd_tau = t_end - t_start
+                pending.append((col, t_start, t_end, fwd_tau))
 
-        t_pay = sc.curve_year_fraction(val_date, pay_date)
-        df_pay = discount_curve.discount_factor(np.array([t_pay]))[:, 0]
-        pv = pv + df_pay * (rate + leg.spread) * accrual * notional
+    if pending:
+        ts = np.array([t for _, t0, t1, _ in pending for t in (t0, t1)])
+        df = fwd_curve.discount_factor(ts)  # (n_paths, 2k)
+        taus = np.array([tau for _, _, _, tau in pending])
+        fwds = (df[:, 0::2] / df[:, 1::2] - 1.0) / np.where(taus <= 0.0, 1.0, taus)
+        fwds[:, taus <= 0.0] = 0.0
+        rate_cols[:, [col for col, _, _, _ in pending]] = fwds
 
-    return pv
+    t_pays = np.array(
+        [sc.curve_year_fraction(val_date, pay) for _, _, pay, _ in live]
+    )
+    dfs = discount_curve.discount_factor(t_pays)  # (n_paths, m)
+    accr = np.array([acc for _, _, _, acc in live])
+    rate_cols += leg.spread
+    return np.einsum("pm,pm,m->p", dfs, rate_cols, accr) * notional

@@ -22,27 +22,9 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def _interp_core(x: np.ndarray, y: np.ndarray, xq: np.ndarray, hermite: bool):
-    """y (n_paths, n) over nodes x (n,) evaluated at xq (m,)."""
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    if y.ndim == 1:
-        y = y[None, :]
-    xq = np.clip(np.asarray(xq, dtype=np.float64), x[0], x[-1])
-
-    if x.size == 1:
-        return np.broadcast_to(y[:, :1], (y.shape[0], xq.size)).copy()
-
-    j = np.clip(np.searchsorted(x, xq, side="right"), 1, x.size - 1)
-    i = j - 1
-    h = x[j] - x[i]
-    t = (xq - x[i]) / np.where(h == 0.0, 1.0, h)
-
-    if not hermite:
-        return (1.0 - t)[None, :] * y[:, i] + t[None, :] * y[:, j]
-
-    # Bessel tangents: weighted average of adjacent secant slopes; parabolic
-    # (2d - m) end conditions.
+def _hermite_tangents(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Bessel tangents: weighted average of adjacent secant slopes; parabolic
+    (2d - m) end conditions. Linear in y."""
     hs = np.diff(x)  # (n-1,)
     d = np.diff(y, axis=1) / hs[None, :]  # (n_paths, n-1)
     m = np.empty_like(y)
@@ -54,24 +36,96 @@ def _interp_core(x: np.ndarray, y: np.ndarray, xq: np.ndarray, hermite: bool):
     else:
         m[:, 0] = d[:, 0]
         m[:, -1] = d[:, -1]
+    return m
+
+
+def _tangent_matrix(x: np.ndarray) -> np.ndarray:
+    """(n, n) map Tm with tangents = y @ Tm (tangents are linear in y)."""
+    n = x.size
+    return _hermite_tangents(x, np.eye(n))
+
+
+def _interp_weight_matrix(
+    x: np.ndarray,
+    xq: np.ndarray,
+    hermite: bool,
+    tangent_mat: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """(n, m) weight matrix W with values = y @ W.
+
+    Both linear and Hermite-Bessel interpolation are LINEAR in the node
+    values y, so a whole query set reduces to one small GEMM
+    (n_paths, n) @ (n, m) — this is what makes pathwise curve lookups
+    cheap at 50k paths (docs/PERF_NOTES.md, exposure-engine section).
+    Flat extrapolation outside [x_0, x_{n-1}] via clipping.
+    """
+    n = x.size
+    xq = np.clip(np.asarray(xq, dtype=np.float64), x[0], x[-1])
+    m = xq.size
+    W = np.zeros((n, m))
+    if n == 1:
+        W[0, :] = 1.0
+        return W
+
+    j = np.clip(np.searchsorted(x, xq, side="right"), 1, n - 1)
+    i = j - 1
+    h = x[j] - x[i]
+    t = (xq - x[i]) / np.where(h == 0.0, 1.0, h)
+    cols = np.arange(m)
+
+    if not hermite:
+        np.add.at(W, (i, cols), 1.0 - t)
+        np.add.at(W, (j, cols), t)
+        return W
 
     t2 = t * t
     t3 = t2 * t
     h00 = 2 * t3 - 3 * t2 + 1
-    h10 = t3 - 2 * t2 + t
+    h10 = (t3 - 2 * t2 + t) * h
     h01 = -2 * t3 + 3 * t2
-    h11 = t3 - t2
-    return (
-        h00[None, :] * y[:, i]
-        + (h10 * h)[None, :] * m[:, i]
-        + h01[None, :] * y[:, j]
-        + (h11 * h)[None, :] * m[:, j]
-    )
+    h11 = (t3 - t2) * h
+
+    np.add.at(W, (i, cols), h00)
+    np.add.at(W, (j, cols), h01)
+    # tangent contributions: m = y @ Tm, so the weight picks up Tm columns
+    Wt = np.zeros((n, m))
+    np.add.at(Wt, (i, cols), h10)
+    np.add.at(Wt, (j, cols), h11)
+    Tm = _tangent_matrix(x) if tangent_mat is None else tangent_mat
+    W += Tm @ Wt
+    return W
+
+
+def _interp_core(x: np.ndarray, y: np.ndarray, xq: np.ndarray, hermite: bool):
+    """y (n_paths, n) over nodes x (n,) evaluated at xq (m,)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if y.ndim == 1:
+        y = y[None, :]
+    xq = np.atleast_1d(np.asarray(xq, dtype=np.float64))
+    return y @ _interp_weight_matrix(x, xq, hermite)
 
 
 def linear_interp(year_fracs, rates, t_query) -> np.ndarray:
     """Linear interpolation of the zero rate."""
     return _interp_core(year_fracs, rates, t_query, hermite=False)
+
+
+def _hermite_rt_weights(
+    x: np.ndarray, tq: np.ndarray, tangent_mat: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """(n, m) weights with zero_rate = rates @ W (the r*t scaling and the
+    1/t division folded into the weights; r(0) limit = first node's rate)."""
+    tq_c = np.clip(np.asarray(tq, dtype=np.float64), x[0], x[-1])
+    W = _interp_weight_matrix(x, tq_c, hermite=True, tangent_mat=tangent_mat)
+    # rt = rates * x  =>  fold x into the rows; divide columns by t
+    safe_t = np.where(tq_c == 0.0, 1.0, tq_c)
+    W = (x[:, None] * W) / safe_t[None, :]
+    at_zero = tq_c == 0.0
+    if at_zero.any():
+        W[:, at_zero] = 0.0
+        W[0, at_zero] = 1.0
+    return W
 
 
 def hermite_rt_interp(year_fracs, rates, t_query) -> np.ndarray:
@@ -80,15 +134,8 @@ def hermite_rt_interp(year_fracs, rates, t_query) -> np.ndarray:
     r = np.asarray(rates, dtype=np.float64)
     if r.ndim == 1:
         r = r[None, :]
-    tq = np.asarray(t_query, dtype=np.float64)
-    rt = _interp_core(x, r * x[None, :], tq, hermite=True)
-    safe_t = np.where(np.clip(tq, x[0], x[-1]) == 0.0, 1.0, np.clip(tq, x[0], x[-1]))
-    out = rt / safe_t[None, :]
-    # r(0) limit: fall back to the first node's rate
-    at_zero = np.clip(tq, x[0], x[-1]) == 0.0
-    if at_zero.any():
-        out[:, at_zero] = r[:, :1]
-    return out
+    tq = np.atleast_1d(np.asarray(t_query, dtype=np.float64))
+    return r @ _hermite_rt_weights(x, tq)
 
 
 class YieldCurve:
@@ -112,6 +159,9 @@ class YieldCurve:
         r = np.asarray(rates, dtype=np.float64)
         self.rates = r[None, :] if r.ndim == 1 else r
         self.interpolator = interpolator or hermite_rt_interp
+        # the tangent matrix depends only on the tenor grid; cache it so
+        # each query costs one (n, m) weight build + one small GEMM
+        self._tangent_mat: Optional[np.ndarray] = None
 
     @property
     def n_paths(self) -> int:
@@ -119,13 +169,20 @@ class YieldCurve:
 
     def zero_rate(self, t_query) -> np.ndarray:
         t = np.atleast_1d(np.asarray(t_query, dtype=np.float64))
+        if self.interpolator is hermite_rt_interp:
+            if self._tangent_mat is None and self.year_fracs.size > 1:
+                self._tangent_mat = _tangent_matrix(self.year_fracs)
+            return self.rates @ _hermite_rt_weights(
+                self.year_fracs, t, tangent_mat=self._tangent_mat
+            )
         return self.interpolator(self.year_fracs, self.rates, t)
 
     def discount_factor(self, t_query) -> np.ndarray:
         """DF(0 -> t) per path: (n_paths, m)."""
         t = np.atleast_1d(np.asarray(t_query, dtype=np.float64))
-        r = self.zero_rate(t)
-        return np.exp(-r * np.maximum(t, 0.0)[None, :])
+        r = self.zero_rate(t)  # fresh array — safe to consume in place
+        r *= -np.maximum(t, 0.0)[None, :]
+        return np.exp(r, out=r)
 
     def forward_rate(self, t_start: float, t_end: float, tau: Optional[float] = None):
         """Simple forward rate over [t_start, t_end]: (n_paths,)."""

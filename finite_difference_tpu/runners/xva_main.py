@@ -43,6 +43,7 @@ def run_asset(
     realised_fixings: Optional[Dict[int, float]] = None,
     risk_neutral: bool = True,
     rng_backend: str = "sobol",
+    plot_path: Optional[str] = None,
 ) -> Dict[str, Any]:
     """CVA pipeline for one commodity asset (xva_commodity_forward_main.py:202)."""
     sim_cfg = sim_cfg or SimulationConfig()
@@ -74,6 +75,14 @@ def run_asset(
         discounting=DiscountingConfig(rate=discount_rate),
     )
     res = engine.run_forward_cva(trade, risk_neutral=risk_neutral)
+    if plot_path:
+        from ..utils.plotting import plot_ee_pfe
+
+        plot_ee_pfe(
+            res.times_days, res.exposure_profile.ee, res.exposure_profile.pfe,
+            save_path=plot_path,
+            title=f"Exposure profile — {asset_code} (CVA {res.cva:,.2f})",
+        )
     return {
         "asset_code": asset_code,
         "cva": res.cva,

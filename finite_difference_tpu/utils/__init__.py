@@ -6,6 +6,7 @@ from .curves import DailyNacaCurve, NacaCurve, create_rate_df, flat_curve, flat_
 from .zero_curve import ZeroCurve
 from .zero_curve import discount_factor as discount_factor_methods
 from .profiling import throughput, trace
+from .plotting import plot_convergence, plot_exposure_profile, plot_path_fan
 
 __all__ = [
     "to_date",
