@@ -288,6 +288,17 @@ class TestRunnerCLIs:
         assert out.exists()
         assert "model_price" in df.columns and len(df) >= 1
 
+    def test_barrier_cli_batched_hybrid_route(self, tmp_path):
+        from finite_difference_tpu.runners.barrier_scenarios import main
+
+        out = tmp_path / "routed.csv"
+        df = main([
+            _barrier_config(tmp_path), "-o", str(out), "--batched",
+            "--route", "hybrid", "--num-space-nodes", "200",
+        ])
+        assert out.exists()
+        assert np.isfinite(df["model_price"]).all()
+
     def test_american_cli(self, tmp_path):
         import pandas as pd
 
