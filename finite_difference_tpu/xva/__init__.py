@@ -16,6 +16,7 @@ from .commodity_forward import CommodityForward
 from .cva import ExposureProfile, XvaCalculator
 from .engine import CommodityXvaEngine, RunResult
 from .exposure_engine import ExposureEngine, ExposureProfile as NettingExposureProfile
+from .device_exposure import DeviceExposureEngine
 
 __all__ = [
     "CounterpartyConfig",
@@ -31,5 +32,6 @@ __all__ = [
     "CommodityXvaEngine",
     "RunResult",
     "ExposureEngine",
+    "DeviceExposureEngine",
     "NettingExposureProfile",
 ]

@@ -1,0 +1,90 @@
+"""Device-resident exposure fast path vs the generic ExposureEngine."""
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from finite_difference_tpu.instruments.cashflow import LegType, SwapLeg
+from finite_difference_tpu.instruments.ir_swap import IRSwap
+from finite_difference_tpu.market_data.scenario_cube import ScenarioCube
+from finite_difference_tpu.portfolio.netting_set import NettingSet, Trade
+from finite_difference_tpu.xva.device_exposure import DeviceExposureEngine
+from finite_difference_tpu.xva.exposure_engine import ExposureEngine
+
+VAL = dt.date(2025, 7, 28)
+TENORS = np.array([0.25, 0.5, 1.0, 2.0, 3.0, 5.0, 7.0, 10.0])
+
+
+def _cube_arrays(n_times=26, n_paths=64, seed=0):
+    rng = np.random.default_rng(seed)
+    dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+    t = np.arange(n_times)[:, None, None]
+    swap = 0.075 + 0.0005 * t + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+    return dates, {"ZAR-SWAP": swap}
+
+
+def _swap(n_years=2, fixing_tenor=None, spread=0.0, fixed_rate=0.08):
+    return IRSwap(
+        name="irs",
+        effective_date=VAL,
+        maturity_date=dt.date(VAL.year + n_years, VAL.month, VAL.day),
+        notional=1_000_000,
+        receive_leg=SwapLeg(
+            LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP",
+            spread=spread, fixing_tenor_months=fixing_tenor,
+        ),
+        pay_leg=SwapLeg(LegType.FIXED, frequency=3, fixed_rate=fixed_rate),
+        discount_curve_name="ZAR-SWAP",
+    )
+
+
+def _both(swaps, scales=None, n_times=26, n_paths=64):
+    dates, curves = _cube_arrays(n_times, n_paths)
+    cube = ScenarioCube(dates, {"ZAR-SWAP": ("curve", curves["ZAR-SWAP"], TENORS)})
+    ns = NettingSet(
+        "NS",
+        [
+            Trade(s, f"T{i}", notional_scale=(scales or [1.0] * len(swaps))[i])
+            for i, s in enumerate(swaps)
+        ],
+    )
+    generic = ExposureEngine(cube).compute(ns)
+    dev = DeviceExposureEngine(dates, curves, TENORS).compute(
+        swaps, notional_scales=scales
+    )
+    return generic, dev
+
+
+class TestDeviceExposure:
+    def test_matches_generic_engine_plain_float(self):
+        generic, dev = _both([_swap()])
+        np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-6)
+
+    def test_matches_with_fixing_tenor_and_spread(self):
+        generic, dev = _both([_swap(fixing_tenor=3, spread=0.015)])
+        np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-6)
+
+    def test_netting_and_scales(self):
+        generic, dev = _both(
+            [_swap(fixed_rate=0.08), _swap(n_years=1, fixed_rate=0.06)],
+            scales=[1.0, -0.5],
+        )
+        np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-6)
+        np.testing.assert_allclose(dev.ee(), generic.ee(), rtol=1e-10, atol=1e-6)
+
+    def test_ois_leg_rejected(self):
+        swap = IRSwap(
+            name="ois",
+            effective_date=VAL,
+            maturity_date=dt.date(2026, 7, 28),
+            notional=1.0,
+            receive_leg=SwapLeg(
+                LegType.FLOATING, frequency=6, curve_name="ZAR-SWAP",
+                overnight_compounding=True,
+            ),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=6, fixed_rate=0.0),
+            discount_curve_name="ZAR-SWAP",
+        )
+        dates, curves = _cube_arrays(14, 4)
+        with pytest.raises(NotImplementedError):
+            DeviceExposureEngine(dates, curves, TENORS).compute([swap])
