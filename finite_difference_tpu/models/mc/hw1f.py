@@ -147,6 +147,7 @@ class HW1FCurveSimulator:
         seed: int = 42,
         antithetic: bool = True,
         normals: Optional[np.ndarray] = None,
+        as_jax: bool = False,
     ) -> np.ndarray:
         """Exact paths of the deviation x_t at the scenario dates,
         shape (n_times, n_paths)."""
@@ -188,7 +189,7 @@ class HW1FCurveSimulator:
              jnp.asarray(drift_c), jnp.asarray(y_gain), jnp.asarray(var_inc),
              z),
         )
-        return np.asarray(xs)
+        return xs if as_jax else np.asarray(xs)
 
     def simulate(
         self,
@@ -198,6 +199,7 @@ class HW1FCurveSimulator:
         seed: int = 42,
         antithetic: bool = True,
         normals: Optional[np.ndarray] = None,
+        as_jax: bool = False,
     ) -> np.ndarray:
         """Zero-rate cube z(t_i, t_i+τ_j) of shape (n_times, n_paths, n_tenors).
 
@@ -205,6 +207,9 @@ class HW1FCurveSimulator:
         ascending; prepend t=0 yourself if the cube should include today).
         ``normals`` overrides the RNG with an explicit (n_times, n_paths)
         array (for parity testing against an external path sequence).
+        ``as_jax=True`` keeps the cube device-resident (for the
+        xva.device_exposure pipeline — materializing 100s of MB to host
+        through the tunnel costs more than computing on it).
         """
         t_grid = np.asarray(scen_years, dtype=np.float64)
         if t_grid.ndim != 1 or (np.diff(t_grid) <= 0).any() or t_grid[0] <= 0:
@@ -213,7 +218,8 @@ class HW1FCurveSimulator:
         if (tau <= 0).any():
             raise ValueError("tenors must be > 0.")
         xs = self.simulate_state(
-            t_grid, n_paths, seed=seed, antithetic=antithetic, normals=normals
+            t_grid, n_paths, seed=seed, antithetic=antithetic, normals=normals,
+            as_jax=as_jax,
         )  # (n_times, n_paths)
         a = self.params.alpha
         # reconstitution on the tenor grid
@@ -232,7 +238,7 @@ class HW1FCurveSimulator:
             y_path
         )[:, None]
         out = (jnp.asarray(z_fwd)[:, None, :] + adj_x + adj_y[:, None, :])
-        return np.asarray(out)
+        return out if as_jax else np.asarray(out)
 
     def to_scenario_cube(
         self,

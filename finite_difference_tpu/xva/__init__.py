@@ -16,7 +16,7 @@ from .commodity_forward import CommodityForward
 from .cva import ExposureProfile, XvaCalculator
 from .engine import CommodityXvaEngine, RunResult
 from .exposure_engine import ExposureEngine, ExposureProfile as NettingExposureProfile
-from .device_exposure import DeviceExposureEngine
+from .device_exposure import DeviceExposureEngine, hw1f_cva_pipeline
 
 __all__ = [
     "CounterpartyConfig",
@@ -33,5 +33,6 @@ __all__ = [
     "RunResult",
     "ExposureEngine",
     "DeviceExposureEngine",
+    "hw1f_cva_pipeline",
     "NettingExposureProfile",
 ]

@@ -251,6 +251,69 @@ def _leg_mtm(leg: DeviceLegTensors, curves: Dict[str, "jnp.ndarray"]):
     )
 
 
+def hw1f_cva_pipeline(
+    simulator,
+    base_date: dt.date,
+    scen_days: Sequence[int],
+    tenors: np.ndarray,
+    n_paths: int,
+    instruments: Sequence[IRSwap],
+    *,
+    curve_name: str = "ZAR-SWAP",
+    hazard_rate: float = 0.02,
+    recovery: float = 0.4,
+    flat_discount_rate: float = 0.0,
+    pfe_quantile: float = 0.95,
+    seed: int = 42,
+    notional_scales=None,
+    days_in_year: float = 365.25,
+) -> Dict:
+    """Scenario generation -> exposure -> CVA with the cube device-resident.
+
+    The production shape (BASELINE.json config 5 closed fully on device):
+    an exact HW1F yield-curve simulation (models.mc.hw1f) feeds the
+    device exposure kernel directly as a jax array — the
+    (n_times, n_paths, n_tenors) cube never leaves HBM; only the EE/PFE
+    profile (n_times-sized) and the CVA scalar come back to host.
+    """
+    import jax.numpy as jnp
+
+    from .cva import cva_trapezoid, exposure_profile
+
+    scen_days = np.asarray(sorted(scen_days), dtype=np.int64)
+    if scen_days.size == 0 or scen_days[0] <= 0:
+        raise ValueError("scen_days must be strictly positive (t=0 implicit).")
+    t_years = scen_days / float(days_in_year)
+    tau = np.asarray(tenors, dtype=np.float64)
+
+    rates = simulator.simulate(t_years, tau, n_paths, seed=seed, as_jax=True)
+    today = jnp.broadcast_to(
+        jnp.asarray(simulator._zero_rate0(tau))[None, None, :],
+        (1, n_paths, tau.size),
+    )
+    cube = jnp.concatenate([today, rates], axis=0)
+    dates = [base_date] + [
+        base_date + dt.timedelta(days=int(d)) for d in scen_days
+    ]
+
+    engine = DeviceExposureEngine(dates, {curve_name: cube}, tau)
+    mtm = engine.mtm(instruments, notional_scales)  # device (n_paths, n_times)
+
+    times_days = np.concatenate([[0], scen_days]).astype(float)
+    df0 = np.exp(-flat_discount_rate * times_days / days_in_year)
+    prof = exposure_profile(
+        times_days, mtm.T, pfe_quantile=pfe_quantile, df0=df0
+    )
+    survival = np.exp(-hazard_rate * times_days / days_in_year)
+    cva = cva_trapezoid(prof.ee, survival, lgd=1.0 - recovery)
+    return {
+        "profile": prof,
+        "cva": cva,
+        "mtm": mtm,  # still device-resident; np.asarray(...) to pull
+        "dates": dates,
+    }
+
+
 class DeviceExposureEngine:
     """All-dates exposure for device-expressible netting sets.
 

@@ -88,3 +88,46 @@ class TestDeviceExposure:
         dates, curves = _cube_arrays(14, 4)
         with pytest.raises(NotImplementedError):
             DeviceExposureEngine(dates, curves, TENORS).compute([swap])
+
+
+class TestHW1FPipeline:
+    def test_end_to_end_cva(self):
+        """HW1F cube -> device exposure -> EE/PFE/CVA, all finite and
+        consistent with the generic engine on the same (host) cube."""
+        from finite_difference_tpu.models.mc.hw1f import (
+            HW1FCurveSimulator, HW1FParams,
+        )
+        from finite_difference_tpu.xva.device_exposure import hw1f_cva_pipeline
+
+        sim = HW1FCurveSimulator(
+            HW1FParams.flat(alpha=0.05, sigma=0.01),
+            curve_tenors=TENORS, curve_rates=np.full(TENORS.size, 0.075),
+        )
+        scen_days = list(range(30, 780, 30))
+        swap = _swap(n_years=2)
+        out = hw1f_cva_pipeline(
+            sim, VAL, scen_days, TENORS, n_paths=128, instruments=[swap],
+            hazard_rate=0.02, recovery=0.4, flat_discount_rate=0.07,
+        )
+        assert np.isfinite(out["cva"]) and out["cva"] > 0
+        assert np.isfinite(out["profile"].ee).all()
+        assert (out["profile"].pfe >= 0).all()
+        # at the profile peak the 95% quantile dominates the mean
+        assert out["profile"].pfe.max() >= out["profile"].ee.max()
+
+        # cross-check the MTM against the generic engine on the same cube
+        rates = np.asarray(
+            sim.simulate(np.asarray(scen_days) / 365.25, TENORS, 128, seed=42)
+        )
+        today = np.broadcast_to(
+            sim._zero_rate0(TENORS)[None, None, :], (1, 128, TENORS.size)
+        )
+        cube_np = np.concatenate([today, rates], axis=0)
+        dates = [VAL] + [VAL + dt.timedelta(days=d) for d in scen_days]
+        cube = ScenarioCube(dates, {"ZAR-SWAP": ("curve", cube_np, TENORS)})
+        generic = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(swap, "T1")])
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["mtm"]), generic.mtm, rtol=1e-9, atol=1e-5
+        )
