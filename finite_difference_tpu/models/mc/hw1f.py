@@ -49,6 +49,48 @@ from .rng import threefry_normals
 DAYS_IN_YEAR = 365.25
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_paths", "antithetic", "gen_normals"))
+def _hw1f_state_kernel(
+    key, z, e, e2, sd, dc, yg, yi, *, n_paths, antithetic, gen_normals
+):
+    """RNG + exact per-interval recursion fused into ONE program — eager
+    dispatch per op is the dominant cost on a tunneled TPU."""
+    n_times = e.shape[0]
+    if gen_normals:
+        if antithetic:
+            half = (n_paths + 1) // 2
+            z_half = threefry_normals(key, (n_times, half))
+            z = jnp.concatenate([z_half, -z_half], axis=1)[:, :n_paths]
+        else:
+            z = threefry_normals(key, (n_times, n_paths))
+
+    def step(carry, inp):
+        x, y = carry
+        e_i, e2_i, sd_i, dc_i, yg_i, yi_i, z_i = inp
+        x = x * e_i + y * yg_i + dc_i + sd_i * z_i
+        y = y * e2_i + yi_i
+        return (x, y), x
+
+    (_, _), xs = jax.lax.scan(
+        step,
+        (jnp.zeros(n_paths, dtype=z.dtype), jnp.asarray(0.0, dtype=z.dtype)),
+        (e.astype(z.dtype), e2.astype(z.dtype), sd.astype(z.dtype),
+         dc.astype(z.dtype), yg.astype(z.dtype), yi.astype(z.dtype), z),
+    )
+    return xs
+
+
+@jax.jit
+def _reconstitute(xs, B, tau, y_path, z_fwd):
+    """Affine zero-coupon reconstitution (fused): z(t, t+tau) cube."""
+    adj_x = (B / tau)[None, None, :] * xs[:, :, None]
+    adj_y = (0.5 * B**2 / tau)[None, :] * y_path[:, None]
+    return z_fwd[:, None, :] + adj_x + adj_y[:, None, :]
+
+
 def _expm1_neg(a: jnp.ndarray) -> jnp.ndarray:
     """1 − e^{−a}, stable for small a."""
     return -jnp.expm1(-a)
@@ -153,18 +195,6 @@ class HW1FCurveSimulator:
         shape (n_times, n_paths)."""
         t_grid = np.asarray(scen_years, dtype=np.float64)
         n_times = t_grid.size
-        if normals is None:
-            key = jax.random.PRNGKey(seed)
-            if antithetic:
-                half = (n_paths + 1) // 2
-                z_half = threefry_normals(key, (n_times, half))
-                z = jnp.concatenate([z_half, -z_half], axis=1)[:, :n_paths]
-            else:
-                z = threefry_normals(key, (n_times, n_paths))
-        else:
-            z = jnp.asarray(normals)
-            if z.shape != (n_times, n_paths):
-                raise ValueError("normals must be (n_times, n_paths).")
 
         a = self.params.alpha
         dts = np.diff(np.concatenate([[0.0], t_grid]))
@@ -175,19 +205,22 @@ class HW1FCurveSimulator:
         drift_c = sig**2 * (1.0 - e) ** 2 / (2.0 * a**2)   # σ part of E[x]
         y_gain = e * (1.0 - e) / a                         # y_s part of E[x]
 
-        def step(carry, inp):
-            x, y = carry
-            e_i, e2_i, sd_i, dc_i, yg_i, yi_i, z_i = inp
-            x = x * e_i + y * yg_i + dc_i + sd_i * z_i
-            y = y * e2_i + yi_i
-            return (x, y), x
+        if normals is not None:
+            z = jnp.asarray(normals)
+            if z.shape != (n_times, n_paths):
+                raise ValueError("normals must be (n_times, n_paths).")
+            key = jax.random.PRNGKey(0)  # unused
+            gen = False
+        else:
+            key = jax.random.PRNGKey(seed)
+            z = jnp.zeros((n_times, n_paths))  # unused placeholder
+            gen = True
 
-        (_, _), xs = jax.lax.scan(
-            step,
-            (jnp.zeros(n_paths), jnp.asarray(0.0)),
-            (jnp.asarray(e), jnp.asarray(e2), jnp.asarray(np.sqrt(var_inc)),
-             jnp.asarray(drift_c), jnp.asarray(y_gain), jnp.asarray(var_inc),
-             z),
+        xs = _hw1f_state_kernel(
+            key, z,
+            jnp.asarray(e), jnp.asarray(e2), jnp.asarray(np.sqrt(var_inc)),
+            jnp.asarray(drift_c), jnp.asarray(y_gain), jnp.asarray(var_inc),
+            n_paths=n_paths, antithetic=bool(antithetic), gen_normals=gen,
         )
         return xs if as_jax else np.asarray(xs)
 
@@ -232,12 +265,13 @@ class HW1FCurveSimulator:
         with np.errstate(divide="ignore", invalid="ignore"):
             z_fwd = (z0_tT * (t_grid[:, None] + tau[None, :])
                      - (z0_t * t_grid)[:, None]) / tau[None, :]
-        # −ln P(t,t+τ)/τ = z_fwd + (B x + ½ B² y)/τ
-        adj_x = (B / jnp.asarray(tau))[None, None, :] * xs[:, :, None]
-        adj_y = (0.5 * B**2 / jnp.asarray(tau))[None, :] * jnp.asarray(
-            y_path
-        )[:, None]
-        out = (jnp.asarray(z_fwd)[:, None, :] + adj_x + adj_y[:, None, :])
+        # −ln P(t,t+τ)/τ = z_fwd + (B x + ½ B² y)/τ — one fused program so
+        # repeated calls cost one dispatch, not ~6 eager ops (which over a
+        # tunneled TPU dominate the whole pipeline)
+        out = _reconstitute(
+            xs, jnp.asarray(B), jnp.asarray(tau), jnp.asarray(y_path),
+            jnp.asarray(z_fwd),
+        )
         return out if as_jax else np.asarray(out)
 
     def to_scenario_cube(

@@ -251,6 +251,26 @@ def _leg_mtm(leg: DeviceLegTensors, curves: Dict[str, "jnp.ndarray"]):
     )
 
 
+_prepend_today_jit = None
+
+
+def _prepend_today(rates, today_row):
+    """Fused t=0-slice prepend (one dispatch, jit cached)."""
+    global _prepend_today_jit
+    if _prepend_today_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        def k(r, row):
+            today = jnp.broadcast_to(
+                row[None, None, :], (1, r.shape[1], row.shape[0])
+            )
+            return jnp.concatenate([today, r], axis=0)
+
+        _prepend_today_jit = jax.jit(k)
+    return _prepend_today_jit(rates, today_row)
+
+
 def hw1f_cva_pipeline(
     simulator,
     base_date: dt.date,
@@ -287,11 +307,7 @@ def hw1f_cva_pipeline(
     tau = np.asarray(tenors, dtype=np.float64)
 
     rates = simulator.simulate(t_years, tau, n_paths, seed=seed, as_jax=True)
-    today = jnp.broadcast_to(
-        jnp.asarray(simulator._zero_rate0(tau))[None, None, :],
-        (1, n_paths, tau.size),
-    )
-    cube = jnp.concatenate([today, rates], axis=0)
+    cube = _prepend_today(rates, jnp.asarray(simulator._zero_rate0(tau)))
     dates = [base_date] + [
         base_date + dt.timedelta(days=int(d)) for d in scen_days
     ]
@@ -314,6 +330,84 @@ def hw1f_cva_pipeline(
     }
 
 
+# DeviceLegTensors as a pytree: arrays are leaves (so the jitted netting
+# kernel takes them as ARGUMENTS — no giant baked-in constants, no
+# retrace per call), names/flags are static aux data.
+_LEG_AUX = ("curve_name", "discount_name", "is_fixed")
+_LEG_LEAVES = tuple(
+    f for f in DeviceLegTensors.__dataclass_fields__ if f not in _LEG_AUX
+)
+
+
+def _leg_flatten(leg: DeviceLegTensors):
+    return (
+        tuple(getattr(leg, f) for f in _LEG_LEAVES),
+        tuple(getattr(leg, f) for f in _LEG_AUX),
+    )
+
+
+def _leg_unflatten(aux, children):
+    kw = dict(zip(_LEG_LEAVES, children))
+    kw.update(dict(zip(_LEG_AUX, aux)))
+    return DeviceLegTensors(**kw)
+
+
+def _register_leg_pytree():
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        DeviceLegTensors, _leg_flatten, _leg_unflatten
+    )
+
+
+_register_leg_pytree()
+
+
+def _netting_mtm_kernel(curves, legs, scales):
+    total = None
+    for leg_t, scale in zip(legs, scales):
+        piece = _leg_mtm(leg_t, curves) * scale
+        total = piece if total is None else total + piece
+    return total.T  # (n_paths, n_times)
+
+
+_netting_mtm_jit = None
+
+
+def _netting_mtm(curves, legs, scales):
+    global _netting_mtm_jit
+    if _netting_mtm_jit is None:
+        import jax
+
+        _netting_mtm_jit = jax.jit(_netting_mtm_kernel)
+    return _netting_mtm_jit(curves, legs, scales)
+
+
+# leg tensors are pure functions of (instrument, dates, tenors): cache them
+# so steady-state pipeline calls skip the host schedule/weight rebuild.
+_LEG_CACHE: Dict[tuple, tuple] = {}
+
+
+def _legs_for(instruments, dates, tenors):
+    key = (
+        tuple(id(i) for i in instruments),
+        tuple(dates),
+        np.asarray(tenors).tobytes(),
+    )
+    hit = _LEG_CACHE.get(key)
+    if hit is not None and all(a is b for a, b in zip(hit[0], instruments)):
+        return hit[1]
+    legs = tuple(
+        leg_t
+        for inst in instruments
+        for leg_t in build_irswap_tensors(inst, list(dates), np.asarray(tenors))
+    )
+    _LEG_CACHE[key] = (tuple(instruments), legs)
+    if len(_LEG_CACHE) > 64:
+        _LEG_CACHE.pop(next(iter(_LEG_CACHE)))
+    return legs
+
+
 class DeviceExposureEngine:
     """All-dates exposure for device-expressible netting sets.
 
@@ -332,27 +426,22 @@ class DeviceExposureEngine:
         self.tenors = np.asarray(tenors, dtype=np.float64)
 
     def mtm(self, instruments: Sequence[IRSwap], notional_scales=None):
-        """(n_paths, n_times) netting-set MTM as one jitted program."""
-        import jax
+        """(n_paths, n_times) netting-set MTM as one jitted program.
+
+        Leg tensors are cached per (instruments, dates, tenors) and passed
+        to one module-level jitted kernel as pytree arguments, so repeated
+        calls (a pricing service, the CVA pipeline) pay host cost once.
+        """
         import jax.numpy as jnp
 
-        legs: List[DeviceLegTensors] = []
-        scales: List[float] = []
+        legs = _legs_for(tuple(instruments), self.dates, self.tenors)
         notional_scales = notional_scales or [1.0] * len(instruments)
-        for inst, scale in zip(instruments, notional_scales):
-            for leg_t in build_irswap_tensors(inst, self.dates, self.tenors):
-                legs.append(leg_t)
-                scales.append(float(scale))
-
-        def kernel(curve_arrays):
-            total = None
-            for leg_t, scale in zip(legs, scales):
-                piece = _leg_mtm(leg_t, curve_arrays) * scale
-                total = piece if total is None else total + piece
-            return total.T  # (n_paths, n_times)
-
+        scales = jnp.asarray(
+            [float(s) for s, inst in zip(notional_scales, instruments)
+             for _ in range(2)]
+        )
         curve_dev = {k: jnp.asarray(v) for k, v in self.curves.items()}
-        return jax.jit(kernel)(curve_dev)
+        return _netting_mtm(curve_dev, legs, scales)
 
     def compute(
         self, instruments: Sequence[IRSwap], netting_set_id: str = "NS",
