@@ -7,7 +7,11 @@ workload the VERDICT specifies — n_paths x ~61 monthly dates x an
 IRSwap + EquityTRS + IndexLinkedSwap netting set — and reports
 paths*dates*trades NPV-evaluations per second.
 
-Usage: python examples/exposure_bench.py [n_paths] [--profile]
+Usage: python examples/exposure_bench.py [n_paths] [--profile | --device]
+
+``--device`` additionally runs the device-resident fast path
+(xva/device_exposure.py) on an IRSwap-only netting set and reports its
+throughput next to the host engine's (see docs/PERF_NOTES.md).
 """
 from __future__ import annotations
 
@@ -142,6 +146,43 @@ def main() -> None:
         )
         print("EE[0], EE[-1]:", prof.ee()[0], prof.ee()[-1])
         assert np.isfinite(prof.mtm).all()
+
+    if "--device" in sys.argv:
+        from finite_difference_tpu.xva.device_exposure import DeviceExposureEngine
+
+        import jax.numpy as jnp
+
+        swaps = [t.instrument for t in ns.trades if type(t.instrument).__name__ == "IRSwap"]
+        # device-resident cube (f32): upload ONCE — re-shipping it through
+        # the tunnel per call costs more than the whole computation
+        arrays = {
+            "ZAR-SWAP": jnp.asarray(
+                np.asarray(
+                    [cube.get_time_slice(t)["ZAR-SWAP"].values for t in range(cube.n_times)],
+                    dtype=np.float32,
+                )
+            )
+        }
+        dev = DeviceExposureEngine(list(cube.dates), arrays, TENORS)
+        from finite_difference_tpu.xva.cva import exposure_profile
+
+        times_days = np.arange(cube.n_times, dtype=float) * 30.0
+
+        def run_dev():
+            # serving shape: mtm stays on device; only the EE/PFE profile
+            # (n_times-sized) is materialized
+            return exposure_profile(times_days, dev.mtm(swaps).T)
+
+        p = run_dev()  # compile + first
+        t0 = time.perf_counter()
+        for _ in range(5):
+            p = run_dev()
+        per = (time.perf_counter() - t0) / 5
+        evals = n_paths * cube.n_times * len(swaps)
+        print(
+            f"device path (IRSwap only, EE/PFE materialized): {per*1e3:.1f} ms"
+            f" = {evals/per/1e6:.0f}M NPVs/s; EE[0]={p.ee[0]:.2f}"
+        )
 
 
 if __name__ == "__main__":
