@@ -72,21 +72,29 @@ def _weights_for(tenors: np.ndarray, tq: np.ndarray, Tm) -> np.ndarray:
     return _hermite_rt_weights(tenors, tq, tangent_mat=Tm)
 
 
-def build_irswap_leg_tensors(
-    swap: IRSwap,
+def build_leg_tensors(
     schedule,
     leg: SwapLeg,
     sign: float,
     scenario_dates: Sequence[dt.date],
     tenors: np.ndarray,
+    *,
+    sc: ScheduleConfig,
+    notional: float,
+    discount_name: str,
+    include_on,
 ) -> DeviceLegTensors:
-    """Precompute the leg's schedule/interpolation tensors (host)."""
+    """Precompute a swap leg's schedule/interpolation tensors (host).
+
+    ``include_on(d)`` -> bool: whether pay_date == d cashflows count
+    (instrument-specific: IRSwap includes the terminal date, EquityTRS
+    follows its include_sim_date_cashflows flag only).
+    """
     if leg.overnight_compounding or leg.reset_frequency_months > 0:
         raise NotImplementedError(
             "device exposure path supports fixed and simple-forward floating "
             "legs; OIS/compounded legs use the generic ExposureEngine"
         )
-    sc: ScheduleConfig = swap.schedule_config
     dates = list(scenario_dates)
     n_times = len(dates)
     m = len(schedule)
@@ -123,7 +131,7 @@ def build_irswap_leg_tensors(
         fix_row = np.zeros(m, dtype=np.int64)
 
     for t_idx, d in enumerate(dates):
-        include = swap.include_sim_date_cashflows or d == swap._effective_maturity
+        include = include_on(d)
         for i, (p_start, p_end, pay, acc) in enumerate(schedule):
             live[t_idx, i] = pay > d or (pay == d and include)
             t_pay[t_idx, i] = max(0.0, sc.curve_year_fraction(d, pay))
@@ -171,9 +179,9 @@ def build_irswap_leg_tensors(
 
     return DeviceLegTensors(
         curve_name=leg.curve_name or "",
-        discount_name=swap.discount_curve_name,
+        discount_name=discount_name,
         sign=sign,
-        notional=float(swap.notional),
+        notional=float(notional),
         spread=float(leg.spread),
         fixed_rate=float(leg.fixed_rate),
         is_fixed=leg.leg_type == LegType.FIXED,
@@ -188,13 +196,22 @@ def build_irswap_leg_tensors(
 def build_irswap_tensors(
     swap: IRSwap, scenario_dates: Sequence[dt.date], tenors: np.ndarray
 ) -> List[DeviceLegTensors]:
-    return [
-        build_irswap_leg_tensors(
-            swap, swap.receive_schedule, swap.receive_leg, +1.0,
-            scenario_dates, tenors,
+    common = dict(
+        sc=swap.schedule_config,
+        notional=swap.notional,
+        discount_name=swap.discount_curve_name,
+        include_on=lambda d: (
+            swap.include_sim_date_cashflows or d == swap._effective_maturity
         ),
-        build_irswap_leg_tensors(
-            swap, swap.pay_schedule, swap.pay_leg, -1.0, scenario_dates, tenors
+    )
+    return [
+        build_leg_tensors(
+            swap.receive_schedule, swap.receive_leg, +1.0,
+            scenario_dates, tenors, **common,
+        ),
+        build_leg_tensors(
+            swap.pay_schedule, swap.pay_leg, -1.0, scenario_dates, tenors,
+            **common,
         ),
     ]
 
@@ -330,43 +347,285 @@ def hw1f_cva_pipeline(
     }
 
 
-# DeviceLegTensors as a pytree: arrays are leaves (so the jitted netting
-# kernel takes them as ARGUMENTS — no giant baked-in constants, no
+@dataclass
+class DeviceTRSTensors:
+    """Host-precomputed tensors for an EquityTRS return leg.
+
+    Mirrors instruments.equity_pv.trs_return_leg_pv period cases on the
+    (n_times, m) grid: future periods use cost-of-carry forwards
+    F = spot * exp((rc_q t_q - rc_0 t_0) - (rd_q t_q - rd_0 t_0)); started
+    periods use the engine-stamped spot (linear state interpolation to the
+    reset date = a two-row gather + lerp on device).
+    """
+
+    spot_name: str
+    carry_name: str
+    div_name: str
+    discount_name: str
+    sign: float                      # +receiver / -payer (return leg sign)
+    quantity: float
+    notional_fixed: float
+    price_scaling: bool              # True: quantity*(Fe-Fs); False: N*(Fe/Fs-1)
+    initial_price: float             # fallback when period-0 start predates cube
+    has_initial_price: bool
+    live: np.ndarray                 # (n_times, m)
+    first_live: np.ndarray           # (n_times, m) one-hot first outstanding
+    start_future: np.ndarray         # (n_times, m) settled start > d
+    end_future: np.ndarray           # (n_times, m)
+    t_pay: np.ndarray                # (n_times, m)
+    W_disc: np.ndarray               # (n_times, n_tenors, m)
+    # forward queries (anchor t0 = settle lag from each date)
+    q_start: np.ndarray              # (n_times, m) query yf incl. settle
+    q_end: np.ndarray                # (n_times, m)
+    t0: np.ndarray                   # (n_times,) settle anchor yf
+    Wc_start: np.ndarray             # (n_times, n_tenors, m) carry @ q_start
+    Wc_end: np.ndarray
+    Wd_start: np.ndarray             # dividend @ q_start
+    Wd_end: np.ndarray
+    Wc_t0: np.ndarray                # (n_times, n_tenors, 1) anchors
+    Wd_t0: np.ndarray
+    # stamped spot gathers: rows i0/i1 + lerp alpha per period start/end
+    s_row0: np.ndarray               # (m,) int
+    s_row1: np.ndarray
+    s_alpha: np.ndarray              # (m,)
+    s_valid: np.ndarray              # (m,) raw start >= dates[0]
+    e_row0: np.ndarray
+    e_row1: np.ndarray
+    e_alpha: np.ndarray
+
+
+def _interp_rows(dates, d):
+    """(i0, i1, alpha) reproducing _interp_scenario_state at date d."""
+    i0 = max(0, bisect_right(dates, d) - 1)
+    i1 = min(i0 + 1, len(dates) - 1)
+    if i1 == i0 or dates[i0] == d:
+        return i0, i0, 0.0
+    span = (dates[i1] - dates[i0]).days
+    alpha = (d - dates[i0]).days / span if span else 0.0
+    return i0, i1, float(min(max(alpha, 0.0), 1.0))
+
+
+def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray):
+    """[return-leg DeviceTRSTensors, interest-leg DeviceLegTensors]."""
+    if trs.interest_nominal_scaling == "Price":
+        raise NotImplementedError(
+            "device path supports interest_nominal_scaling='Initial Price'; "
+            "'Price' (equity-forward notionals) uses the generic engine"
+        )
+    sc = trs.schedule_config
+    dates = list(scenario_dates)
+    n_times = len(dates)
+    schedule = trs.return_schedule
+    m = len(schedule)
+    Tm = _tangent_matrix(tenors) if tenors.size > 1 else None
+    direction = 1.0 if trs.is_receiver else -1.0
+
+    live = np.zeros((n_times, m), dtype=bool)
+    t_pay = np.zeros((n_times, m))
+    start_future = np.zeros((n_times, m), dtype=bool)
+    end_future = np.zeros((n_times, m), dtype=bool)
+    q_start = np.zeros((n_times, m))
+    q_end = np.zeros((n_times, m))
+    t0 = np.zeros(n_times)
+
+    settled = [(trs._settled(st), trs._settled(en)) for st, en, _, _ in schedule]
+    for t_idx, d in enumerate(dates):
+        if d >= trs.maturity_date:
+            continue  # scenario_npvs returns 0 past maturity
+        if trs.spot_lag > 0:
+            vs = sc.cal.add_working_days(d, trs.spot_lag)
+            t0[t_idx] = sc.curve_year_fraction(d, vs)
+        for i, ((st, en, pay, acc), (st_s, en_s)) in enumerate(zip(schedule, settled)):
+            live[t_idx, i] = pay > d or (
+                pay == d and trs.include_sim_date_cashflows
+            )
+            t_pay[t_idx, i] = max(0.0, sc.curve_year_fraction(d, pay))
+            ts = (1 if st_s >= d else -1) * sc.curve_year_fraction(
+                min(st_s, d), max(st_s, d)
+            )
+            te = (1 if en_s >= d else -1) * sc.curve_year_fraction(
+                min(en_s, d), max(en_s, d)
+            )
+            start_future[t_idx, i] = ts > 0
+            end_future[t_idx, i] = te > 0
+            q_start[t_idx, i] = max(ts + t0[t_idx], t0[t_idx], 0.0)
+            q_end[t_idx, i] = max(te + t0[t_idx], t0[t_idx], 0.0)
+
+    first_live = np.zeros_like(live)
+    for t_idx in range(n_times):
+        idx = np.argmax(live[t_idx]) if live[t_idx].any() else None
+        if idx is not None:
+            first_live[t_idx, idx] = True
+
+    stack_w = lambda tq: np.stack(
+        [_weights_for(tenors, tq[t], Tm) for t in range(n_times)]
+    )
+    W_disc = stack_w(t_pay)
+    Wc_start = stack_w(q_start)
+    Wc_end = stack_w(q_end)
+    Wt0 = np.stack(
+        [_weights_for(tenors, np.array([t0[t]]), Tm) for t in range(n_times)]
+    )
+
+    s_row0 = np.zeros(m, dtype=np.int64)
+    s_row1 = np.zeros(m, dtype=np.int64)
+    s_alpha = np.zeros(m)
+    s_valid = np.zeros(m, dtype=bool)
+    e_row0 = np.zeros(m, dtype=np.int64)
+    e_row1 = np.zeros(m, dtype=np.int64)
+    e_alpha = np.zeros(m)
+    for i, (st, en, _, _) in enumerate(schedule):
+        s_row0[i], s_row1[i], s_alpha[i] = _interp_rows(dates, st)
+        s_valid[i] = st >= dates[0]
+        e_row0[i], e_row1[i], e_alpha[i] = _interp_rows(dates, en)
+
+    ret = DeviceTRSTensors(
+        spot_name=trs.spot_name,
+        carry_name=trs.carry_curve_name,
+        div_name=trs.dividend_curve_name,
+        discount_name=trs.discount_curve_name,
+        sign=direction,
+        quantity=float(trs.quantity),
+        notional_fixed=float(trs.notional),
+        price_scaling=trs.return_nominal_scaling == "Price",
+        initial_price=float(trs.initial_price or 0.0),
+        has_initial_price=trs.initial_price is not None,
+        live=live, first_live=first_live,
+        start_future=start_future, end_future=end_future,
+        t_pay=t_pay, W_disc=W_disc,
+        q_start=q_start, q_end=q_end, t0=t0,
+        Wc_start=Wc_start, Wc_end=Wc_end,
+        Wd_start=Wc_start, Wd_end=Wc_end,  # same query times; dims via curve
+        Wc_t0=Wt0, Wd_t0=Wt0,
+        s_row0=s_row0, s_row1=s_row1, s_alpha=s_alpha, s_valid=s_valid,
+        e_row0=e_row0, e_row1=e_row1, e_alpha=e_alpha,
+    )
+
+    # interest leg: fixed-notional ("Initial Price" scaling) generic leg;
+    # NO pay==maturity inclusion rule, and zero past maturity
+    interest = build_leg_tensors(
+        trs.interest_schedule, trs.interest_leg, -direction,
+        scenario_dates, tenors,
+        sc=sc, notional=trs.notional, discount_name=trs.discount_curve_name,
+        include_on=lambda d: trs.include_sim_date_cashflows,
+    )
+    # zero the interest leg past maturity to match scenario_npvs
+    mat_mask = np.array([d < trs.maturity_date for d in dates], dtype=bool)
+    interest.live = interest.live & mat_mask[:, None]
+    return [ret, interest]
+
+
+def _trs_mtm(trs_t: DeviceTRSTensors, curves, scalars):
+    """(n_times, n_paths) return-leg MTM; pure jnp."""
+    import jax.numpy as jnp
+
+    spot = scalars[trs_t.spot_name]              # (n_times, n_paths)
+    carry = curves[trs_t.carry_name]             # (n_times, n_paths, n_tenors)
+    div = curves.get(trs_t.div_name)
+    disc = curves[trs_t.discount_name]
+
+    r_pay = jnp.einsum("tpn,tnm->tpm", disc, jnp.asarray(trs_t.W_disc))
+    df_pay = jnp.exp(-r_pay * jnp.asarray(trs_t.t_pay)[:, None, :])
+
+    def log_growth(cube, W_q, q, W_0):
+        r_q = jnp.einsum("tpn,tnm->tpm", cube, jnp.asarray(W_q))
+        r_0 = jnp.einsum("tpn,tnm->tpm", cube, jnp.asarray(W_0))[:, :, :1]
+        return r_q * jnp.asarray(q)[:, None, :] - r_0 * jnp.asarray(
+            trs_t.t0
+        )[:, None, None]
+
+    g_start = log_growth(carry, trs_t.Wc_start, trs_t.q_start, trs_t.Wc_t0)
+    g_end = log_growth(carry, trs_t.Wc_end, trs_t.q_end, trs_t.Wc_t0)
+    if div is not None:
+        g_start = g_start - log_growth(div, trs_t.Wd_start, trs_t.q_start, trs_t.Wd_t0)
+        g_end = g_end - log_growth(div, trs_t.Wd_end, trs_t.q_end, trs_t.Wd_t0)
+    f_start_fwd = spot[:, :, None] * jnp.exp(g_start)
+    f_end_fwd = spot[:, :, None] * jnp.exp(g_end)
+
+    def stamped(rows0, rows1, alpha):
+        s0 = spot[jnp.asarray(rows0)]            # (m, n_paths)
+        s1 = spot[jnp.asarray(rows1)]
+        a = jnp.asarray(alpha)[:, None]
+        return ((1.0 - a) * s0 + a * s1).T       # (n_paths, m)
+
+    stamped_start = stamped(trs_t.s_row0, trs_t.s_row1, trs_t.s_alpha)
+    stamped_end = stamped(trs_t.e_row0, trs_t.e_row1, trs_t.e_alpha)
+
+    first = jnp.asarray(trs_t.first_live)[:, None, :]
+    s_valid = jnp.asarray(trs_t.s_valid)[None, None, :]
+    # first outstanding started period: engine-stamped spot at the raw
+    # start (linear state interp); if the start predates the cube, the
+    # scalar initial_price (else today's spot). Other started periods:
+    # today's spot (trs_return_leg_pv:125-132).
+    fallback_first = (
+        jnp.broadcast_to(jnp.asarray(trs_t.initial_price), spot[:, :, None].shape)
+        if trs_t.has_initial_price
+        else spot[:, :, None]
+    )
+    started_start = jnp.where(
+        first & s_valid,
+        stamped_start[None, :, :],
+        jnp.where(first, fallback_first, spot[:, :, None]),
+    )
+    f_start = jnp.where(
+        jnp.asarray(trs_t.start_future)[:, None, :], f_start_fwd, started_start
+    )
+    f_end = jnp.where(
+        jnp.asarray(trs_t.end_future)[:, None, :],
+        f_end_fwd,
+        stamped_end[None, :, :],
+    )
+
+    if trs_t.price_scaling:
+        payoff = trs_t.quantity * (f_end - f_start)
+    else:
+        safe = jnp.where(f_start == 0.0, 1.0, f_start)
+        payoff = trs_t.notional_fixed * (f_end / safe - 1.0)
+
+    live = jnp.asarray(trs_t.live)[:, None, :]
+    return jnp.sum(df_pay * payoff * live, axis=2) * trs_t.sign
+
+
+# Leg/TRS tensor dataclasses as pytrees: arrays are leaves (so the jitted
+# netting kernel takes them as ARGUMENTS — no giant baked-in constants, no
 # retrace per call), names/flags are static aux data.
 _LEG_AUX = ("curve_name", "discount_name", "is_fixed")
-_LEG_LEAVES = tuple(
-    f for f in DeviceLegTensors.__dataclass_fields__ if f not in _LEG_AUX
+_TRS_AUX = (
+    "spot_name", "carry_name", "div_name", "discount_name",
+    "price_scaling", "has_initial_price",
 )
 
 
-def _leg_flatten(leg: DeviceLegTensors):
-    return (
-        tuple(getattr(leg, f) for f in _LEG_LEAVES),
-        tuple(getattr(leg, f) for f in _LEG_AUX),
-    )
-
-
-def _leg_unflatten(aux, children):
-    kw = dict(zip(_LEG_LEAVES, children))
-    kw.update(dict(zip(_LEG_AUX, aux)))
-    return DeviceLegTensors(**kw)
-
-
-def _register_leg_pytree():
+def _make_pytree(cls, aux_names):
     import jax
 
-    jax.tree_util.register_pytree_node(
-        DeviceLegTensors, _leg_flatten, _leg_unflatten
-    )
+    leaves = tuple(f for f in cls.__dataclass_fields__ if f not in aux_names)
+
+    def flatten(obj):
+        return (
+            tuple(getattr(obj, f) for f in leaves),
+            tuple(getattr(obj, f) for f in aux_names),
+        )
+
+    def unflatten(aux, children):
+        kw = dict(zip(leaves, children))
+        kw.update(dict(zip(aux_names, aux)))
+        return cls(**kw)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
 
 
-_register_leg_pytree()
+_make_pytree(DeviceLegTensors, _LEG_AUX)
+_make_pytree(DeviceTRSTensors, _TRS_AUX)
 
 
-def _netting_mtm_kernel(curves, legs, scales):
+def _netting_mtm_kernel(curves, scalars, legs, scales):
     total = None
     for leg_t, scale in zip(legs, scales):
-        piece = _leg_mtm(leg_t, curves) * scale
+        if isinstance(leg_t, DeviceTRSTensors):
+            piece = _trs_mtm(leg_t, curves, scalars) * scale
+        else:
+            piece = _leg_mtm(leg_t, curves) * scale
         total = piece if total is None else total + piece
     return total.T  # (n_paths, n_times)
 
@@ -374,13 +633,13 @@ def _netting_mtm_kernel(curves, legs, scales):
 _netting_mtm_jit = None
 
 
-def _netting_mtm(curves, legs, scales):
+def _netting_mtm(curves, scalars, legs, scales):
     global _netting_mtm_jit
     if _netting_mtm_jit is None:
         import jax
 
         _netting_mtm_jit = jax.jit(_netting_mtm_kernel)
-    return _netting_mtm_jit(curves, legs, scales)
+    return _netting_mtm_jit(curves, scalars, legs, scales)
 
 
 # leg tensors are pure functions of (instrument, dates, tenors): cache them
@@ -400,7 +659,7 @@ def _legs_for(instruments, dates, tenors):
     legs = tuple(
         leg_t
         for inst in instruments
-        for leg_t in build_irswap_tensors(inst, list(dates), np.asarray(tenors))
+        for leg_t in _build_instrument_tensors(inst, list(dates), np.asarray(tenors))
     )
     _LEG_CACHE[key] = (tuple(instruments), legs)
     if len(_LEG_CACHE) > 64:
@@ -408,11 +667,25 @@ def _legs_for(instruments, dates, tenors):
     return legs
 
 
+def _build_instrument_tensors(inst, dates, tenors):
+    from ..instruments.equity_trs import EquityTRS
+
+    if isinstance(inst, EquityTRS):
+        return build_trs_tensors(inst, dates, tenors)
+    if isinstance(inst, IRSwap):
+        return build_irswap_tensors(inst, dates, tenors)
+    raise NotImplementedError(
+        f"device exposure path does not support {type(inst).__name__}; "
+        "use the generic ExposureEngine"
+    )
+
+
 class DeviceExposureEngine:
     """All-dates exposure for device-expressible netting sets.
 
     ``curves``: dict name -> (n_times, n_paths, n_tenors) cube array (numpy
-    or jax; stays wherever it lives). ``tenors``: shared tenor grid.
+    or jax; stays wherever it lives); ``scalars``: dict name ->
+    (n_times, n_paths) spot/FX factors. ``tenors``: shared tenor grid.
     """
 
     def __init__(
@@ -420,9 +693,11 @@ class DeviceExposureEngine:
         scenario_dates: Sequence[dt.date],
         curves: Dict[str, np.ndarray],
         tenors: np.ndarray,
+        scalars: Optional[Dict[str, np.ndarray]] = None,
     ) -> None:
         self.dates = list(scenario_dates)
         self.curves = curves
+        self.scalars = scalars or {}
         self.tenors = np.asarray(tenors, dtype=np.float64)
 
     def mtm(self, instruments: Sequence[IRSwap], notional_scales=None):
@@ -441,7 +716,8 @@ class DeviceExposureEngine:
              for _ in range(2)]
         )
         curve_dev = {k: jnp.asarray(v) for k, v in self.curves.items()}
-        return _netting_mtm(curve_dev, legs, scales)
+        scalar_dev = {k: jnp.asarray(v) for k, v in self.scalars.items()}
+        return _netting_mtm(curve_dev, scalar_dev, legs, scales)
 
     def compute(
         self, instruments: Sequence[IRSwap], netting_set_id: str = "NS",

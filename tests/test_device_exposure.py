@@ -131,3 +131,73 @@ class TestHW1FPipeline:
         np.testing.assert_allclose(
             np.asarray(out["mtm"]), generic.mtm, rtol=1e-9, atol=1e-5
         )
+
+
+class TestDeviceTRS:
+    def _trs(self, scaling="Price", lag=0, receiver=True):
+        from finite_difference_tpu.instruments.equity_trs import EquityTRS
+
+        return EquityTRS(
+            name="trs",
+            effective_date=VAL,
+            maturity_date=dt.date(2027, 7, 28),
+            quantity=1000.0,
+            notional=100_000.0,
+            interest_leg=SwapLeg(
+                LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP", spread=0.01
+            ),
+            spot_name="EQ.SPOT",
+            carry_curve_name="ZAR-SWAP",
+            dividend_curve_name="EQ.DIV",
+            discount_curve_name="ZAR-SWAP",
+            initial_price=100.0,
+            return_nominal_scaling=scaling,
+            spot_lag=lag,
+            is_receiver=receiver,
+        )
+
+    def _market(self, n_times=26, n_paths=32, seed=3):
+        rng = np.random.default_rng(seed)
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        t = np.arange(n_times)[:, None, None]
+        swap = 0.075 + 0.0005 * t + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+        div = np.full((n_times, n_paths, TENORS.size), 0.02)
+        eq = 100.0 * np.exp(rng.normal(0.002, 0.05, (n_times, n_paths)).cumsum(axis=0))
+        return dates, {"ZAR-SWAP": swap, "EQ.DIV": div}, {"EQ.SPOT": eq}
+
+    def _compare(self, trs, rtol=1e-10, atol=1e-5):
+        dates, curves, scalars = self._market()
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", curves["ZAR-SWAP"], TENORS),
+                "EQ.DIV": ("curve", curves["EQ.DIV"], TENORS),
+                "EQ.SPOT": ("scalar", scalars["EQ.SPOT"]),
+            },
+        )
+        generic = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(trs, "T1")])
+        )
+        dev = DeviceExposureEngine(dates, curves, TENORS, scalars=scalars)
+        mtm = np.asarray(dev.mtm([trs]))
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=rtol, atol=atol)
+
+    def test_price_scaling_matches_generic(self):
+        self._compare(self._trs(scaling="Price"))
+
+    def test_initial_price_scaling_matches_generic(self):
+        self._compare(self._trs(scaling="Initial Price"))
+
+    def test_payer_direction(self):
+        self._compare(self._trs(receiver=False))
+
+    def test_spot_lag(self):
+        self._compare(self._trs(lag=3))
+
+    def test_price_interest_scaling_rejected(self):
+        from finite_difference_tpu.xva.device_exposure import build_trs_tensors
+
+        trs = self._trs()
+        trs.interest_nominal_scaling = "Price"
+        with pytest.raises(NotImplementedError):
+            build_trs_tensors(trs, [VAL], TENORS)

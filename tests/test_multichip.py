@@ -128,6 +128,57 @@ class TestMultichip:
         assert "SHARDED_OK" in out.stdout, out.stderr[-2000:]
 
 
+class TestShardedDeviceExposure:
+    def test_path_sharded_exposure_matches_unsharded(self):
+        """DeviceExposureEngine with the cube's path axis sharded over an
+        8-device mesh == unsharded output (embarrassingly parallel)."""
+        out = _run(
+            textwrap.dedent(
+                """
+                import datetime as dt
+                import jax
+                jax.config.update("jax_platforms", "cpu")
+                jax.config.update("jax_enable_x64", True)
+                import numpy as np, jax.numpy as jnp
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from finite_difference_tpu.instruments.cashflow import LegType, SwapLeg
+                from finite_difference_tpu.instruments.ir_swap import IRSwap
+                from finite_difference_tpu.parallel import make_mesh
+                from finite_difference_tpu.xva.device_exposure import (
+                    DeviceExposureEngine,
+                )
+
+                VAL = dt.date(2025, 7, 28)
+                TENORS = np.array([0.25, 0.5, 1.0, 2.0, 3.0, 5.0])
+                rng = np.random.default_rng(0)
+                n_times, n_paths = 14, 64
+                dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+                cube = 0.07 + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+                swap = IRSwap(
+                    name="irs", effective_date=VAL,
+                    maturity_date=dt.date(2026, 7, 28), notional=1e6,
+                    receive_leg=SwapLeg(LegType.FLOATING, frequency=3, curve_name="C"),
+                    pay_leg=SwapLeg(LegType.FIXED, frequency=3, fixed_rate=0.075),
+                    discount_curve_name="C",
+                )
+                plain = np.asarray(
+                    DeviceExposureEngine(dates, {"C": cube}, TENORS).mtm([swap])
+                )
+                mesh = make_mesh(8, axis_names=("data",))
+                sharded_cube = jax.device_put(
+                    jnp.asarray(cube), NamedSharding(mesh, P(None, "data", None))
+                )
+                sharded = np.asarray(
+                    DeviceExposureEngine(dates, {"C": sharded_cube}, TENORS).mtm([swap])
+                )
+                np.testing.assert_allclose(sharded, plain, rtol=1e-12)
+                print("DEV_EXPO_SHARDED_OK")
+                """
+            )
+        )
+        assert "DEV_EXPO_SHARDED_OK" in out.stdout, out.stderr[-2000:]
+
+
 class TestShardedReductions:
     def test_mean_stderr_matches_numpy(self):
         out = _run(
