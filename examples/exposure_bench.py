@@ -10,8 +10,9 @@ paths*dates*trades NPV-evaluations per second.
 Usage: python examples/exposure_bench.py [n_paths] [--profile | --device]
 
 ``--device`` additionally runs the device-resident fast path
-(xva/device_exposure.py) on an IRSwap-only netting set and reports its
-throughput next to the host engine's (see docs/PERF_NOTES.md).
+(xva/device_exposure.py) on the SAME full netting set (IRSwap + EquityTRS
++ IndexLinkedSwap are all device-expressible) and reports its throughput
+next to the host engine's (see docs/PERF_NOTES.md).
 """
 from __future__ import annotations
 
@@ -152,18 +153,20 @@ def main() -> None:
 
         import jax.numpy as jnp
 
-        swaps = [t.instrument for t in ns.trades if type(t.instrument).__name__ == "IRSwap"]
+        swaps = [t.instrument for t in ns.trades]
         # device-resident cube (f32): upload ONCE — re-shipping it through
         # the tunnel per call costs more than the whole computation
-        arrays = {
-            "ZAR-SWAP": jnp.asarray(
-                np.asarray(
-                    [cube.get_time_slice(t)["ZAR-SWAP"].values for t in range(cube.n_times)],
-                    dtype=np.float32,
-                )
+        def pull(name):
+            return np.asarray(
+                [cube.get_time_slice(t)[name].values for t in range(cube.n_times)],
+                dtype=np.float32,
             )
-        }
-        dev = DeviceExposureEngine(list(cube.dates), arrays, TENORS)
+
+        arrays = {k: jnp.asarray(pull(k)) for k in ("ZAR-SWAP", "INFL.ZA", "EQ.DIV")}
+        scalars = {k: jnp.asarray(pull(k)) for k in ("CPI.ZA", "EQ.SPOT")}
+        dev = DeviceExposureEngine(
+            list(cube.dates), arrays, TENORS, scalars=scalars
+        )
         from finite_difference_tpu.xva.cva import exposure_profile
 
         times_days = np.arange(cube.n_times, dtype=float) * 30.0
@@ -180,7 +183,7 @@ def main() -> None:
         per = (time.perf_counter() - t0) / 5
         evals = n_paths * cube.n_times * len(swaps)
         print(
-            f"device path (IRSwap only, EE/PFE materialized): {per*1e3:.1f} ms"
+            f"device path (full netting set, EE/PFE materialized): {per*1e3:.1f} ms"
             f" = {evals/per/1e6:.0f}M NPVs/s; EE[0]={p.ee[0]:.2f}"
         )
 

@@ -586,6 +586,233 @@ def _trs_mtm(trs_t: DeviceTRSTensors, curves, scalars):
     return jnp.sum(df_pay * payoff * live, axis=2) * trs_t.sign
 
 
+@dataclass
+class DeviceILSTensors:
+    """Host-precomputed tensors for an IndexLinkedSwap inflation leg
+    (RiskFlow mode: PriceIndex scalar + InflationRate curve).
+
+    The engine's CPI stamping collapses to a per-reference-date rule: a
+    non-historical ref k is stamped ONCE, either by the T_last_pub
+    pre-seed (spot CPI at the first row d* >= k, when last_pub(d*) == k)
+    or by due-stamping (state linearly interpolated to k) — both are a
+    two-row gather + lerp of the CPI scalar cube. Unpublished refs project
+    anchor_CPI(t) / DF_infl^t(yf(anchor(t), k)) with anchor(t) =
+    T_last_pub(t), itself one of the stamped refs.
+    """
+
+    cpi_name: str
+    infl_name: str
+    discount_name: str
+    sign: float
+    notional: float
+    real_rate: float
+    base_cpi: float
+    pay_notional_at_maturity: bool
+    live: np.ndarray                 # (n_times, m)
+    is_last_pay: np.ndarray          # (m,)
+    accrual: np.ndarray              # (m,)
+    t_pay: np.ndarray                # (n_times, m)
+    W_disc: np.ndarray               # (n_times, n_tenors, m)
+    # unique refs (brackets + anchors), K of them
+    ref_row0: np.ndarray             # (K,) stamped-value gather rows
+    ref_row1: np.ndarray
+    ref_alpha: np.ndarray            # (K,)
+    ref_hist: np.ndarray             # (K,) bool: value from hist_map
+    ref_hist_val: np.ndarray         # (K,)
+    pub_mask: np.ndarray             # (n_times, K) ref published at t
+    anchor_idx: np.ndarray           # (n_times,) index into K of anchor(t)
+    W_infl: np.ndarray               # (n_times, n_tenors, K) proj queries
+    t_proj: np.ndarray               # (n_times, K) yf(anchor(t), k)
+    j_idx: np.ndarray                # (m,) bracket j index into K
+    j1_idx: np.ndarray               # (m,)
+    frac: np.ndarray                 # (m,) intramonth weight
+
+
+def build_ils_tensors(ils, scenario_dates: Sequence[dt.date], tenors: np.ndarray):
+    """[inflation-leg DeviceILSTensors, nominal-leg DeviceLegTensors]."""
+    from ..market_data.cpi import besa_bracket
+    import calendar as _cal
+
+    leg = ils.inflation_leg
+    if not leg.inflation_rate_curve_name:
+        raise NotImplementedError(
+            "device ILS path needs RiskFlow mode (inflation_rate_curve_name); "
+            "legacy CPI-term-structure mode uses the generic engine"
+        )
+    sc = ils.schedule_config
+    dates = list(scenario_dates)
+    n_times = len(dates)
+    schedule = ils.inflation_schedule
+    m = len(schedule)
+    Tm = _tangent_matrix(tenors) if tenors.size > 1 else None
+    sign = 1.0 if ils.inflation_receiver else -1.0
+    hist = ils._historical_cpi_map
+
+    live = np.zeros((n_times, m), dtype=bool)
+    t_pay = np.zeros((n_times, m))
+    last_pay = max(p for _, _, p, _ in schedule)
+    is_last_pay = np.array([p == last_pay for _, _, p, _ in schedule])
+    accrual = np.array([a for _, _, _, a in schedule])
+
+    for t_idx, d in enumerate(dates):
+        if d > ils._effective_maturity:
+            continue
+        for i, (p_start, p_end, pay, acc) in enumerate(schedule):
+            live[t_idx, i] = pay > d or (
+                pay == d and ils.include_sim_date_cashflows
+            )
+            t_pay[t_idx, i] = max(0.0, sc.curve_year_fraction(d, pay))
+    W_disc = np.stack(
+        [_weights_for(tenors, t_pay[t], Tm) for t in range(n_times)]
+    )
+
+    # unique refs: bracket dates + every anchor T_last_pub(t)
+    anchors = [ils.get_cpi_last_pub_date(d) for d in dates]
+    brackets = []
+    frac = np.zeros(m)
+    for i, (_, p_end, _, _) in enumerate(schedule):
+        j, j1 = besa_bracket(p_end, leg.lag_months)
+        brackets.append((j, j1))
+        frac[i] = (p_end.day - 1) / _cal.monthrange(p_end.year, p_end.month)[1]
+    bracket_refs = {k for j, j1 in brackets for k in (j, j1)}
+    refs = sorted(bracket_refs | set(anchors))
+    K = len(refs)
+    ref_pos = {k: idx for idx, k in enumerate(refs)}
+
+    # stamping rule per non-historical ref (mirrors _build_cpi_fixings'
+    # per-date order: T_last_pub PRE-SEED first — spot at the stamping
+    # row — then due-stamping of bracket refs with the state linearly
+    # interpolated to the ref date). A ref is stamped exactly once, by
+    # whichever fires at the EARLIER row (pre-seed wins same-row ties);
+    # anchor-only refs are never in the due list, so only the pre-seed
+    # applies to them.
+    ref_row0 = np.zeros(K, dtype=np.int64)
+    ref_row1 = np.zeros(K, dtype=np.int64)
+    ref_alpha = np.zeros(K)
+    ref_hist = np.zeros(K, dtype=bool)
+    ref_hist_val = np.zeros(K)
+    for idx, k in enumerate(refs):
+        if k in hist:
+            ref_hist[idx] = True
+            ref_hist_val[idx] = hist[k]
+            continue
+        d_pre = next(
+            (r for r, a in enumerate(anchors) if a == k), None
+        )
+        if k in bracket_refs:
+            j = bisect_right(dates, k) - 1
+            d_due = j if (0 <= j < n_times and dates[j] >= k) else j + 1
+            d_due = min(max(d_due, 0), n_times - 1)
+        else:
+            d_due = None
+        if d_pre is not None and (d_due is None or d_pre <= d_due):
+            ref_row0[idx] = ref_row1[idx] = d_pre  # pre-seed: spot, no interp
+            ref_alpha[idx] = 0.0
+        else:
+            ref_row0[idx], ref_row1[idx], ref_alpha[idx] = _interp_rows(dates, k)
+
+    pub_mask = np.zeros((n_times, K), dtype=bool)
+    anchor_idx = np.zeros(n_times, dtype=np.int64)
+    t_proj = np.zeros((n_times, K))
+    for t_idx, d in enumerate(dates):
+        a = anchors[t_idx]
+        anchor_idx[t_idx] = ref_pos[a]
+        for idx, k in enumerate(refs):
+            pub_mask[t_idx, idx] = k <= a
+            if k > a:
+                t_proj[t_idx, idx] = year_fraction_cached(a, k, sc.curve_day_count)
+    W_infl = np.stack(
+        [_weights_for(tenors, t_proj[t], Tm) for t in range(n_times)]
+    )
+
+    j_idx = np.array([ref_pos[j] for j, _ in brackets], dtype=np.int64)
+    j1_idx = np.array([ref_pos[j1] for _, j1 in brackets], dtype=np.int64)
+
+    infl = DeviceILSTensors(
+        cpi_name=leg.cpi_curve_name,
+        infl_name=leg.inflation_rate_curve_name,
+        discount_name=ils.discount_curve_name,
+        sign=sign,
+        notional=float(ils.notional),
+        real_rate=float(leg.real_rate),
+        base_cpi=float(leg.base_cpi),
+        pay_notional_at_maturity=bool(leg.pay_notional_at_maturity),
+        live=live, is_last_pay=is_last_pay, accrual=accrual,
+        t_pay=t_pay, W_disc=W_disc,
+        ref_row0=ref_row0, ref_row1=ref_row1, ref_alpha=ref_alpha,
+        ref_hist=ref_hist, ref_hist_val=ref_hist_val,
+        pub_mask=pub_mask, anchor_idx=anchor_idx,
+        W_infl=W_infl, t_proj=t_proj,
+        j_idx=j_idx, j1_idx=j1_idx, frac=frac,
+    )
+
+    nominal = build_leg_tensors(
+        ils.nominal_schedule, ils.nominal_leg, -sign,
+        scenario_dates, tenors,
+        sc=sc, notional=ils.notional, discount_name=ils.discount_curve_name,
+        include_on=lambda d: ils.include_sim_date_cashflows,
+    )
+    mat_mask = np.array([d <= ils._effective_maturity for d in dates])
+    nominal.live = nominal.live & mat_mask[:, None]
+    return [infl, nominal]
+
+
+def year_fraction_cached(d0, d1, convention):
+    from ..utils.daycount import year_fraction
+
+    return year_fraction(d0, d1, convention)
+
+
+def _ils_mtm(ils_t: DeviceILSTensors, curves, scalars):
+    """(n_times, n_paths) inflation-leg MTM; pure jnp."""
+    import jax.numpy as jnp
+
+    cpi = scalars[ils_t.cpi_name]                 # (n_times, n_paths)
+    infl = curves[ils_t.infl_name]                # (n_times, n_paths, n_tenors)
+    disc = curves[ils_t.discount_name]
+
+    # stamped/published values per ref: (K, n_paths)
+    c0 = cpi[jnp.asarray(ils_t.ref_row0)]
+    c1 = cpi[jnp.asarray(ils_t.ref_row1)]
+    a = jnp.asarray(ils_t.ref_alpha)[:, None]
+    stamped = (1.0 - a) * c0 + a * c1
+    published = jnp.where(
+        jnp.asarray(ils_t.ref_hist)[:, None],
+        jnp.asarray(ils_t.ref_hist_val)[:, None],
+        stamped,
+    )                                             # (K, n_paths)
+
+    # projection: anchor CPI / DF_infl with the sim-date curve
+    r_proj = jnp.einsum("tpn,tnk->tpk", infl, jnp.asarray(ils_t.W_infl))
+    df_infl = jnp.exp(-r_proj * jnp.asarray(ils_t.t_proj)[:, None, :])
+    anchor_val = published[jnp.asarray(ils_t.anchor_idx)]   # (n_times, n_paths)
+    projected = anchor_val[:, :, None] / df_infl            # (t, p, K)
+
+    cpi_tk = jnp.where(
+        jnp.asarray(ils_t.pub_mask)[:, None, :],
+        published.T[None, :, :],
+        projected,
+    )                                                       # (t, p, K)
+
+    cpi_j = jnp.take(cpi_tk, jnp.asarray(ils_t.j_idx), axis=2)
+    cpi_j1 = jnp.take(cpi_tk, jnp.asarray(ils_t.j1_idx), axis=2)
+    fr = jnp.asarray(ils_t.frac)[None, None, :]
+    index_ratio = (cpi_j + fr * (cpi_j1 - cpi_j)) / ils_t.base_cpi
+
+    cf = ils_t.notional * index_ratio * (
+        jnp.asarray(ils_t.accrual)[None, None, :] * ils_t.real_rate
+        + (
+            jnp.asarray(ils_t.is_last_pay, dtype=index_ratio.dtype)[None, None, :]
+            if ils_t.pay_notional_at_maturity
+            else 0.0
+        )
+    )
+    r_pay = jnp.einsum("tpn,tnm->tpm", disc, jnp.asarray(ils_t.W_disc))
+    df_pay = jnp.exp(-r_pay * jnp.asarray(ils_t.t_pay)[:, None, :])
+    live = jnp.asarray(ils_t.live)[:, None, :]
+    return jnp.sum(df_pay * cf * live, axis=2) * ils_t.sign
+
+
 # Leg/TRS tensor dataclasses as pytrees: arrays are leaves (so the jitted
 # netting kernel takes them as ARGUMENTS — no giant baked-in constants, no
 # retrace per call), names/flags are static aux data.
@@ -615,8 +842,12 @@ def _make_pytree(cls, aux_names):
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
 
 
+_ILS_AUX = (
+    "cpi_name", "infl_name", "discount_name", "pay_notional_at_maturity",
+)
 _make_pytree(DeviceLegTensors, _LEG_AUX)
 _make_pytree(DeviceTRSTensors, _TRS_AUX)
+_make_pytree(DeviceILSTensors, _ILS_AUX)
 
 
 def _netting_mtm_kernel(curves, scalars, legs, scales):
@@ -624,6 +855,8 @@ def _netting_mtm_kernel(curves, scalars, legs, scales):
     for leg_t, scale in zip(legs, scales):
         if isinstance(leg_t, DeviceTRSTensors):
             piece = _trs_mtm(leg_t, curves, scalars) * scale
+        elif isinstance(leg_t, DeviceILSTensors):
+            piece = _ils_mtm(leg_t, curves, scalars) * scale
         else:
             piece = _leg_mtm(leg_t, curves) * scale
         total = piece if total is None else total + piece
@@ -669,9 +902,12 @@ def _legs_for(instruments, dates, tenors):
 
 def _build_instrument_tensors(inst, dates, tenors):
     from ..instruments.equity_trs import EquityTRS
+    from ..instruments.index_linked_swap import IndexLinkedSwap
 
     if isinstance(inst, EquityTRS):
         return build_trs_tensors(inst, dates, tenors)
+    if isinstance(inst, IndexLinkedSwap):
+        return build_ils_tensors(inst, dates, tenors)
     if isinstance(inst, IRSwap):
         return build_irswap_tensors(inst, dates, tenors)
     raise NotImplementedError(

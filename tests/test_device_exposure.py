@@ -201,3 +201,82 @@ class TestDeviceTRS:
         trs.interest_nominal_scaling = "Price"
         with pytest.raises(NotImplementedError):
             build_trs_tensors(trs, [VAL], TENORS)
+
+
+class TestDeviceILS:
+    def _ils(self, n_years=3, receiver=True, pay_notional=True):
+        from finite_difference_tpu.instruments.index_linked_swap import (
+            IndexLinkedSwap,
+        )
+        from finite_difference_tpu.instruments.inflation_pv import InflationLeg
+        from finite_difference_tpu.market_data.cpi import first_of_month, shift_months
+
+        hist = {
+            shift_months(first_of_month(VAL), -k): 100.0 + 0.3 * (8 - k)
+            for k in range(0, 9)
+        }
+        return IndexLinkedSwap(
+            name="ils",
+            effective_date=VAL,
+            maturity_date=dt.date(VAL.year + n_years, VAL.month, VAL.day),
+            notional=1_000_000,
+            inflation_leg=InflationLeg(
+                real_rate=0.025, base_cpi=100.0, cpi_curve_name="CPI.ZA",
+                frequency=6, inflation_rate_curve_name="INFL.ZA",
+                pay_notional_at_maturity=pay_notional,
+            ),
+            nominal_leg=SwapLeg(LegType.FIXED, frequency=6, fixed_rate=0.08),
+            discount_curve_name="ZAR-SWAP",
+            inflation_index=hist,
+            inflation_receiver=receiver,
+        )
+
+    def _market(self, n_times=40, n_paths=32, seed=5):
+        rng = np.random.default_rng(seed)
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        t = np.arange(n_times)[:, None, None]
+        swap = 0.078 + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+        infl = 0.05 + rng.normal(0, 0.001, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+        cpi = 102.4 * np.exp(
+            0.004 * np.arange(n_times)[:, None]
+            + rng.normal(0, 0.002, (n_times, n_paths)).cumsum(axis=0)
+        )
+        return dates, {"ZAR-SWAP": swap, "INFL.ZA": infl}, {"CPI.ZA": cpi}
+
+    def _compare(self, ils, rtol=1e-10, atol=1e-5):
+        dates, curves, scalars = self._market()
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", curves["ZAR-SWAP"], TENORS),
+                "INFL.ZA": ("curve", curves["INFL.ZA"], TENORS),
+                "CPI.ZA": ("scalar", scalars["CPI.ZA"]),
+            },
+        )
+        generic = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(ils, "T1")])
+        )
+        dev = DeviceExposureEngine(dates, curves, TENORS, scalars=scalars)
+        mtm = np.asarray(dev.mtm([ils]))
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=rtol, atol=atol)
+
+    def test_matches_generic_engine(self):
+        self._compare(self._ils())
+
+    def test_payer_and_no_notional_exchange(self):
+        self._compare(self._ils(receiver=False, pay_notional=False))
+
+    def test_legacy_mode_rejected(self):
+        from finite_difference_tpu.xva.device_exposure import build_ils_tensors
+
+        ils = self._ils()
+        object.__setattr__(
+            ils.inflation_leg, "inflation_rate_curve_name", ""
+        ) if hasattr(type(ils.inflation_leg), "__frozen__") else None
+        import dataclasses
+
+        ils.inflation_leg = dataclasses.replace(
+            ils.inflation_leg, inflation_rate_curve_name=""
+        )
+        with pytest.raises(NotImplementedError):
+            build_ils_tensors(ils, [VAL], TENORS)
