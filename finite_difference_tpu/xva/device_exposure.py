@@ -850,15 +850,17 @@ _make_pytree(DeviceTRSTensors, _TRS_AUX)
 _make_pytree(DeviceILSTensors, _ILS_AUX)
 
 
-def _netting_mtm_kernel(curves, scalars, legs, scales):
+def _netting_mtm_kernel(curves, scalars, legs, scales, fx_names):
     total = None
-    for leg_t, scale in zip(legs, scales):
+    for leg_t, scale, fx in zip(legs, scales, fx_names):
         if isinstance(leg_t, DeviceTRSTensors):
             piece = _trs_mtm(leg_t, curves, scalars) * scale
         elif isinstance(leg_t, DeviceILSTensors):
             piece = _ils_mtm(leg_t, curves, scalars) * scale
         else:
             piece = _leg_mtm(leg_t, curves) * scale
+        if fx is not None:
+            piece = piece * scalars[fx]  # (n_times, n_paths) FX conversion
         total = piece if total is None else total + piece
     return total.T  # (n_paths, n_times)
 
@@ -866,13 +868,16 @@ def _netting_mtm_kernel(curves, scalars, legs, scales):
 _netting_mtm_jit = None
 
 
-def _netting_mtm(curves, scalars, legs, scales):
+def _netting_mtm(curves, scalars, legs, scales, fx_names):
     global _netting_mtm_jit
     if _netting_mtm_jit is None:
         import jax
+        from functools import partial
 
-        _netting_mtm_jit = jax.jit(_netting_mtm_kernel)
-    return _netting_mtm_jit(curves, scalars, legs, scales)
+        _netting_mtm_jit = jax.jit(
+            _netting_mtm_kernel, static_argnames=("fx_names",)
+        )
+    return _netting_mtm_jit(curves, scalars, legs, scales, fx_names)
 
 
 # leg tensors are pure functions of (instrument, dates, tenors): cache them
@@ -936,24 +941,34 @@ class DeviceExposureEngine:
         self.scalars = scalars or {}
         self.tenors = np.asarray(tenors, dtype=np.float64)
 
-    def mtm(self, instruments: Sequence[IRSwap], notional_scales=None):
+    def mtm(
+        self,
+        instruments: Sequence[IRSwap],
+        notional_scales=None,
+        fx_factors: Optional[Sequence[Optional[str]]] = None,
+    ):
         """(n_paths, n_times) netting-set MTM as one jitted program.
 
         Leg tensors are cached per (instruments, dates, tenors) and passed
         to one module-level jitted kernel as pytree arguments, so repeated
         calls (a pricing service, the CVA pipeline) pay host cost once.
+        ``fx_factors``: per-instrument scalar-factor name converting the
+        trade currency to the reporting currency (None = same currency),
+        mirroring the generic engine's fx_rate_factor handling.
         """
         import jax.numpy as jnp
 
         legs = _legs_for(tuple(instruments), self.dates, self.tenors)
         notional_scales = notional_scales or [1.0] * len(instruments)
+        fx_factors = fx_factors or [None] * len(instruments)
         scales = jnp.asarray(
             [float(s) for s, inst in zip(notional_scales, instruments)
              for _ in range(2)]
         )
+        fx_names = tuple(f for f in fx_factors for _ in range(2))
         curve_dev = {k: jnp.asarray(v) for k, v in self.curves.items()}
         scalar_dev = {k: jnp.asarray(v) for k, v in self.scalars.items()}
-        return _netting_mtm(curve_dev, scalar_dev, legs, scales)
+        return _netting_mtm(curve_dev, scalar_dev, legs, scales, fx_names)
 
     def compute(
         self, instruments: Sequence[IRSwap], netting_set_id: str = "NS",

@@ -280,3 +280,33 @@ class TestDeviceILS:
         )
         with pytest.raises(NotImplementedError):
             build_ils_tensors(ils, [VAL], TENORS)
+
+
+class TestDeviceFX:
+    def test_fx_conversion_matches_generic(self):
+        rng = np.random.default_rng(9)
+        n_times, n_paths = 14, 16
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        t = np.arange(n_times)[:, None, None]
+        swap_cube = 0.07 + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+        fx = 18.0 * np.exp(rng.normal(0, 0.01, (n_times, n_paths)).cumsum(axis=0))
+        swap = _swap(n_years=1)
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", swap_cube, TENORS),
+                "USDZAR": ("scalar", fx),
+            },
+        )
+        generic = ExposureEngine(cube).compute(
+            NettingSet(
+                "NS",
+                [Trade(swap, "T1", currency="USD", fx_rate_factor="USDZAR")],
+                reporting_currency="ZAR",
+            )
+        )
+        dev = DeviceExposureEngine(
+            dates, {"ZAR-SWAP": swap_cube}, TENORS, scalars={"USDZAR": fx}
+        )
+        mtm = np.asarray(dev.mtm([swap], fx_factors=["USDZAR"]))
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-6)
