@@ -972,15 +972,23 @@ class DeviceExposureEngine:
 
     def compute(
         self, instruments: Sequence[IRSwap], netting_set_id: str = "NS",
-        currency: str = "ZAR", notional_scales=None,
+        currency: str = "ZAR", notional_scales=None, fx_factors=None,
+        csa=None,
     ) -> ExposureProfile:
-        mtm = np.asarray(self.mtm(instruments, notional_scales))
-        net = mtm
+        from .exposure_engine import simulate_collateral
+
+        mtm = np.asarray(self.mtm(instruments, notional_scales, fx_factors))
+        collateral = (
+            simulate_collateral(mtm, self.dates, csa)
+            if csa is not None
+            else np.zeros_like(mtm)
+        )
+        net = mtm - collateral
         return ExposureProfile(
             netting_set_id=netting_set_id,
             dates=tuple(self.dates),
             mtm=mtm,
-            collateral=np.zeros_like(mtm),
+            collateral=collateral,
             exposure=np.maximum(net, 0.0),
             neg_exposure=np.minimum(net, 0.0),
             currency=currency,

@@ -92,6 +92,38 @@ def _interp_scenario_state(
     return result
 
 
+def simulate_collateral(
+    mtm_paths: np.ndarray,
+    dates: List[date],
+    csa,
+    netting_set=None,
+    im_fn=None,
+) -> np.ndarray:
+    """Pathwise collateral with MPOR lookback and two-sided VM thresholds.
+
+    ``im_fn(n_paths, sim_date)`` -> (n_paths,) initial margin; defaults to
+    zero (the engine supplies its NONE/FIXED/SCHEDULE policies).
+    Shared by the host ExposureEngine and the device fast path (the
+    (n_paths, n_times) MTM matrix is small either way).
+    """
+    n_paths, n_times = mtm_paths.shape
+    collateral = np.zeros((n_paths, n_times))
+    mpor = timedelta(days=csa.mpor_days)
+
+    for t_idx, sim_date in enumerate(dates):
+        lookback_date = sim_date - mpor
+        lag_idx = bisect_right(dates, lookback_date) - 1
+        if lag_idx < 0:
+            continue
+        lagged_mtm = mtm_paths[:, lag_idx]
+        vm_recv = np.maximum(lagged_mtm - csa.vm_threshold, 0.0)
+        vm_post = np.maximum(-lagged_mtm - csa.vm_threshold_post, 0.0)
+        im = im_fn(n_paths, sim_date) if im_fn is not None else 0.0
+        collateral[:, t_idx] = vm_recv - vm_post + im
+
+    return collateral
+
+
 class ExposureEngine:
     """Computes an ExposureProfile for a NettingSet against a ScenarioCube."""
 
@@ -442,23 +474,10 @@ class ExposureEngine:
         self, mtm_paths: np.ndarray, dates: List[date], csa, netting_set=None
     ) -> np.ndarray:
         """Pathwise collateral with MPOR lookback and two-sided VM (:593-633)."""
-        n_paths, n_times = mtm_paths.shape
-        collateral = np.zeros((n_paths, n_times))
-        mpor = timedelta(days=csa.mpor_days)
-
-        for t_idx, sim_date in enumerate(dates):
-            lookback_date = sim_date - mpor
-            lag_idx = bisect_right(dates, lookback_date) - 1
-            if lag_idx < 0:
-                continue
-            lagged_mtm = mtm_paths[:, lag_idx]
-            vm_recv = np.maximum(lagged_mtm - csa.vm_threshold, 0.0)
-            vm_post = np.maximum(-lagged_mtm - csa.vm_threshold_post, 0.0)
-            collateral[:, t_idx] = vm_recv - vm_post + self._compute_im(
-                n_paths, csa, sim_date, netting_set
-            )
-
-        return collateral
+        return simulate_collateral(
+            mtm_paths, dates, csa, netting_set,
+            im_fn=lambda n, d: self._compute_im(n, csa, d, netting_set),
+        )
 
     @staticmethod
     def _trade_asset_class(instrument) -> str:

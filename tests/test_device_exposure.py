@@ -310,3 +310,20 @@ class TestDeviceFX:
         )
         mtm = np.asarray(dev.mtm([swap], fx_factors=["USDZAR"]))
         np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-6)
+
+
+def test_device_csa_collateral_matches_generic():
+    """Device compute(csa=...) reuses the shared MPOR/VM collateral sim."""
+    from finite_difference_tpu.portfolio.csa import CSA, InitialMarginMethod
+
+    dates, curves = _cube_arrays(14, 16, seed=2)
+    csa = CSA(mpor_days=10, vm_threshold=500.0, vm_threshold_post=800.0,
+              im_method=InitialMarginMethod.NONE)
+    swap = _swap(n_years=1)
+    cube = ScenarioCube(dates, {"ZAR-SWAP": ("curve", curves["ZAR-SWAP"], TENORS)})
+    generic = ExposureEngine(cube).compute(
+        NettingSet("NS", [Trade(swap, "T1")], csa=csa)
+    )
+    dev = DeviceExposureEngine(dates, curves, TENORS).compute([swap], csa=csa)
+    np.testing.assert_allclose(dev.collateral, generic.collateral, rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(dev.exposure, generic.exposure, rtol=1e-10, atol=1e-6)
