@@ -60,6 +60,7 @@ def simulate_joint_cube(
     seed: int = 42,
     antithetic: bool = True,
     days_in_year: float = DAYS_IN_YEAR,
+    as_jax: bool = False,
 ):
     """Simulate every factor off one correlated normal block.
 
@@ -70,6 +71,10 @@ def simulate_joint_cube(
     correlations : pairwise driver correlations keyed by factor-name pairs
         (either order); missing pairs are 0. The matrix is eigenvalue-healed
         exactly like the RiskFlow replica.
+    as_jax : keep every factor DEVICE-RESIDENT and return
+        ``(dates, curves, scalars, tenors_by_name)`` raw arrays ready for
+        :class:`~finite_difference_tpu.xva.device_exposure.DeviceExposureEngine`
+        instead of a host ScenarioCube.
     """
     from ..market_data.scenario_cube import ScenarioCube
 
@@ -94,34 +99,47 @@ def simulate_joint_cube(
     z_corr = jnp.einsum("fg,tgp->tfp", jnp.asarray(chol), z)
 
     cube_factors: Dict[str, tuple] = {}
+    dev_curves: Dict[str, jnp.ndarray] = {}
+    dev_scalars: Dict[str, jnp.ndarray] = {}
+    tenors_by_name: Dict[str, np.ndarray] = {}
     for i, name in enumerate(names):
         spec = factors[name]
-        z_i = np.asarray(z_corr[:, i, :])
+        z_i = z_corr[:, i, :] if as_jax else np.asarray(z_corr[:, i, :])
         if isinstance(spec, HW1FCurveFactor):
             tau = np.asarray(spec.tenors, dtype=np.float64)
             rates = spec.simulator.simulate(
-                t_grid, tau, n_paths, normals=z_i
+                t_grid, tau, n_paths, normals=z_i, as_jax=as_jax
             )
-            today = np.broadcast_to(
-                spec.simulator._zero_rate0(tau)[None, None, :],
-                (1, n_paths, tau.size),
-            )
-            cube_factors[name] = (
-                "curve", np.concatenate([today, rates], axis=0), tau,
-            )
+            today0 = spec.simulator._zero_rate0(tau)
+            if as_jax:
+                today = jnp.broadcast_to(
+                    jnp.asarray(today0)[None, None, :], (1, n_paths, tau.size)
+                )
+                dev_curves[name] = jnp.concatenate([today, rates], axis=0)
+                tenors_by_name[name] = tau
+            else:
+                today = np.broadcast_to(
+                    today0[None, None, :], (1, n_paths, tau.size)
+                )
+                cube_factors[name] = (
+                    "curve", np.concatenate([today, rates], axis=0), tau,
+                )
         elif isinstance(spec, GBMScalarFactor):
             # gbm_simulate_paths expects dt[0]=0 on its own grid; prepend 0
             days0 = np.concatenate([[0], scen_days])
-            z0 = np.vstack([np.zeros((1, n_paths)), z_i])
-            paths = np.asarray(
-                gbm_simulate_paths(
-                    spec.s0, days0, z0, spec.params.mu, spec.params.sigma,
-                    days_in_year,
-                )
+            z0 = jnp.concatenate([jnp.zeros((1, n_paths)), jnp.asarray(z_i)])
+            paths = gbm_simulate_paths(
+                spec.s0, days0, z0, spec.params.mu, spec.params.sigma,
+                days_in_year,
             )
-            cube_factors[name] = ("scalar", paths)
+            if as_jax:
+                dev_scalars[name] = paths
+            else:
+                cube_factors[name] = ("scalar", np.asarray(paths))
         else:
             raise TypeError(f"Unknown factor spec for {name!r}: {type(spec)}")
 
     dates = [base_date] + [base_date + timedelta(days=int(d)) for d in scen_days]
+    if as_jax:
+        return dates, dev_curves, dev_scalars, tenors_by_name
     return ScenarioCube(dates, cube_factors)

@@ -327,3 +327,66 @@ def test_device_csa_collateral_matches_generic():
     dev = DeviceExposureEngine(dates, curves, TENORS).compute([swap], csa=csa)
     np.testing.assert_allclose(dev.collateral, generic.collateral, rtol=1e-10, atol=1e-8)
     np.testing.assert_allclose(dev.exposure, generic.exposure, rtol=1e-10, atol=1e-6)
+
+
+class TestJointCubeDevicePipeline:
+    def test_multifactor_device_pipeline_matches_generic(self):
+        """simulate_joint_cube(as_jax=True) -> DeviceExposureEngine over the
+        full IRSwap+TRS+ILS netting set == host ScenarioCube -> generic
+        engine on the same correlated scenarios."""
+        from finite_difference_tpu.models.mc.gbm import GBMParams
+        from finite_difference_tpu.models.mc.hw1f import (
+            HW1FCurveSimulator, HW1FParams,
+        )
+        from finite_difference_tpu.scenarios.joint_cube import (
+            GBMScalarFactor, HW1FCurveFactor, simulate_joint_cube,
+        )
+
+        n_paths = 16
+        scen_days = list(range(30, 780, 30))
+        mk_sim = lambda r0: HW1FCurveSimulator(
+            HW1FParams.flat(alpha=0.05, sigma=0.008),
+            curve_tenors=TENORS, curve_rates=np.full(TENORS.size, r0),
+        )
+        factors = {
+            "ZAR-SWAP": HW1FCurveFactor(mk_sim(0.075), TENORS),
+            "INFL.ZA": HW1FCurveFactor(mk_sim(0.05), TENORS),
+            "CPI.ZA": GBMScalarFactor(GBMParams(mu=0.05, sigma=0.015), 102.4),
+            "EQ.SPOT": GBMScalarFactor(GBMParams(mu=0.07, sigma=0.25), 100.0),
+        }
+        corr = {("ZAR-SWAP", "INFL.ZA"): 0.4, ("CPI.ZA", "INFL.ZA"): 0.6}
+
+        # host path
+        cube = simulate_joint_cube(VAL, scen_days, factors, n_paths, corr)
+        # device path (same seed -> same normals)
+        dates, curves, scalars, tbn = simulate_joint_cube(
+            VAL, scen_days, factors, n_paths, corr, as_jax=True
+        )
+        # static dividend curve on both sides
+        n_times = len(dates)
+        div = np.full((n_times, n_paths, TENORS.size), 0.02)
+        curves["EQ.DIV"] = div
+        from finite_difference_tpu.market_data.scenario_cube import ScenarioCube
+
+        host_cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", np.asarray(curves["ZAR-SWAP"]), TENORS),
+                "INFL.ZA": ("curve", np.asarray(curves["INFL.ZA"]), TENORS),
+                "EQ.DIV": ("curve", div, TENORS),
+                "CPI.ZA": ("scalar", np.asarray(scalars["CPI.ZA"])),
+                "EQ.SPOT": ("scalar", np.asarray(scalars["EQ.SPOT"])),
+            },
+        )
+
+        # instruments: reuse the suite's fixtures
+        swap = _swap(n_years=2)
+        trs = TestDeviceTRS()._trs()
+        ils = TestDeviceILS()._ils(n_years=2)
+
+        generic = ExposureEngine(host_cube).compute(
+            NettingSet("NS", [Trade(swap, "T1"), Trade(trs, "T2"), Trade(ils, "T3")])
+        )
+        dev = DeviceExposureEngine(dates, curves, TENORS, scalars=scalars)
+        mtm = np.asarray(dev.mtm([swap, trs, ils]))
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-9, atol=1e-4)
