@@ -145,7 +145,8 @@ def leg_pv(
         return np.zeros(n_paths)
     m = len(live)
 
-    rate_cols = np.empty((n_paths, m))
+    # F-order: the per-period column writes below are then contiguous
+    rate_cols = np.empty((n_paths, m), order="F")
     pending: List[Tuple[int, float, float, float]] = []  # col, t0, t1, tau
     for col, (p_start, p_end, pay_date, accrual) in enumerate(live):
         if leg.leg_type == LegType.FIXED:

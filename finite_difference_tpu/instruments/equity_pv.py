@@ -113,43 +113,54 @@ def trs_return_leg_pv(
        ``end_fixings[i]`` (engine-stamped), else today's spot.
     """
     n_paths = spot.shape[0]
-    pv = np.zeros(n_paths)
+    m = len(t_starts)
+    if m == 0:
+        return np.zeros(n_paths)
 
-    for i in range(len(t_starts)):
-        ts_i, te_i, tp_i = float(t_starts[i]), float(t_ends[i]), float(t_pays[i])
+    # BATCHED curve queries: one growth-factor evaluation covers the anchor
+    # t0 and every forward start/end, one discount call covers all pays
+    # (the per-period single-point calls were a measured exposure-engine
+    # hot spot; docs/PERF_NOTES.md).
+    qs = np.concatenate(
+        [[max(t_settle, 0.0)],
+         np.maximum(np.asarray(t_starts, float) + t_settle, max(t_settle, 0.0)),
+         np.maximum(np.asarray(t_ends, float) + t_settle, max(t_settle, 0.0))]
+    )
+    df_c = carry_curve.discount_factor(qs)          # (n_paths, 1+2m)
+    growth = df_c[:, :1] / df_c                      # df_c(t0)/df_c(t)
+    if dividend_curve is not None:
+        df_d = dividend_curve.discount_factor(qs)
+        growth = growth * (df_d / df_d[:, :1])       # * df_d(t)/df_d(t0)
+    fwd_start_all = spot[:, None] * growth[:, 1 : 1 + m]
+    fwd_end_all = spot[:, None] * growth[:, 1 + m :]
+    dfs_pay = discount_curve.discount_factor(np.asarray(t_pays, float))
 
-        if ts_i > 0:
-            f_start, _, _ = equity_forward_price(
-                spot, carry_curve, dividend_curve, ts_i + t_settle, t0=t_settle
-            )
+    f_start_cols = np.empty((n_paths, m), order="F")
+    f_end_cols = np.empty((n_paths, m), order="F")
+    for i in range(m):
+        if float(t_starts[i]) > 0:
+            f_start_cols[:, i] = fwd_start_all[:, i]
         elif i == 0 and initial_price is not None:
-            f_start = (
+            f_start_cols[:, i] = (
                 np.asarray(initial_price, dtype=np.float64)
                 if np.ndim(initial_price) > 0
-                else np.full(n_paths, float(initial_price))
+                else float(initial_price)
             )
         else:
-            f_start = spot.copy()
-
-        if te_i > 0:
-            f_end, _, _ = equity_forward_price(
-                spot, carry_curve, dividend_curve, te_i + t_settle, t0=t_settle
-            )
+            f_start_cols[:, i] = spot
+        if float(t_ends[i]) > 0:
+            f_end_cols[:, i] = fwd_end_all[:, i]
         else:
             stamped = end_fixings[i] if end_fixings is not None else None
-            f_end = (
+            f_end_cols[:, i] = (
                 np.asarray(stamped, dtype=np.float64)
                 if stamped is not None
-                else spot.copy()
+                else spot
             )
 
-        if nominal_scaling == "Price":
-            payoff = quantity * (f_end - f_start)
-        else:  # "Initial Price"
-            safe_start = np.where(f_start == 0.0, 1.0, f_start)
-            payoff = notional_fixed * (f_end / safe_start - 1.0)
-
-        df_pay = discount_curve.discount_factor(np.array([tp_i]))[:, 0]
-        pv = pv + df_pay * payoff
-
-    return pv
+    if nominal_scaling == "Price":
+        payoff = quantity * (f_end_cols - f_start_cols)
+    else:  # "Initial Price"
+        safe_start = np.where(f_start_cols == 0.0, 1.0, f_start_cols)
+        payoff = notional_fixed * (f_end_cols / safe_start - 1.0)
+    return np.einsum("pm,pm->p", dfs_pay, payoff)
