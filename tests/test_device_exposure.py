@@ -390,3 +390,55 @@ class TestJointCubeDevicePipeline:
         dev = DeviceExposureEngine(dates, curves, TENORS, scalars=scalars)
         mtm = np.asarray(dev.mtm([swap, trs, ils]))
         np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-9, atol=1e-4)
+
+
+class TestDeviceFuzz:
+    def test_random_swap_configs_match_generic(self):
+        """Fuzz: random frequencies, spreads, fixing tenors, seasoned
+        effective dates and maturities — device == generic per config."""
+        rng = np.random.default_rng(21)
+        n_times, n_paths = 20, 8
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        t = np.arange(n_times)[:, None, None]
+        cube_arr = 0.07 + 0.0004 * t + rng.normal(
+            0, 0.002, (n_times, n_paths, TENORS.size)
+        ).cumsum(axis=0)
+        cube = ScenarioCube(dates, {"ZAR-SWAP": ("curve", cube_arr, TENORS)})
+        dev = DeviceExposureEngine(dates, {"ZAR-SWAP": cube_arr}, TENORS)
+
+        for trial in range(12):
+            freq = int(rng.choice([1, 3, 6, 12]))
+            fixing = rng.choice([None, 1, 3, 6])
+            fixing = None if fixing is None else int(fixing)
+            spread = float(rng.uniform(-0.01, 0.02))
+            seasoned = int(rng.integers(-400, 90))  # may start in the past
+            eff = VAL + dt.timedelta(days=seasoned)
+            mat = eff + dt.timedelta(days=int(rng.integers(360, 900)))
+            if mat > dates[-1]:
+                mat = dates[-1]
+            if mat <= eff:
+                continue
+            swap = IRSwap(
+                name=f"f{trial}",
+                effective_date=eff,
+                maturity_date=mat,
+                notional=float(rng.uniform(1e5, 5e6)),
+                receive_leg=SwapLeg(
+                    LegType.FLOATING, frequency=freq, curve_name="ZAR-SWAP",
+                    spread=spread, fixing_tenor_months=fixing,
+                ),
+                pay_leg=SwapLeg(
+                    LegType.FIXED, frequency=freq,
+                    fixed_rate=float(rng.uniform(0.05, 0.1)),
+                ),
+                discount_curve_name="ZAR-SWAP",
+            )
+            generic = ExposureEngine(cube).compute(
+                NettingSet("NS", [Trade(swap, "T")])
+            )
+            mtm = np.asarray(dev.mtm([swap]))
+            np.testing.assert_allclose(
+                mtm, generic.mtm, rtol=1e-9, atol=1e-4,
+                err_msg=f"trial {trial}: freq={freq} fixing={fixing} "
+                        f"eff={eff} mat={mat}",
+            )
