@@ -720,7 +720,7 @@ def build_ils_tensors(ils, scenario_dates: Sequence[dt.date], tenors: np.ndarray
         for idx, k in enumerate(refs):
             pub_mask[t_idx, idx] = k <= a
             if k > a:
-                t_proj[t_idx, idx] = year_fraction_cached(a, k, sc.curve_day_count)
+                t_proj[t_idx, idx] = _yf(a, k, sc.curve_day_count)
     W_infl = np.stack(
         [_weights_for(tenors, t_proj[t], Tm) for t in range(n_times)]
     )
@@ -757,7 +757,7 @@ def build_ils_tensors(ils, scenario_dates: Sequence[dt.date], tenors: np.ndarray
     return [infl, nominal]
 
 
-def year_fraction_cached(d0, d1, convention):
+def _yf(d0, d1, convention):
     from ..utils.daycount import year_fraction
 
     return year_fraction(d0, d1, convention)
@@ -872,7 +872,6 @@ def _netting_mtm(curves, scalars, legs, scales, fx_names):
     global _netting_mtm_jit
     if _netting_mtm_jit is None:
         import jax
-        from functools import partial
 
         _netting_mtm_jit = jax.jit(
             _netting_mtm_kernel, static_argnames=("fx_names",)
