@@ -5,5 +5,15 @@ Reconstructions of the reference dump's missing ``portfolio.*`` modules
 """
 from .csa import CSA, CloseOutMethod, InitialMarginMethod
 from .netting_set import NettingSet, Trade
+from .simm import SimmConfig, SimmParams, simm_im
 
-__all__ = ["CSA", "CloseOutMethod", "InitialMarginMethod", "NettingSet", "Trade"]
+__all__ = [
+    "CSA",
+    "CloseOutMethod",
+    "InitialMarginMethod",
+    "NettingSet",
+    "Trade",
+    "SimmConfig",
+    "SimmParams",
+    "simm_im",
+]

@@ -58,3 +58,6 @@ class CSA:
     im_amount: float = 0.0
     close_out_method: CloseOutMethod = CloseOutMethod.STANDARD
     risky_curve_name: Optional[Union[str, Dict[str, str]]] = None
+    # SIMM calibration/config (portfolio.simm.SimmConfig); None = defaults.
+    # Only read when im_method is SIMM.
+    simm_config: Optional[object] = None

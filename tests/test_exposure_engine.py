@@ -202,14 +202,20 @@ class TestExposureEngine:
         prof = ExposureEngine(cube).compute(ns)
         np.testing.assert_allclose(prof.collateral, 105.0)
 
-    def test_im_not_implemented(self):
+    def test_simm_im_of_state_independent_trade_is_zero(self):
+        """A state-independent NPV has zero sensitivities -> zero SIMM IM
+        (collateral identical to the NONE method)."""
         cube = _flat_cube(n_times=2)
-        csa = CSA(mpor_days=0, im_method=InitialMarginMethod.SIMM)
-        ns = NettingSet(
-            "NS", [Trade(_ConstInstrument("a", 1.0, cube.dates[-1]), "T1")], csa=csa
-        )
-        with pytest.raises(NotImplementedError):
-            ExposureEngine(cube).compute(ns)
+        inst = _ConstInstrument("a", 1.0, cube.dates[-1])
+        simm = ExposureEngine(cube).compute(NettingSet(
+            "NS", [Trade(inst, "T1")],
+            csa=CSA(mpor_days=0, im_method=InitialMarginMethod.SIMM),
+        ))
+        none = ExposureEngine(cube).compute(NettingSet(
+            "NS", [Trade(inst, "T1")],
+            csa=CSA(mpor_days=0, im_method=InitialMarginMethod.NONE),
+        ))
+        np.testing.assert_allclose(simm.collateral, none.collateral)
 
     def test_risky_curve_substitution(self):
         """FORWARD close-out replaces the discount curve with the risky one."""
@@ -428,3 +434,169 @@ class TestScheduleIM:
         # residual maturity < 2y on every sim date here -> 1% bucket
         assert schedule_im_factor("interest_rate", 0.4) == 0.01
         np.testing.assert_allclose(prof.collateral[:, 0], 0.01 * 1_000_000)
+
+
+class _CurveLinearInstrument(Instrument):
+    """NPV = scale * curve_value_at_node(j): exact 1bp-bump sensitivity."""
+
+    def __init__(self, name, factor, node_idx, scale, maturity):
+        super().__init__(name)
+        self.factor = factor
+        self.node_idx = node_idx
+        self.scale = scale
+        self.maturity_date = maturity
+
+    def scenario_npvs(self, val_date, market_state, fixings=None, rng=None):
+        slc = market_state[self.factor]
+        return self.scale * slc.values[:, self.node_idx]
+
+
+class TestSimmAggregation:
+    """portfolio.simm delta-margin math against hand-computed values."""
+
+    def test_single_ir_bucket_margin_is_abs_ws(self):
+        from finite_difference_tpu.portfolio.simm import ir_delta_margin
+
+        ws = np.zeros(12)
+        ws[7] = -3.5
+        assert ir_delta_margin(ws) == pytest.approx(3.5)
+
+    def test_two_ir_buckets_use_tenor_correlation(self):
+        from finite_difference_tpu.portfolio.simm import (
+            DEFAULT_SIMM, ir_delta_margin,
+        )
+
+        ws = np.zeros(12)
+        ws[6], ws[8] = 2.0, 5.0
+        rho = DEFAULT_SIMM.ir_corr()[6, 8]
+        expect = np.sqrt(4.0 + 25.0 + 2 * rho * 10.0)
+        assert ir_delta_margin(ws) == pytest.approx(expect, rel=1e-12)
+
+    def test_scalar_class_intra_correlation(self):
+        from finite_difference_tpu.portfolio.simm import scalar_delta_margin
+
+        k = scalar_delta_margin([np.array(3.0), np.array(-4.0)], 0.24)
+        assert k == pytest.approx(np.sqrt(9 + 16 + 2 * 0.24 * -12.0))
+
+    def test_cross_class_psi(self):
+        from finite_difference_tpu.portfolio.simm import DEFAULT_SIMM, simm_im
+
+        ws = np.zeros(12)
+        ws[7] = 10.0
+        im = simm_im(ir_ws=ws, scalar_ws={"equity": [np.array(5.0)]})
+        psi = DEFAULT_SIMM.cross_class_corr[0][1]
+        assert im == pytest.approx(np.sqrt(100 + 25 + 2 * psi * 50.0), rel=1e-12)
+
+    def test_bucket_assignment(self):
+        from finite_difference_tpu.portfolio.simm import assign_ir_buckets
+
+        idx = assign_ir_buckets([0.25, 5.0, 30.0, 0.04])
+        np.testing.assert_array_equal(idx, [2, 7, 11, 0])
+
+    def test_pathwise_shapes(self):
+        from finite_difference_tpu.portfolio.simm import simm_im
+
+        ws = np.zeros((7, 12))
+        ws[:, 3] = np.arange(7.0)
+        im = simm_im(ir_ws=ws)
+        np.testing.assert_allclose(im, np.arange(7.0))
+
+
+class TestSimmEngine:
+    """SIMM IM through the ExposureEngine's pricing pass."""
+
+    def _im_paths(self, ns_trades, csa, cube):
+        simm_prof = ExposureEngine(cube).compute(
+            NettingSet("NS", ns_trades, csa=csa)
+        )
+        none_prof = ExposureEngine(cube).compute(
+            NettingSet("NS", ns_trades, csa=CSA(
+                mpor_days=csa.mpor_days, im_method=InitialMarginMethod.NONE
+            ))
+        )
+        return simm_prof.collateral - none_prof.collateral
+
+    def test_linear_instrument_exact_pv01(self):
+        """NPV = scale * r[j]: the 1bp bucket bump gives s = scale*1e-4,
+        single-bucket margin = RW_j * s exactly."""
+        from finite_difference_tpu.portfolio.simm import (
+            DEFAULT_SIMM, assign_ir_buckets,
+        )
+
+        cube = _flat_cube(n_times=2)
+        j = 4  # tenor 5.0y
+        scale = 2.0e6
+        inst = _CurveLinearInstrument(
+            "lin", "ZAR-SWAP", j, scale, cube.dates[-1]
+        )
+        csa = CSA(mpor_days=0, im_method=InitialMarginMethod.SIMM)
+        im = self._im_paths([Trade(inst, "T1")], csa, cube)
+        bucket = int(assign_ir_buckets(TENORS)[j])
+        expect = DEFAULT_SIMM.ir_risk_weights[bucket] * scale * 1e-4
+        np.testing.assert_allclose(im[:, 0], expect, rtol=1e-9)
+
+    def test_im_scales_with_notional(self):
+        cube = _flat_cube(n_times=3)
+        swap = IRSwap(
+            name="irs", effective_date=VAL,
+            maturity_date=cube.dates[-1], notional=1e6,
+            receive_leg=SwapLeg(LegType.FLOATING, frequency=1,
+                                curve_name="ZAR-SWAP"),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=1, fixed_rate=0.075),
+            discount_curve_name="ZAR-SWAP",
+        )
+        csa = CSA(mpor_days=0, im_method=InitialMarginMethod.SIMM)
+        im1 = self._im_paths([Trade(swap, "T1")], csa, cube)
+        im2 = self._im_paths([Trade(swap, "T1", notional_scale=2.0)], csa, cube)
+        assert im1[0, 0] > 0.0
+        np.testing.assert_allclose(im2, 2.0 * im1, rtol=1e-9)
+
+    def test_scalar_factor_class_and_netting(self):
+        """Equity ScalarSlice sensitivity: NPV = w * spot -> s = w*spot*1%,
+        WS = RW_eq * s; two offsetting trades net to zero IM."""
+        from finite_difference_tpu.portfolio.simm import DEFAULT_SIMM
+
+        n_times, n_paths = 2, 4
+        dates = _dates(n_times)
+        spot = 150.0
+        factors = {
+            "EQ-SPOT": ("scalar", np.full((n_times, n_paths), spot)),
+        }
+        cube = ScenarioCube(dates, factors)
+
+        class _SpotLinear(Instrument):
+            def __init__(self, name, w, maturity):
+                super().__init__(name)
+                self.w = w
+                self.maturity_date = maturity
+
+            def scenario_npvs(self, val_date, market_state, fixings=None,
+                              rng=None):
+                return self.w * market_state["EQ-SPOT"].values
+
+        csa = CSA(mpor_days=0, im_method=InitialMarginMethod.SIMM)
+        inst = _SpotLinear("eq", 100.0, dates[-1])
+        im = self._im_paths([Trade(inst, "T1")], csa, cube)
+        expect = DEFAULT_SIMM.scalar_risk_weights["equity"] * 100.0 * spot * 0.01
+        np.testing.assert_allclose(im[:, 0], expect, rtol=1e-9)
+
+        hedged = [
+            Trade(inst, "T1"),
+            Trade(_SpotLinear("eq2", -100.0, dates[-1]), "T2"),
+        ]
+        im_h = self._im_paths(hedged, csa, cube)
+        np.testing.assert_allclose(im_h, 0.0, atol=1e-12)
+
+    def test_factor_restriction(self):
+        from finite_difference_tpu.portfolio.simm import SimmConfig
+
+        cube = _flat_cube(n_times=2, names=("ZAR-SWAP", "OTHER"))
+        inst = _CurveLinearInstrument(
+            "lin", "ZAR-SWAP", 2, 1e6, cube.dates[-1]
+        )
+        csa = CSA(
+            mpor_days=0, im_method=InitialMarginMethod.SIMM,
+            simm_config=SimmConfig(factors=("OTHER",)),
+        )
+        im = self._im_paths([Trade(inst, "T1")], csa, cube)
+        np.testing.assert_allclose(im, 0.0, atol=1e-12)
