@@ -30,8 +30,11 @@ from .batch import (
     bs2002_sweep,
     monitoring_decision,
 )
+from .implied_vol import implied_vol_black76, implied_vol_bs
 
 __all__ = [
+    "implied_vol_black76",
+    "implied_vol_bs",
     "bs_price",
     "bs_greeks",
     "black76_price",

@@ -51,16 +51,26 @@ from .reiner_rubinstein import barrier_price
 from ...ops.special import norm_cdf as N
 
 
+def _one_side(side, B):
+    if side is None:
+        return np.full(B, np.nan)
+    arr = np.asarray(side)
+    if arr.dtype == object or arr.dtype.kind not in "fiu":
+        # None-padded python list: replace None lane-wise (slow path)
+        arr = np.asarray(
+            [np.nan if x is None else x for x in np.atleast_1d(arr)],
+            dtype=np.float64,
+        )
+    return np.atleast_1d(arr.astype(np.float64, copy=False))
+
+
 def _mask_arrays(lower, upper, B=None):
-    """(lower, upper, has_lower, has_upper) from optional/NaN-padded input."""
-    lo = np.asarray(
-        [np.nan if x is None else x for x in np.atleast_1d(np.asarray(lower, dtype=object))],
-        dtype=np.float64,
-    ) if lower is not None else np.full(B, np.nan)
-    up = np.asarray(
-        [np.nan if x is None else x for x in np.atleast_1d(np.asarray(upper, dtype=object))],
-        dtype=np.float64,
-    ) if upper is not None else np.full(B, np.nan)
+    """(lower, upper, has_lower, has_upper) from optional/NaN-padded input.
+
+    Numeric arrays (NaN marking absent barriers) take a zero-copy fast
+    path; Python lists with ``None`` entries are converted lane-wise."""
+    lo = _one_side(lower, B)
+    up = _one_side(upper, B)
     has_lo = np.isfinite(lo)
     has_up = np.isfinite(up)
     return np.where(has_lo, lo, 0.0), np.where(has_up, up, 0.0), has_lo, has_up
@@ -138,13 +148,15 @@ def continuous_barrier_sweep(
 
 @partial(
     jax.jit,
-    static_argnames=("rebate_timing_in", "rebate_timing_out", "double_m"),
+    static_argnames=(
+        "rebate_timing_in", "rebate_timing_out", "double_m", "greeks_mode"
+    ),
 )
 def _continuous_greeks_kernel(
     s, k, t, r, b, sigma, lower, upper, has_lower, has_upper,
     is_call, is_in, rebate, crossed,
     rebate_timing_in: str, rebate_timing_out: str, double_m: int,
-    rel_spot_bump, abs_vol_bump,
+    rel_spot_bump, abs_vol_bump, greeks_mode: str = "bump",
 ):
     px = lambda s_, sig_: _continuous_sweep_kernel(
         s_, k, t, r, b, sig_, lower, upper, has_lower, has_upper,
@@ -152,6 +164,27 @@ def _continuous_greeks_kernel(
         rebate_timing_in, rebate_timing_out, double_m,
     )
     s = jnp.asarray(s)
+    if greeks_mode == "ad":
+        # Exact derivatives of the closed forms. The kernel is elementwise
+        # over trades, so grad-of-sum is the per-trade derivative: one
+        # reverse pass yields delta AND vega together; gamma is the Hessian
+        # diagonal via forward-over-reverse with a ones tangent.
+        sig = jnp.broadcast_to(jnp.asarray(sigma, s.dtype), jnp.broadcast_shapes(
+            s.shape, jnp.shape(jnp.asarray(sigma))
+        ))
+        s_b = jnp.broadcast_to(s, sig.shape)
+        psum = lambda s_, sig_: jnp.sum(px(s_, sig_))
+        base = px(s_b, sig)
+        delta, dvdsig = jax.grad(psum, argnums=(0, 1))(s_b, sig)
+        delta_fn = lambda s_: jax.grad(lambda ss: jnp.sum(px(ss, sig)))(s_)
+        gamma = jax.jvp(delta_fn, (s_b,), (jnp.ones_like(s_b),))[1]
+        return {
+            "price": base,
+            "delta": delta,
+            "gamma": gamma,
+            # per vol-POINT, matching the PDE driver's vega scale
+            "vega": dvdsig / 100.0,
+        }
     ds = jnp.maximum(1e-8, rel_spot_bump * s)
     base = px(s, sigma)
     up_px = px(s + ds, sigma)
@@ -174,8 +207,16 @@ def continuous_barrier_sweep_greeks(
     rebate_timing_in: str = "expiry", rebate_timing_out: str = "hit",
     double_m: int = 5,
     rel_spot_bump: float = 1e-4, abs_vol_bump: float = 1e-4,
+    greeks_mode: str = "bump",
 ) -> Dict[str, jnp.ndarray]:
-    """Batched bump price+delta+gamma+vega for the continuous sweep."""
+    """Batched price+delta+gamma+vega for the continuous sweep.
+
+    ``greeks_mode``: 'bump' (default — the reference's central-spot /
+    one-sided-vol convention) or 'ad' (exact jax derivatives of the closed
+    forms in one reverse pass + one Hessian-diagonal jvp: no bump-h
+    truncation at the same measured cost as the bumps; see
+    docs/PERF_NOTES.md "Batched analytic sweep").
+    """
     B = np.shape(np.atleast_1d(np.asarray(s, dtype=np.float64)))[0]
     lo, up, has_lo, has_up = _mask_arrays(lower, upper, B)
     return _continuous_greeks_kernel(
@@ -183,7 +224,7 @@ def continuous_barrier_sweep_greeks(
         np.asarray(is_call), np.asarray(is_in),
         np.asarray(rebate, dtype=np.float64), np.asarray(crossed),
         rebate_timing_in, rebate_timing_out, double_m,
-        rel_spot_bump, abs_vol_bump,
+        rel_spot_bump, abs_vol_bump, greeks_mode=greeks_mode,
     )
 
 

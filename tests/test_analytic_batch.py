@@ -141,6 +141,53 @@ class TestContinuousSweep:
                 (v_up - base) / (1e-4 * 100.0), rel=1e-6, abs=1e-10
             )
 
+    def test_ad_greeks_match_tight_central_bumps(self):
+        """greeks_mode='ad' = exact derivatives: agree with tight central
+        differences of the batched pricer itself (f64) on a mixed table
+        (singles, a double, vanillas)."""
+        rng = np.random.default_rng(11)
+        B = 8
+        s, k, t, r, b, sigma, is_call, is_in, is_up, rebate, crossed, h = (
+            _random_single_table(rng, B)
+        )
+        crossed[:] = False
+        lower = [None if up else float(x) for up, x in zip(is_up, h)]
+        upper = [float(x) if up else None for up, x in zip(is_up, h)]
+        # lane 5: double barrier; lanes 6-7: vanilla
+        lower[5], upper[5] = float(0.6 * s[5]), float(1.7 * s[5])
+        is_in[5] = False
+        rebate[5] = 0.0
+        for i in (6, 7):
+            lower[i] = upper[i] = None
+        kw = dict(
+            lower=lower, upper=upper, is_call=is_call, is_in=is_in,
+            rebate=rebate,
+        )
+        g = continuous_barrier_sweep_greeks(
+            s, k, t, r, b, sigma, greeks_mode="ad", **kw
+        )
+        px = lambda s_, sig_: np.asarray(
+            continuous_barrier_sweep(s_, k, t, r, b, sig_, **kw)
+        )
+        hs = 1e-5 * s
+        hv = 1e-6
+        base = px(s, sigma)
+        up_px, dn_px = px(s + hs, sigma), px(s - hs, sigma)
+        v_up, v_dn = px(s, sigma + hv), px(s, sigma - hv)
+        np.testing.assert_allclose(np.asarray(g["price"]), base, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(g["delta"]), (up_px - dn_px) / (2 * hs),
+            rtol=1e-5, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g["gamma"]), (up_px - 2 * base + dn_px) / hs**2,
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g["vega"]), (v_up - v_dn) / (2 * hv * 100.0),
+            rtol=1e-5, atol=1e-10,
+        )
+
 
 VAL = dt.date(2025, 7, 28)
 MAT = dt.date(2025, 8, 28)
