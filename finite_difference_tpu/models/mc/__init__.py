@@ -3,6 +3,7 @@ from .gbm import GBMParams, GBMSimulator
 from .clewlow_strickland import CSParams, CSForwardCurveSimulator
 from .discrete_barrier import MCConfig, price_discrete_barrier_mc
 from .hw1f import HW1FCurveSimulator, HW1FParams
+from .lsm import price_american_lsm
 
 __all__ = [
     "HW1FCurveSimulator",
@@ -16,4 +17,5 @@ __all__ = [
     "CSForwardCurveSimulator",
     "MCConfig",
     "price_discrete_barrier_mc",
+    "price_american_lsm",
 ]
