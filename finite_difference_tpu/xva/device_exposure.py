@@ -3,7 +3,8 @@
 The generic :class:`~finite_difference_tpu.xva.exposure_engine.ExposureEngine`
 is host-orchestrated per date x trade (faithful to the reference's
 exposure_engine.py:166-201). For instruments whose pricing is a pure
-function of the curve cube — IRSwap-style fixed/float legs — the whole
+function of the curve cube — IRSwap-style fixed/float legs (simple
+forwards, OIS compounding, and sub-period compounded resets) — the whole
 dates x paths x periods computation is ONE dense contraction:
 
     zero rates at every (date, query) = einsum('tpn,tnm->tpm', cube, W)
@@ -24,7 +25,7 @@ returned to host. Validated against ExposureEngine bit-for-bit-level
 from __future__ import annotations
 
 import datetime as dt
-from bisect import bisect_right
+from bisect import bisect_left, bisect_right
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -32,7 +33,12 @@ import numpy as np
 
 from ..instruments.cashflow import LegType, SwapLeg
 from ..instruments.ir_swap import IRSwap
-from ..instruments.schedule import ScheduleConfig, add_months, adjust
+from ..instruments.schedule import (
+    ScheduleConfig,
+    add_months,
+    adjust,
+    generate_sub_periods,
+)
 from ..market_data.yield_curve import _hermite_rt_weights, _tangent_matrix
 from .exposure_engine import ExposureProfile
 
@@ -65,11 +71,136 @@ class DeviceLegTensors:
     tfz0: Optional[np.ndarray] = None   # (m,)
     tfz1: Optional[np.ndarray] = None
     tau_frozen: Optional[np.ndarray] = None  # (m,)
+    # OIS (overnight_compounding) only: the one-step compound factors
+    # telescope (instruments/schedule.build_overnight_tenors starts at
+    # yf=0), so each scenario segment contributes exp(r_j(tau_j)*tau_j) on
+    # the row-j curve and the realized factor is a cumsum of log-increments
+    W_inc: Optional[np.ndarray] = None      # (n_times-1, n_tenors)
+    tau_seg: Optional[np.ndarray] = None    # (n_times-1,)
+    j0: Optional[np.ndarray] = None         # (m,) first scen idx >= p_start
+    ois_seed: Optional[np.ndarray] = None   # (m,) old_resets-style seed CF
+    ois_stamped: Optional[np.ndarray] = None  # (n_times, m) reset < sim
+    W_end: Optional[np.ndarray] = None      # (n_times, n_tenors, m)
+    t_end: Optional[np.ndarray] = None      # (n_times, m) cyf(d, p_end)
+    # compounded-reset legs (reset_frequency_months > 0): float-window
+    # fields above are at flattened (m*n_subs) sub-period granularity
+    sub_tau: Optional[np.ndarray] = None    # (m, n_subs), 0-padded
+    is_ois: bool = False
+    n_subs: int = 0
 
 
 def _weights_for(tenors: np.ndarray, tq: np.ndarray, Tm) -> np.ndarray:
     """HermiteRT weight matrix (n_tenors, m) for one query row."""
     return _hermite_rt_weights(tenors, tq, tangent_mat=Tm)
+
+
+def _fixing_window_end(leg: SwapLeg, sc: ScheduleConfig, w_start, w_end_default):
+    """Window end: index tenor from the window start, else the period end."""
+    if leg.fixing_tenor_months is not None:
+        return adjust(
+            add_months(w_start, leg.fixing_tenor_months), sc.cal,
+            leg.forward_business_convention or "ModifiedFollowing",
+        )
+    return w_end_default
+
+
+def _float_window_arrays(
+    windows, leg: SwapLeg, sc: ScheduleConfig, dates, tenors, Tm
+) -> Dict:
+    """Fixing-or-forward tensors for one column per (w_start, w_end) window.
+
+    Replicates the engine's simple-forward policy exactly (cashflow.py
+    ``_period_rate`` / the batched leg_pv path): live forwards are measured
+    from the sim date with the window start clamped to it; frozen fixings
+    gather the nearest-prior scenario row to the window start and measure
+    year-fractions from the start itself (exposure_engine.py:227-364).
+    """
+    n_times, mc = len(dates), len(windows)
+    t_f0 = np.zeros((n_times, mc))
+    t_f1 = np.zeros((n_times, mc))
+    fixed_mask = np.zeros((n_times, mc), dtype=bool)
+    for t_idx, d in enumerate(dates):
+        for i, (w0, w1) in enumerate(windows):
+            t_f0[t_idx, i] = sc.curve_year_fraction(d, max(w0, d))
+            t_f1[t_idx, i] = sc.curve_year_fraction(d, w1)
+            # the engine stamps the fixing once reset_date (= w0) <= sim
+            # date; leg_pv then uses it for w0 <= val_date
+            fixed_mask[t_idx, i] = w0 <= d
+    tau_fwd = (
+        np.array([sc.year_fraction(w0, w1) for w0, w1 in windows])
+        if leg.fixing_tenor_months is not None
+        else None  # computed per (t, i) on device as t1 - t0
+    )
+    # frozen fixings: curve snapshot at nearest-prior row to the reset
+    # (w0), year-fractions measured from the reset date itself
+    fix_row = np.array(
+        [max(0, bisect_right(dates, w0) - 1) for w0, _ in windows],
+        dtype=np.int64,
+    )
+    tfz0 = np.zeros(mc)
+    tfz1 = np.array([sc.curve_year_fraction(w0, w1) for w0, w1 in windows])
+    tauz = tau_fwd if tau_fwd is not None else tfz1 - tfz0
+    return dict(
+        W_f0=np.stack([_weights_for(tenors, t_f0[t], Tm) for t in range(n_times)]),
+        W_f1=np.stack([_weights_for(tenors, t_f1[t], Tm) for t in range(n_times)]),
+        t_f0=t_f0, t_f1=t_f1, tau_fwd=tau_fwd,
+        fixed_mask=fixed_mask, fix_row=fix_row,
+        Wfz0=_weights_for(tenors, tfz0, Tm),
+        Wfz1=_weights_for(tenors, tfz1, Tm),
+        tfz0=tfz0, tfz1=tfz1, tau_frozen=tauz,
+    )
+
+
+def _ois_arrays(
+    schedule, leg: SwapLeg, sc: ScheduleConfig, dates, tenors, Tm,
+    ois_seed_fn,
+) -> Dict:
+    """OIS compound-factor tensors (exposure_engine.py:273-296 on device).
+
+    ``compute_cf_increment`` over one scenario segment [d_j, d_j+1] is a
+    fully telescoping product of one-day DF ratios on the row-j curve —
+    build_overnight_tenors measures from t_from, so it equals
+    DF_j(0)/DF_j(tau_j) = exp(r_j(tau_j)*tau_j). The realized factor at sim
+    row t for a period starting at p_start is then
+    seed * exp(L[t] - L[j0]) with L the cumsum of segment log-increments
+    and j0 the first scenario row >= p_start; the engine only stamps OIS
+    fixings for reset_date < sim_date (strict), so unstamped (t, period)
+    cells fall back to CF=1 exactly as ``_period_rate`` does.
+    """
+    n_times, m = len(dates), len(schedule)
+    tau_seg = np.array(
+        [sc.curve_year_fraction(d0, d1) for d0, d1 in zip(dates[:-1], dates[1:])]
+    )
+    W_inc = (
+        np.stack([_weights_for(tenors, np.array([ts]), Tm)[:, 0] for ts in tau_seg])
+        if n_times > 1
+        else np.zeros((0, len(tenors)))
+    )
+    j0 = np.array(
+        [min(bisect_left(dates, p_start), n_times - 1)
+         for p_start, _, _, _ in schedule],
+        dtype=np.int64,
+    )
+    seeds = np.ones(m)
+    if ois_seed_fn is not None:
+        for i, (p_start, _, _, _) in enumerate(schedule):
+            s = ois_seed_fn(leg.curve_name, p_start)
+            if s is not None:
+                seeds[i] = float(s)
+    stamped = np.zeros((n_times, m), dtype=bool)
+    t_end = np.zeros((n_times, m))
+    for t_idx, d in enumerate(dates):
+        for i, (p_start, p_end, _, _) in enumerate(schedule):
+            stamped[t_idx, i] = p_start < d
+            t_end[t_idx, i] = sc.curve_year_fraction(d, p_end)
+    W_end = np.stack(
+        [_weights_for(tenors, np.maximum(t_end[t], 0.0), Tm)
+         for t in range(n_times)]
+    )
+    return dict(
+        W_inc=W_inc, tau_seg=tau_seg, j0=j0, ois_seed=seeds,
+        ois_stamped=stamped, W_end=W_end, t_end=t_end, is_ois=True,
+    )
 
 
 def build_leg_tensors(
@@ -83,18 +214,16 @@ def build_leg_tensors(
     notional: float,
     discount_name: str,
     include_on,
+    ois_seed_fn=None,
 ) -> DeviceLegTensors:
     """Precompute a swap leg's schedule/interpolation tensors (host).
 
     ``include_on(d)`` -> bool: whether pay_date == d cashflows count
     (instrument-specific: IRSwap includes the terminal date, EquityTRS
     follows its include_sim_date_cashflows flag only).
+    ``ois_seed_fn(curve_name, p_start)``: the instrument's historical
+    compound-factor seed hook (instrument.get_ois_initial_cf).
     """
-    if leg.overnight_compounding or leg.reset_frequency_months > 0:
-        raise NotImplementedError(
-            "device exposure path supports fixed and simple-forward floating "
-            "legs; OIS/compounded legs use the generic ExposureEngine"
-        )
     dates = list(scenario_dates)
     n_times = len(dates)
     m = len(schedule)
@@ -104,78 +233,56 @@ def build_leg_tensors(
     live = np.zeros((n_times, m), dtype=bool)
     t_pay = np.zeros((n_times, m))
     is_float = leg.leg_type == LegType.FLOATING
-
-    # fixing windows (floating)
-    if is_float:
-        f_end = []
-        for p_start, p_end, _, _ in schedule:
-            if leg.fixing_tenor_months is not None:
-                fe = adjust(
-                    add_months(p_start, leg.fixing_tenor_months), sc.cal,
-                    leg.forward_business_convention or "ModifiedFollowing",
-                )
-            else:
-                fe = p_end
-            f_end.append(fe)
-        tau_fwd = np.array(
-            [
-                sc.year_fraction(p_start, fe)
-                if leg.fixing_tenor_months is not None
-                else sc.curve_year_fraction(dates[0], fe)  # placeholder
-                for (p_start, _, _, _), fe in zip(schedule, f_end)
-            ]
-        )
-        t_f0 = np.zeros((n_times, m))
-        t_f1 = np.zeros((n_times, m))
-        fixed_mask = np.zeros((n_times, m), dtype=bool)
-        fix_row = np.zeros(m, dtype=np.int64)
+    is_ois = is_float and leg.overnight_compounding
+    is_compounded = (
+        is_float and not is_ois and leg.reset_frequency_months > 0
+    )
 
     for t_idx, d in enumerate(dates):
         include = include_on(d)
         for i, (p_start, p_end, pay, acc) in enumerate(schedule):
             live[t_idx, i] = pay > d or (pay == d and include)
             t_pay[t_idx, i] = max(0.0, sc.curve_year_fraction(d, pay))
-            if is_float:
-                t_f0[t_idx, i] = sc.curve_year_fraction(d, max(p_start, d))
-                t_f1[t_idx, i] = sc.curve_year_fraction(d, f_end[i])
-                # the engine stamps the fixing once reset_date (= p_start)
-                # <= sim date; leg_pv then uses it for p_start <= val_date
-                fixed_mask[t_idx, i] = p_start <= d
 
     W_disc = np.stack([_weights_for(tenors, t_pay[t], Tm) for t in range(n_times)])
 
     kw: Dict = {}
-    if is_float:
-        # per-period tau when the accrual period itself is the window:
-        # leg_pv uses t_end - t_start as seen from the sim date, which for
-        # p_start >= d equals cyf(p_start, p_end)-ish only under ACT
-        # conventions — replicate leg_pv exactly: tau = t1 - t0 per date
-        # unless an explicit fixing tenor sets a fixed tau.
-        if leg.fixing_tenor_months is None:
-            tau_fwd = None  # computed per (t, i) on device as t1 - t0
-        W_f0 = np.stack([_weights_for(tenors, t_f0[t], Tm) for t in range(n_times)])
-        W_f1 = np.stack([_weights_for(tenors, t_f1[t], Tm) for t in range(n_times)])
-        # frozen fixings: curve snapshot at nearest-prior row to the reset
-        # (p_start), year-fractions measured from the reset date itself
-        tfz0 = np.zeros(m)
-        tfz1 = np.zeros(m)
-        tauz = np.zeros(m)
-        for i, (p_start, p_end, _, _) in enumerate(schedule):
-            fix_row[i] = max(0, bisect_right(dates, p_start) - 1)
-            tfz0[i] = sc.curve_year_fraction(p_start, p_start)  # 0.0
-            tfz1[i] = sc.curve_year_fraction(p_start, f_end[i])
-            tauz[i] = (
-                sc.year_fraction(p_start, f_end[i])
-                if leg.fixing_tenor_months is not None
-                else tfz1[i] - tfz0[i]
+    if is_ois:
+        kw = _ois_arrays(schedule, leg, sc, dates, tenors, Tm, ois_seed_fn)
+    elif is_compounded:
+        # flatten sub-periods to (m, S) columns padded with degenerate
+        # (p_end, p_end) windows whose tau=0 growth factor is exactly 1
+        subs_per = [
+            generate_sub_periods(
+                p_start, p_end, leg.reset_frequency_months,
+                sc.cal, sc.business_convention, sc.day_count,
+                direction="Backward",
             )
-        kw = dict(
-            W_f0=W_f0, W_f1=W_f1, t_f0=t_f0, t_f1=t_f1,
-            tau_fwd=tau_fwd, fixed_mask=fixed_mask, fix_row=fix_row,
-            Wfz0=_weights_for(tenors, tfz0, Tm),
-            Wfz1=_weights_for(tenors, tfz1, Tm),
-            tfz0=tfz0, tfz1=tfz1, tau_frozen=tauz,
-        )
+            for p_start, p_end, _, _ in schedule
+        ]
+        S = max(len(s) for s in subs_per)
+        windows = []
+        sub_tau = np.zeros((m, S))
+        for i, ((p_start, p_end, _, _), subs) in enumerate(
+            zip(schedule, subs_per)
+        ):
+            for s in range(S):
+                if s < len(subs):
+                    sub0, sub1, tau = subs[s]
+                    windows.append(
+                        (sub0, _fixing_window_end(leg, sc, sub0, sub1))
+                    )
+                    sub_tau[i, s] = tau
+                else:
+                    windows.append((p_end, p_end))
+        kw = _float_window_arrays(windows, leg, sc, dates, tenors, Tm)
+        kw.update(sub_tau=sub_tau, n_subs=S)
+    elif is_float:
+        windows = [
+            (p_start, _fixing_window_end(leg, sc, p_start, p_end))
+            for p_start, p_end, _, _ in schedule
+        ]
+        kw = _float_window_arrays(windows, leg, sc, dates, tenors, Tm)
 
     return DeviceLegTensors(
         curve_name=leg.curve_name or "",
@@ -203,6 +310,7 @@ def build_irswap_tensors(
         include_on=lambda d: (
             swap.include_sim_date_cashflows or d == swap._effective_maturity
         ),
+        ois_seed_fn=swap.get_ois_initial_cf,
     )
     return [
         build_leg_tensors(
@@ -216,6 +324,82 @@ def build_irswap_tensors(
     ]
 
 
+def _float_rate_cols(leg: DeviceLegTensors, fwd_cube):
+    """Fixing-or-forward simple rates, one column per fixing window.
+
+    (n_times, n_paths, C) where C is m for plain floating legs and
+    m*n_subs for compounded-reset legs.
+    """
+    import jax.numpy as jnp
+
+    r0 = jnp.einsum("tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_f0))
+    r1 = jnp.einsum("tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_f1))
+    t0 = jnp.asarray(leg.t_f0)[:, None, :]
+    t1 = jnp.asarray(leg.t_f1)[:, None, :]
+    df0 = jnp.exp(-r0 * jnp.maximum(t0, 0.0))
+    df1 = jnp.exp(-r1 * jnp.maximum(t1, 0.0))
+    if leg.tau_fwd is not None:
+        tau = jnp.asarray(leg.tau_fwd)[None, None, :]
+    else:
+        tau = t1 - t0
+    tau_safe = jnp.where(tau <= 0.0, 1.0, tau)
+    live_fwd = jnp.where(tau <= 0.0, 0.0, (df0 / df1 - 1.0) / tau_safe)
+
+    # frozen fixings: gather the reset-row curve snapshot per window
+    snap = fwd_cube[jnp.asarray(leg.fix_row)]  # (C, n_paths, n_tenors)
+    rz0 = jnp.einsum("mpn,nm->pm", snap, jnp.asarray(leg.Wfz0))
+    rz1 = jnp.einsum("mpn,nm->pm", snap, jnp.asarray(leg.Wfz1))
+    dfz0 = jnp.exp(-rz0 * jnp.maximum(jnp.asarray(leg.tfz0), 0.0)[None, :])
+    dfz1 = jnp.exp(-rz1 * jnp.maximum(jnp.asarray(leg.tfz1), 0.0)[None, :])
+    tauz = jnp.asarray(leg.tau_frozen)[None, :]
+    tauz_safe = jnp.where(tauz <= 0.0, 1.0, tauz)
+    frozen = jnp.where(tauz <= 0.0, 0.0, (dfz0 / dfz1 - 1.0) / tauz_safe)
+
+    return jnp.where(
+        jnp.asarray(leg.fixed_mask)[:, None, :], frozen[None, :, :], live_fwd
+    )
+
+
+def _ois_rate(leg: DeviceLegTensors, fwd_cube):
+    """OIS period rate (CF_realized * CF_future - 1)/accrual on device.
+
+    The realized compound factor is seed * exp(L[t] - L[j0]) with L the
+    time-axis cumsum of the telescoped per-segment log-increments
+    r_j(tau_j)*tau_j (see _ois_arrays); it only applies once the engine
+    has stamped the reset (reset_date < sim_date), otherwise CF=1.
+    CF_future telescopes the remaining business days on the sim-date curve
+    to DF(0)/DF(t_end) = exp(r(t_end)*t_end) (cashflow.py:69-83).
+    """
+    import jax.numpy as jnp
+
+    n_paths = fwd_cube.shape[1]
+    if leg.tau_seg.shape[0]:
+        r_seg = jnp.einsum("tpn,tn->tp", fwd_cube[:-1], jnp.asarray(leg.W_inc))
+        loginc = r_seg * jnp.asarray(leg.tau_seg)[:, None]
+        L = jnp.concatenate(
+            [jnp.zeros((1, n_paths), loginc.dtype), jnp.cumsum(loginc, axis=0)]
+        )
+    else:
+        L = jnp.zeros((1, n_paths), fwd_cube.dtype)
+    Lj0 = L[jnp.asarray(leg.j0)]  # (m, n_paths)
+    stamped = jnp.asarray(leg.ois_stamped)[:, None, :]  # (t, 1, m)
+    realized_log = jnp.where(
+        stamped, L[:, :, None] - jnp.swapaxes(Lj0, 0, 1)[None, :, :], 0.0
+    )
+    cf_real = (
+        jnp.where(stamped, jnp.asarray(leg.ois_seed)[None, None, :], 1.0)
+        * jnp.exp(realized_log)
+    )
+    r_end = jnp.einsum("tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_end))
+    t_end = jnp.asarray(leg.t_end)[:, None, :]
+    cf_fut = jnp.where(
+        t_end > 0.0, jnp.exp(r_end * jnp.maximum(t_end, 0.0)), 1.0
+    )
+    acc = jnp.asarray(leg.accrual)[None, None, :]
+    acc_safe = jnp.where(acc <= 0.0, 1.0, acc)
+    return jnp.where(acc <= 0.0, 0.0, (cf_real * cf_fut - 1.0) / acc_safe)
+
+
 def _leg_mtm(leg: DeviceLegTensors, curves: Dict[str, "jnp.ndarray"]):
     """(n_times, n_paths) MTM of one leg; pure jnp, jit-able."""
     import jax.numpy as jnp
@@ -227,34 +411,25 @@ def _leg_mtm(leg: DeviceLegTensors, curves: Dict[str, "jnp.ndarray"]):
     if leg.is_fixed:
         rate = jnp.asarray(leg.fixed_rate)
         rate = jnp.broadcast_to(rate, df_pay.shape)
+    elif leg.is_ois:
+        rate = _ois_rate(leg, curves[leg.curve_name])
     else:
-        fwd_cube = curves[leg.curve_name]
-        r0 = jnp.einsum("tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_f0))
-        r1 = jnp.einsum("tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_f1))
-        t0 = jnp.asarray(leg.t_f0)[:, None, :]
-        t1 = jnp.asarray(leg.t_f1)[:, None, :]
-        df0 = jnp.exp(-r0 * jnp.maximum(t0, 0.0))
-        df1 = jnp.exp(-r1 * jnp.maximum(t1, 0.0))
-        if leg.tau_fwd is not None:
-            tau = jnp.asarray(leg.tau_fwd)[None, None, :]
-        else:
-            tau = t1 - t0
-        tau_safe = jnp.where(tau <= 0.0, 1.0, tau)
-        live_fwd = jnp.where(tau <= 0.0, 0.0, (df0 / df1 - 1.0) / tau_safe)
-
-        # frozen fixings: gather the reset-row curve snapshot per period
-        snap = fwd_cube[jnp.asarray(leg.fix_row)]  # (m, n_paths, n_tenors)
-        rz0 = jnp.einsum("mpn,nm->pm", snap, jnp.asarray(leg.Wfz0))
-        rz1 = jnp.einsum("mpn,nm->pm", snap, jnp.asarray(leg.Wfz1))
-        dfz0 = jnp.exp(-rz0 * jnp.maximum(jnp.asarray(leg.tfz0), 0.0)[None, :])
-        dfz1 = jnp.exp(-rz1 * jnp.maximum(jnp.asarray(leg.tfz1), 0.0)[None, :])
-        tauz = jnp.asarray(leg.tau_frozen)[None, :]
-        tauz_safe = jnp.where(tauz <= 0.0, 1.0, tauz)
-        frozen = jnp.where(tauz <= 0.0, 0.0, (dfz0 / dfz1 - 1.0) / tauz_safe)
-
-        rate = jnp.where(
-            jnp.asarray(leg.fixed_mask)[:, None, :], frozen[None, :, :], live_fwd
-        )
+        rate = _float_rate_cols(leg, curves[leg.curve_name])
+        if leg.n_subs:
+            # compounded sub-period rates (cashflow.py:155-168): growth =
+            # prod(1 + r_s tau_s) over the period's subs, padded factors 1
+            t, p = rate.shape[0], rate.shape[1]
+            r = rate.reshape(t, p, -1, leg.n_subs)
+            growth = jnp.prod(
+                1.0 + r * jnp.asarray(leg.sub_tau)[None, None, :, :], axis=-1
+            )
+            acc = jnp.asarray(leg.accrual)
+            acc_safe = jnp.where(acc <= 0.0, 1.0, acc)
+            rate = jnp.where(
+                acc[None, None, :] <= 0.0,
+                0.0,
+                (growth - 1.0) / acc_safe[None, None, :],
+            )
 
     live = jnp.asarray(leg.live)[:, None, :]
     return (
@@ -816,7 +991,7 @@ def _ils_mtm(ils_t: DeviceILSTensors, curves, scalars):
 # Leg/TRS tensor dataclasses as pytrees: arrays are leaves (so the jitted
 # netting kernel takes them as ARGUMENTS — no giant baked-in constants, no
 # retrace per call), names/flags are static aux data.
-_LEG_AUX = ("curve_name", "discount_name", "is_fixed")
+_LEG_AUX = ("curve_name", "discount_name", "is_fixed", "is_ois", "n_subs")
 _TRS_AUX = (
     "spot_name", "carry_name", "div_name", "discount_name",
     "price_scaling", "has_initial_price",

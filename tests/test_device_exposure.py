@@ -72,22 +72,53 @@ class TestDeviceExposure:
         np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-6)
         np.testing.assert_allclose(dev.ee(), generic.ee(), rtol=1e-10, atol=1e-6)
 
-    def test_ois_leg_rejected(self):
-        swap = IRSwap(
+    def _ois_swap(self, effective=VAL, frequency=6, seeds=None):
+        return IRSwap(
             name="ois",
-            effective_date=VAL,
-            maturity_date=dt.date(2026, 7, 28),
-            notional=1.0,
+            effective_date=effective,
+            maturity_date=dt.date(effective.year + 1, effective.month,
+                                  effective.day),
+            notional=1_000_000,
             receive_leg=SwapLeg(
-                LegType.FLOATING, frequency=6, curve_name="ZAR-SWAP",
+                LegType.FLOATING, frequency=frequency, curve_name="ZAR-SWAP",
                 overnight_compounding=True,
             ),
-            pay_leg=SwapLeg(LegType.FIXED, frequency=6, fixed_rate=0.0),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=frequency,
+                            fixed_rate=0.075),
+            discount_curve_name="ZAR-SWAP",
+            ois_initial_cfs=seeds,
+        )
+
+    def test_ois_leg_matches_generic(self):
+        generic, dev = _both([self._ois_swap()], n_times=16, n_paths=16)
+        np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-5)
+
+    def test_ois_midperiod_start_and_seed(self):
+        # effective date strictly between scenario rows; first period
+        # already accruing with an old_resets-style seed factor
+        eff = VAL - dt.timedelta(days=45)
+        swap = self._ois_swap(effective=eff)
+        seeds = {("ZAR-SWAP", ps): 1.004
+                 for ps, _, _, _ in swap.receive_schedule}
+        swap = self._ois_swap(effective=eff, seeds=seeds)
+        generic, dev = _both([swap], n_times=16, n_paths=16)
+        np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-5)
+
+    def test_compounded_reset_leg_matches_generic(self):
+        swap = IRSwap(
+            name="cmp",
+            effective_date=VAL,
+            maturity_date=dt.date(2027, 7, 28),
+            notional=1_000_000,
+            receive_leg=SwapLeg(
+                LegType.FLOATING, frequency=6, curve_name="ZAR-SWAP",
+                reset_frequency_months=3,
+            ),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=6, fixed_rate=0.075),
             discount_curve_name="ZAR-SWAP",
         )
-        dates, curves = _cube_arrays(14, 4)
-        with pytest.raises(NotImplementedError):
-            DeviceExposureEngine(dates, curves, TENORS).compute([swap])
+        generic, dev = _both([swap])
+        np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-5)
 
 
 class TestHW1FPipeline:
@@ -406,7 +437,7 @@ class TestDeviceFuzz:
         cube = ScenarioCube(dates, {"ZAR-SWAP": ("curve", cube_arr, TENORS)})
         dev = DeviceExposureEngine(dates, {"ZAR-SWAP": cube_arr}, TENORS)
 
-        for trial in range(12):
+        for trial in range(16):
             freq = int(rng.choice([1, 3, 6, 12]))
             fixing = rng.choice([None, 1, 3, 6])
             fixing = None if fixing is None else int(fixing)
@@ -418,6 +449,14 @@ class TestDeviceFuzz:
                 mat = dates[-1]
             if mat <= eff:
                 continue
+            # plain simple-forward, OIS-compounded, or sub-period compounded
+            kind = int(rng.integers(0, 3))
+            ois = kind == 1
+            reset_freq = 0
+            if kind == 2:
+                fixing = None
+                sub = [s for s in (1, 3, 6) if s < freq]
+                reset_freq = int(rng.choice(sub)) if sub else 0
             swap = IRSwap(
                 name=f"f{trial}",
                 effective_date=eff,
@@ -425,7 +464,10 @@ class TestDeviceFuzz:
                 notional=float(rng.uniform(1e5, 5e6)),
                 receive_leg=SwapLeg(
                     LegType.FLOATING, frequency=freq, curve_name="ZAR-SWAP",
-                    spread=spread, fixing_tenor_months=fixing,
+                    spread=spread,
+                    fixing_tenor_months=None if ois else fixing,
+                    overnight_compounding=ois,
+                    reset_frequency_months=reset_freq,
                 ),
                 pay_leg=SwapLeg(
                     LegType.FIXED, frequency=freq,
@@ -440,5 +482,5 @@ class TestDeviceFuzz:
             np.testing.assert_allclose(
                 mtm, generic.mtm, rtol=1e-9, atol=1e-4,
                 err_msg=f"trial {trial}: freq={freq} fixing={fixing} "
-                        f"eff={eff} mat={mat}",
+                        f"kind={kind} reset={reset_freq} eff={eff} mat={mat}",
             )
