@@ -85,8 +85,22 @@ class DeviceLegTensors:
     # compounded-reset legs (reset_frequency_months > 0): float-window
     # fields above are at flattened (m*n_subs) sub-period granularity
     sub_tau: Optional[np.ndarray] = None    # (m, n_subs), 0-padded
+    # equity-forward pathwise notionals (EquityTRS 'Price' interest
+    # scaling, equity_trs.py:287-316): started periods use the stamped
+    # spot (clamped two-row lerp at p_start), future periods
+    # spot * exp((rc - rd)(t_s) * t_s); notional = quantity * that
+    eq_quantity: Optional[float] = None
+    eq_stamped: Optional[np.ndarray] = None  # (n_times, m) p_start <= d
+    eq_row0: Optional[np.ndarray] = None     # (m,) int
+    eq_row1: Optional[np.ndarray] = None
+    eq_alpha: Optional[np.ndarray] = None    # (m,)
+    eq_t_s: Optional[np.ndarray] = None      # (n_times, m) cyf(d, p_start)
+    W_eq: Optional[np.ndarray] = None        # (n_times, n_tenors, m)
     is_ois: bool = False
     n_subs: int = 0
+    eq_spot_name: str = ""
+    eq_carry_name: str = ""
+    eq_div_name: str = ""
 
 
 def _weights_for(tenors: np.ndarray, tq: np.ndarray, Tm) -> np.ndarray:
@@ -400,7 +414,11 @@ def _ois_rate(leg: DeviceLegTensors, fwd_cube):
     return jnp.where(acc <= 0.0, 0.0, (cf_real * cf_fut - 1.0) / acc_safe)
 
 
-def _leg_mtm(leg: DeviceLegTensors, curves: Dict[str, "jnp.ndarray"]):
+def _leg_mtm(
+    leg: DeviceLegTensors,
+    curves: Dict[str, "jnp.ndarray"],
+    scalars: Optional[Dict[str, "jnp.ndarray"]] = None,
+):
     """(n_times, n_paths) MTM of one leg; pure jnp, jit-able."""
     import jax.numpy as jnp
 
@@ -432,6 +450,37 @@ def _leg_mtm(leg: DeviceLegTensors, curves: Dict[str, "jnp.ndarray"]):
             )
 
     live = jnp.asarray(leg.live)[:, None, :]
+    if leg.eq_spot_name:
+        # pathwise equity-forward notionals ('Price' interest scaling)
+        spot = scalars[leg.eq_spot_name]                # (n_times, n_paths)
+        r_eq = jnp.einsum(
+            "tpn,tnm->tpm", curves[leg.eq_carry_name], jnp.asarray(leg.W_eq)
+        )
+        if leg.eq_div_name:
+            r_eq = r_eq - jnp.einsum(
+                "tpn,tnm->tpm", curves[leg.eq_div_name], jnp.asarray(leg.W_eq)
+            )
+        t_s = jnp.asarray(leg.eq_t_s)[:, None, :]
+        fwd = spot[:, :, None] * jnp.exp(r_eq * jnp.maximum(t_s, 0.0))
+        s0 = spot[jnp.asarray(leg.eq_row0)]             # (m, n_paths)
+        s1 = spot[jnp.asarray(leg.eq_row1)]
+        a = jnp.asarray(leg.eq_alpha)[:, None]
+        stamped_spot = ((1.0 - a) * s0 + a * s1).T      # (n_paths, m)
+        notional = leg.eq_quantity * jnp.where(
+            jnp.asarray(leg.eq_stamped)[:, None, :],
+            stamped_spot[None, :, :],
+            fwd,
+        )
+        return (
+            jnp.einsum(
+                "tpm,tpm,tpm,m->tp",
+                df_pay,
+                (rate + leg.spread) * live,
+                notional,
+                jnp.asarray(leg.accrual),
+            )
+            * leg.sign
+        )
     return (
         jnp.einsum(
             "tpm,tpm,m->tp",
@@ -582,11 +631,6 @@ def _interp_rows(dates, d):
 
 def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray):
     """[return-leg DeviceTRSTensors, interest-leg DeviceLegTensors]."""
-    if trs.interest_nominal_scaling == "Price":
-        raise NotImplementedError(
-            "device path supports interest_nominal_scaling='Initial Price'; "
-            "'Price' (equity-forward notionals) uses the generic engine"
-        )
     sc = trs.schedule_config
     dates = list(scenario_dates)
     n_times = len(dates)
@@ -676,14 +720,43 @@ def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray
         e_row0=e_row0, e_row1=e_row1, e_alpha=e_alpha,
     )
 
-    # interest leg: fixed-notional ("Initial Price" scaling) generic leg;
-    # NO pay==maturity inclusion rule, and zero past maturity
+    # interest leg: fixed notional ("Initial Price" scaling) or pathwise
+    # equity-forward notionals ("Price"); NO pay==maturity inclusion rule,
+    # and zero past maturity
+    price_scaled = trs.interest_nominal_scaling == "Price"
     interest = build_leg_tensors(
         trs.interest_schedule, trs.interest_leg, -direction,
         scenario_dates, tenors,
-        sc=sc, notional=trs.notional, discount_name=trs.discount_curve_name,
+        sc=sc, notional=1.0 if price_scaled else trs.notional,
+        discount_name=trs.discount_curve_name,
         include_on=lambda d: trs.include_sim_date_cashflows,
     )
+    if price_scaled:
+        mi = len(trs.interest_schedule)
+        eq_stamped = np.zeros((n_times, mi), dtype=bool)
+        eq_t_s = np.zeros((n_times, mi))
+        eq_row0 = np.zeros(mi, dtype=np.int64)
+        eq_row1 = np.zeros(mi, dtype=np.int64)
+        eq_alpha = np.zeros(mi)
+        for i, (p_start, _, _, _) in enumerate(trs.interest_schedule):
+            eq_row0[i], eq_row1[i], eq_alpha[i] = _interp_rows(dates, p_start)
+            for t_idx, d in enumerate(dates):
+                eq_stamped[t_idx, i] = p_start <= d
+                eq_t_s[t_idx, i] = sc.curve_year_fraction(d, max(p_start, d))
+        interest.eq_quantity = float(trs.quantity)
+        interest.eq_stamped = eq_stamped
+        interest.eq_row0 = eq_row0
+        interest.eq_row1 = eq_row1
+        interest.eq_alpha = eq_alpha
+        interest.eq_t_s = eq_t_s
+        interest.W_eq = np.stack(
+            [_weights_for(tenors, eq_t_s[t], Tm) for t in range(n_times)]
+        )
+        interest.eq_spot_name = trs.spot_name
+        interest.eq_carry_name = trs.carry_curve_name
+        interest.eq_div_name = (
+            trs.dividend_curve_name if trs.dividend_curve_name else ""
+        )
     # zero the interest leg past maturity to match scenario_npvs
     mat_mask = np.array([d < trs.maturity_date for d in dates], dtype=bool)
     interest.live = interest.live & mat_mask[:, None]
@@ -991,7 +1064,10 @@ def _ils_mtm(ils_t: DeviceILSTensors, curves, scalars):
 # Leg/TRS tensor dataclasses as pytrees: arrays are leaves (so the jitted
 # netting kernel takes them as ARGUMENTS — no giant baked-in constants, no
 # retrace per call), names/flags are static aux data.
-_LEG_AUX = ("curve_name", "discount_name", "is_fixed", "is_ois", "n_subs")
+_LEG_AUX = (
+    "curve_name", "discount_name", "is_fixed", "is_ois", "n_subs",
+    "eq_spot_name", "eq_carry_name", "eq_div_name",
+)
 _TRS_AUX = (
     "spot_name", "carry_name", "div_name", "discount_name",
     "price_scaling", "has_initial_price",
@@ -1033,7 +1109,7 @@ def _netting_mtm_kernel(curves, scalars, legs, scales, fx_names):
         elif isinstance(leg_t, DeviceILSTensors):
             piece = _ils_mtm(leg_t, curves, scalars) * scale
         else:
-            piece = _leg_mtm(leg_t, curves) * scale
+            piece = _leg_mtm(leg_t, curves, scalars) * scale
         if fx is not None:
             piece = piece * scalars[fx]  # (n_times, n_paths) FX conversion
         total = piece if total is None else total + piece

@@ -165,12 +165,12 @@ class TestHW1FPipeline:
 
 
 class TestDeviceTRS:
-    def _trs(self, scaling="Price", lag=0, receiver=True):
+    def _trs(self, scaling="Price", lag=0, receiver=True, effective=VAL):
         from finite_difference_tpu.instruments.equity_trs import EquityTRS
 
         return EquityTRS(
             name="trs",
-            effective_date=VAL,
+            effective_date=effective,
             maturity_date=dt.date(2027, 7, 28),
             quantity=1000.0,
             notional=100_000.0,
@@ -225,13 +225,17 @@ class TestDeviceTRS:
     def test_spot_lag(self):
         self._compare(self._trs(lag=3))
 
-    def test_price_interest_scaling_rejected(self):
-        from finite_difference_tpu.xva.device_exposure import build_trs_tensors
-
+    def test_price_interest_scaling_matches_generic(self):
         trs = self._trs()
         trs.interest_nominal_scaling = "Price"
-        with pytest.raises(NotImplementedError):
-            build_trs_tensors(trs, [VAL], TENORS)
+        self._compare(trs)
+
+    def test_price_interest_scaling_seasoned(self):
+        # seasoned start: early interest periods use stamped (clamped-lerp)
+        # spot notionals, later ones equity forwards
+        trs = self._trs(effective=VAL - dt.timedelta(days=100))
+        trs.interest_nominal_scaling = "Price"
+        self._compare(trs)
 
 
 class TestDeviceILS:
