@@ -36,8 +36,15 @@ BASELINE_PER_CHIP = 1250.0  # 10k grids/s on v5p-8 / 8 chips
 
 def make_batch(B: int, dtype):
     """The benchmark trade set (seeded): 1-month up-and-out calls, 24 daily
-    monitors, far barrier H=420 so the European limit is a closed form."""
-    from finite_difference_tpu.models.pde.batch import build_trade_batch
+    monitors, far barrier H=420 so the European limit is a closed form.
+    The spectral interval layout is attached so kernels can run either
+    solver ('spectral' is the production default via price_barrier_batch)."""
+    from dataclasses import replace
+
+    from finite_difference_tpu.models.pde.batch import (
+        _spectral_layout,
+        build_trade_batch,
+    )
 
     rng = np.random.default_rng(0)
     spots = rng.uniform(180.0, 250.0, B)
@@ -57,10 +64,13 @@ def make_batch(B: int, dtype):
         num_space_nodes=N_SPACE_NODES,
         dtype=dtype,
     )
+    lay = _spectral_layout(tb, N_SPACE_NODES + 1, dtype)
+    assert lay is not None, "bench config must be spectral-eligible"
+    tb = replace(tb, sp_k_end=lay[0], sp_apply=lay[1], sp_rann=lay[2])
     return tb, spots, sigmas
 
 
-def _timed_kernel(dev, with_greeks: bool, iters: int):
+def _timed_kernel(dev, with_greeks: bool, iters: int, solver: str = "scan"):
     import jax
     import jax.numpy as jnp
     from finite_difference_tpu.models.pde.batch import price_batch_kernel
@@ -71,7 +81,10 @@ def _timed_kernel(dev, with_greeks: bool, iters: int):
         lambda b: jnp.stack(
             list(
                 price_batch_kernel(
-                    b, n_nodes=N_SPACE_NODES + 1, with_greeks=with_greeks
+                    b,
+                    n_nodes=N_SPACE_NODES + 1,
+                    with_greeks=with_greeks,
+                    solver=solver,
                 ).values()
             )
         )
@@ -97,10 +110,21 @@ def stage_f32(out_path: str) -> None:
     tb, spots, sigmas = make_batch(B, np.float32 if on_tpu else np.float64)
     dev = jax.tree.map(jnp.asarray, tb)
 
-    p_np, elapsed = _timed_kernel(dev, with_greeks=False, iters=iters)
+    # headline = the production auto-routing: on TPU the f32 path stays on
+    # the CN scan (TPU f32 matmul accumulation noise makes the spectral
+    # transforms ~1e-2 on cheap trades — docs/PERF_NOTES.md); the spectral
+    # f32 number is reported alongside with its own accuracy field.
+    p_np, elapsed = _timed_kernel(dev, with_greeks=False, iters=iters, solver="scan")
     grids_per_sec = B * iters / elapsed
 
-    _, g_elapsed = _timed_kernel(dev, with_greeks=True, iters=g_iters)
+    sp_np, sp_elapsed = _timed_kernel(
+        dev, with_greeks=False, iters=max(1, iters // 2), solver="spectral"
+    )
+    spectral_grids_per_sec = B * max(1, iters // 2) / sp_elapsed
+
+    _, g_elapsed = _timed_kernel(
+        dev, with_greeks=True, iters=g_iters, solver="scan"
+    )
     greeks_grids_per_sec = B * g_iters / g_elapsed
     if on_tpu and greeks_grids_per_sec < 0.25 * grids_per_sec:
         # working-set cliff: the greeks program holds two solves; retry at
@@ -130,11 +154,16 @@ def stage_f32(out_path: str) -> None:
     rel_err = float(
         np.max(np.abs(p_np.astype(np.float64) - ref) / np.maximum(ref, 1e-8))
     )
+    sp_rel_err = float(
+        np.max(np.abs(sp_np.astype(np.float64) - ref) / np.maximum(ref, 1e-8))
+    )
     with open(out_path, "w") as f:
         json.dump(
             {
                 "grids_per_sec": grids_per_sec,
                 "greeks_grids_per_sec": greeks_grids_per_sec,
+                "spectral_grids_per_sec": spectral_grids_per_sec,
+                "spectral_far_barrier_max_rel_err_vs_bs": sp_rel_err,
                 "batch": B,
                 "iters": iters,
                 "platform": "tpu" if on_tpu else "cpu",
@@ -160,7 +189,11 @@ def stage_f64(out_path: str, prices_path: str) -> None:
     iters = 4 if on_tpu else 1
     tb, _, _ = make_batch(B, np.float64)
     dev = jax.tree.map(jnp.asarray, tb)
-    p_np, elapsed = _timed_kernel(dev, with_greeks=False, iters=iters)
+    # production auto-routing sends f64 to the spectral propagator
+    # (exact to ~1e-11 vs the scan; 2.4x the scan's f64 throughput)
+    p_np, elapsed = _timed_kernel(
+        dev, with_greeks=False, iters=iters, solver="spectral"
+    )
     np.save(prices_path, p_np.astype(np.float64))
     with open(out_path, "w") as f:
         json.dump(
@@ -247,6 +280,11 @@ def main() -> None:
         "greeks_vs_baseline": round(
             f32["greeks_grids_per_sec"] / BASELINE_PER_CHIP, 4
         ),
+        "f32_spectral_grids_per_sec": round(f32["spectral_grids_per_sec"], 2),
+        "f32_spectral_max_rel_err_vs_bs": f32[
+            "spectral_far_barrier_max_rel_err_vs_bs"
+        ],
+        "f64_solver": "spectral",
         "f64_grids_per_sec": round(f64["grids_per_sec"], 2),
         "f64_vs_baseline": round(f64["grids_per_sec"] / BASELINE_PER_CHIP, 4),
         "f64_max_rel_err_vs_cpu_oracle": f64_rel,

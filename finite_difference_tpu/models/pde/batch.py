@@ -10,7 +10,7 @@ a ``jax.sharding.Mesh`` for multi-chip sweeps (see ``parallel.mesh``).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -54,6 +54,11 @@ class BarrierTradeBatch:
     monitor: np.ndarray
     div_amount: np.ndarray
     reset_lambda: np.ndarray
+    # spectral-solver interval layout (attached by price_barrier_batch when
+    # solver='spectral'; None for the scan path)
+    sp_k_end: "Optional[np.ndarray]" = None     # (B, n_intervals) int32
+    sp_apply: "Optional[np.ndarray]" = None     # (B, n_intervals) bool
+    sp_rann: "Optional[np.ndarray]" = None      # (B,) Rannacher step count
 
     @property
     def batch_size(self) -> int:
@@ -66,6 +71,9 @@ class BarrierTradeBatch:
     def astype(self, dtype) -> "BarrierTradeBatch":
         out = {}
         for k, v in self.__dict__.items():
+            if v is None:
+                out[k] = None
+                continue
             v = np.asarray(v)
             out[k] = v.astype(dtype) if np.issubdtype(v.dtype, np.floating) else v
         return BarrierTradeBatch(**out)
@@ -229,12 +237,34 @@ def _solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
     return cn_solve(grid, dyn, sch, n_nodes, barrier=bar)
 
 
+def _spectral_solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
+    """Single-trade spectral (sine-basis) solve; see models.pde.spectral."""
+    from .spectral import spectral_solve
+
+    grid = CNGrid(batch.x_min, batch.dx)
+    dyn = CNDynamics(
+        strike=batch.strike, is_call=batch.is_call, sigma=sigma,
+        r=batch.r, b=batch.b, q=batch.q,
+    )
+    bar = BarrierSpec(
+        lower=batch.lower, upper=batch.upper,
+        has_lower=batch.has_lower, has_upper=batch.has_upper,
+        rebate=batch.rebate, rebate_at_hit=batch.rebate_at_hit,
+        rebate_rate=batch.rebate_rate,
+    )
+    return spectral_solve(
+        grid, dyn, batch.dt[0], batch.sp_k_end, batch.sp_apply, n_nodes,
+        batch.sp_rann, barrier=bar,
+    )
+
+
 def price_batch_kernel(
     batch_dev,
     n_nodes: int,
     dv_sigma: float = 0.0001,
     with_greeks: bool = True,
     greeks_mode: str = "bump",
+    solver: str = "scan",
 ):
     """Device function (jit me): batch pytree of arrays -> dict of (B,) arrays.
 
@@ -248,15 +278,20 @@ def price_batch_kernel(
       sigma — ONE augmented solve, exact dP/dsigma (no bump-h truncation),
       same grid (the tangent flows through the dynamics coefficients only,
       exactly like the bump, which also holds the grid fixed).
+
+    ``solver='spectral'`` replaces the sequential CN scan with the
+    sine-basis closed-form propagator (models.pde.spectral) — requires the
+    sp_* interval fields on the batch (price_barrier_batch attaches them).
     """
+    solve_one = _spectral_solve_one if solver == "spectral" else _solve_one
 
     def solve(sig_field):
-        v, s = jax.vmap(lambda bt: _solve_one(bt, sig_field(bt), n_nodes))(batch_dev)
+        v, s = jax.vmap(lambda bt: solve_one(bt, sig_field(bt), n_nodes))(batch_dev)
         return v, s
 
     if with_greeks and greeks_mode == "ad":
         def price_of_sigma(sig):
-            v_, s_ = jax.vmap(lambda bt, sg: _solve_one(bt, sg, n_nodes))(
+            v_, s_ = jax.vmap(lambda bt, sg: solve_one(bt, sg, n_nodes))(
                 batch_dev, sig
             )
             return jax.vmap(jnp.interp)(batch_dev.s_eff, s_, v_), (v_, s_)
@@ -466,6 +501,7 @@ def _run_batch_driver(
     max_chunk: Optional[int],
     dtype=None,
     greeks_mode: str = "bump",
+    solver: str = "scan",
 ) -> Dict[str, np.ndarray]:
     """Shared driver: shard over a mesh, or chunk big single-chip batches.
 
@@ -491,11 +527,16 @@ def _run_batch_driver(
         batch = batch.astype(np.dtype(dtype))
         if max_chunk is not None and dtype.itemsize > 4:
             max_chunk = max(1, max_chunk // 2)  # same working-set budget
-    fn = jax.jit(kernel, static_argnames=("n_nodes", "with_greeks", "greeks_mode"))
+    fn = jax.jit(
+        kernel,
+        static_argnames=("n_nodes", "with_greeks", "greeks_mode", "solver"),
+    )
     kw = dict(
         n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks,
         greeks_mode=greeks_mode,
     )
+    if solver != "scan":
+        kw["solver"] = solver
     B = batch.batch_size
 
     def to_device(x):
@@ -578,6 +619,55 @@ def price_american_batch(
     )
 
 
+def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
+    """(sp_k_end, sp_apply, sp_rann) if the batch is spectral-eligible,
+    else None. Eligibility = the uniform_schedule shape the closed form
+    assumes (constant dt, Rannacher-prefix thetas, no dividend jumps) plus
+    a bounded symmetrizer exponent for the working dtype."""
+    from .spectral import spectral_intervals, symmetrizer_exponent
+
+    if np.asarray(batch.div_amount).any():
+        return None
+    dt = np.asarray(batch.dt, dtype=float)
+    if not np.all(dt == dt[:, :1]):
+        return None
+    th = np.asarray(batch.theta, dtype=float)
+    is_one = th == 1.0
+    if not np.all(is_one | (th == 0.5)):
+        return None
+    R = is_one.sum(axis=1)
+    # theta=1 steps must form a prefix
+    first_half = np.where(
+        is_one.any(axis=1), np.argmax(~is_one, axis=1), 0
+    )
+    prefix_ok = (~is_one.any(axis=1)) | (first_half == R)
+    if not prefix_ok.all():
+        return None
+    sig2 = np.asarray(batch.sigma, float) ** 2
+    mu_x = np.asarray(batch.b, float) - np.asarray(batch.q, float) - 0.5 * sig2
+    if np.any(
+        np.abs(np.asarray(batch.dx, float) * mu_x / sig2) >= 0.999
+    ):  # a_coef/c_coef must stay positive (sine diagonalization)
+        return None
+    expo = symmetrizer_exponent(
+        batch.sigma, batch.b, batch.q, batch.dx, n_nodes
+    )
+    is64 = dtype is not None and jnp.dtype(dtype).itemsize > 4
+    if not is64:
+        is64 = np.asarray(batch.sigma).dtype.itemsize > 4
+    if np.any(expo > (200.0 if is64 else 15.0)):
+        return None
+    from .spectral import channel_conditioning
+
+    cond = channel_conditioning(
+        batch.sigma, batch.b, batch.q, batch.r, batch.dx, dt[:, 0], n_nodes
+    )
+    if np.any(cond < 1e-9):
+        return None
+    k_end, apply_proj = spectral_intervals(np.asarray(batch.monitor))
+    return k_end, apply_proj, R.astype(np.int32)
+
+
 def price_barrier_batch(
     batch: BarrierTradeBatch,
     n_nodes: int,
@@ -588,11 +678,19 @@ def price_barrier_batch(
     max_chunk: Optional[int] = 1024,
     dtype=None,
     greeks_mode: str = "bump",
+    solver: str = "auto",
 ) -> Dict[str, np.ndarray]:
     """Price a trade batch; optionally shard the batch axis over ``mesh``.
 
     ``greeks_mode='ad'`` computes vega by one jvp-augmented solve instead
     of the sigma-bump re-solve (exact derivative, no bump-h error).
+
+    ``solver``: 'spectral' uses the sine-basis closed-form propagator
+    (models.pde.spectral — sequential work per trade drops from n_steps
+    tridiagonal solves to ~n_monitors MXU matmul rounds); 'scan' the CN
+    time scan; 'auto' (default) picks spectral whenever the batch has the
+    uniform_schedule layout it assumes (it is exact — tests pin 1e-9 vs
+    the scan) and falls back to the scan otherwise.
 
     With a mesh, arrays are placed with NamedSharding over ``axis_name`` and
     XLA partitions the whole program with zero collectives (embarrassingly
@@ -602,9 +700,38 @@ def price_barrier_batch(
     ``dtype=jnp.float64`` selects the high-accuracy (emulated on TPU)
     precision rung — ~3e-11 vs the CPU oracle at ~1.4k grids/s/chip.
     """
+    if solver == "auto":
+        # the TPU f32 matmul accumulation (any precision/DotAlgorithm,
+        # measured — docs/PERF_NOTES.md) is ~30x noisier than CPU f32,
+        # which the sine-transform roundtrips amplify to ~1e-2 rel on
+        # cheap OTM trades; f32-on-TPU therefore stays on the scan. The
+        # f64 rung and CPU runs route to the spectral propagator.
+        is64 = (
+            jnp.dtype(dtype).itemsize > 4
+            if dtype is not None
+            else np.asarray(batch.sigma).dtype.itemsize > 4
+        )
+        if jax.default_backend() != "cpu" and not is64:
+            solver = "scan"
+    if solver in ("auto", "spectral"):
+        layout = _spectral_layout(batch, n_nodes, dtype)
+        if layout is None:
+            if solver == "spectral":
+                raise ValueError(
+                    "batch is not spectral-eligible (needs uniform dt, "
+                    "Rannacher-prefix thetas, no dividend jumps, bounded "
+                    "symmetrizer exponent); use solver='auto' or 'scan'"
+                )
+            solver = "scan"
+        else:
+            batch = replace(
+                batch, sp_k_end=layout[0], sp_apply=layout[1],
+                sp_rann=layout[2],
+            )
+            solver = "spectral"
     return _run_batch_driver(
         price_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
-        mesh, axis_name, max_chunk, dtype, greeks_mode,
+        mesh, axis_name, max_chunk, dtype, greeks_mode, solver,
     )
 
 

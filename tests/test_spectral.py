@@ -1,0 +1,237 @@
+"""Spectral sine-basis propagator vs the CN scan (exact-arithmetic twins)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from finite_difference_tpu.models.pde.grid import uniform_schedule
+from finite_difference_tpu.models.pde.spectral import (
+    spectral_intervals,
+    spectral_solve,
+    symmetrizer_exponent,
+)
+from finite_difference_tpu.models.pde.stepper import (
+    BarrierSpec,
+    CNDynamics,
+    CNGrid,
+    CNSchedule,
+    cn_solve,
+)
+
+
+def _solve_both(
+    *, S0=229.74, K=190.0, sig=0.2879, r=0.0705, b=None, q=0.0,
+    is_call=True, T=1.0 / 12, n=64, R=2, n_nodes=129, monitors=6,
+    lower=None, upper=260.0, rebate=0.0, rebate_at_hit=False,
+    euro_put_lower=True, dx=2.0 / 128,
+):
+    b = r if b is None else b
+    mon = [T * (k + 1) / monitors for k in range(monitors)] if monitors else []
+    sch = uniform_schedule(T, n, R, mon)
+    grid = CNGrid(jnp.float64(np.log(S0) - 1.0), jnp.float64(dx))
+    dyn = CNDynamics(
+        jnp.float64(K), jnp.bool_(is_call), jnp.float64(sig),
+        jnp.float64(r), jnp.float64(b), jnp.float64(q),
+    )
+    bar = BarrierSpec(
+        jnp.float64(lower if lower is not None else 0.0),
+        jnp.float64(upper if upper is not None else 1e12),
+        jnp.bool_(lower is not None),
+        jnp.bool_(upper is not None),
+        jnp.float64(rebate),
+        jnp.bool_(rebate_at_hit),
+        jnp.float64(b),
+    )
+    dev_sch = CNSchedule(
+        *[jnp.asarray(getattr(sch, f))
+          for f in ("dt", "theta", "tau_next", "monitor",
+                    "div_amount", "reset_lambda")]
+    )
+    v_scan, s = cn_solve(
+        grid, dyn, dev_sch, n_nodes, barrier=bar,
+        euro_put_lower_boundary=euro_put_lower,
+    )
+    k_end, ap = spectral_intervals(sch.monitor)
+    v_spec, _ = spectral_solve(
+        grid, dyn, jnp.float64(T / n), jnp.asarray(k_end[0]),
+        jnp.asarray(ap[0]), n_nodes, R, barrier=bar,
+        euro_put_lower_boundary=euro_put_lower,
+    )
+    return np.asarray(v_scan), np.asarray(v_spec)
+
+
+def _assert_close(v_scan, v_spec, tol=1e-9):
+    scale = max(1.0, np.max(np.abs(v_scan)))
+    assert np.max(np.abs(v_scan - v_spec)) / scale < tol
+
+
+class TestSpectralVsScan:
+    def test_up_out_call_with_rebate(self):
+        _assert_close(*_solve_both(rebate=1.5))
+
+    def test_up_out_call_rebate_at_hit(self):
+        _assert_close(*_solve_both(rebate=2.0, rebate_at_hit=True))
+
+    def test_down_out_put(self):
+        _assert_close(
+            *_solve_both(is_call=False, K=260.0, lower=200.0, upper=None)
+        )
+
+    def test_down_out_put_american_lower_boundary(self):
+        _assert_close(
+            *_solve_both(
+                is_call=False, K=260.0, lower=200.0, upper=None,
+                euro_put_lower=False,
+            )
+        )
+
+    def test_double_barrier_call(self):
+        _assert_close(*_solve_both(lower=180.0, upper=280.0, rebate=0.5))
+
+    def test_carry_not_discount_with_yield(self):
+        _assert_close(*_solve_both(b=0.03, q=0.015))
+
+    def test_no_barrier_european(self):
+        _assert_close(*_solve_both(upper=None, monitors=0))
+
+    def test_put_no_barrier(self):
+        _assert_close(
+            *_solve_both(is_call=False, K=260.0, upper=None, monitors=0)
+        )
+
+    def test_monitor_at_first_step_splits_rannacher(self):
+        # a monitor inside the Rannacher window: intervals mix theta=1/0.5
+        T, n, R = 0.5, 40, 3
+        mon = [T - 1.5 * T / n, T * 0.5, T * 0.25]  # one lands at step 1-2
+        sch = uniform_schedule(T, n, R, mon)
+        grid = CNGrid(jnp.float64(np.log(100.0) - 1.0), jnp.float64(2.0 / 64))
+        dyn = CNDynamics(
+            jnp.float64(100.0), jnp.bool_(True), jnp.float64(0.3),
+            jnp.float64(0.05), jnp.float64(0.05), jnp.float64(0.0),
+        )
+        bar = BarrierSpec(
+            jnp.float64(0.0), jnp.float64(130.0), jnp.bool_(False),
+            jnp.bool_(True), jnp.float64(0.0), jnp.bool_(False),
+            jnp.float64(0.05),
+        )
+        dev_sch = CNSchedule(
+            *[jnp.asarray(getattr(sch, f))
+              for f in ("dt", "theta", "tau_next", "monitor",
+                        "div_amount", "reset_lambda")]
+        )
+        v_scan, _ = cn_solve(grid, dyn, dev_sch, 65, barrier=bar)
+        k_end, ap = spectral_intervals(sch.monitor)
+        v_spec, _ = spectral_solve(
+            grid, dyn, jnp.float64(T / n), jnp.asarray(k_end[0]),
+            jnp.asarray(ap[0]), 65, R, barrier=bar,
+        )
+        _assert_close(np.asarray(v_scan), np.asarray(v_spec))
+
+    def test_fuzz_random_configs(self):
+        rng = np.random.default_rng(11)
+        for trial in range(10):
+            is_call = bool(rng.integers(0, 2))
+            K = float(rng.uniform(80, 120))
+            kw = dict(
+                S0=float(rng.uniform(80, 120)), K=K,
+                sig=float(rng.uniform(0.15, 0.5)),
+                r=float(rng.uniform(0.0, 0.1)),
+                b=float(rng.uniform(-0.02, 0.1)),
+                q=float(rng.uniform(0.0, 0.03)),
+                is_call=is_call,
+                T=float(rng.uniform(0.05, 1.5)),
+                n=int(rng.integers(16, 100)),
+                R=int(rng.integers(0, 4)),
+                monitors=int(rng.integers(0, 12)),
+                rebate=float(rng.uniform(0.0, 3.0)),
+                rebate_at_hit=bool(rng.integers(0, 2)),
+                upper=float(rng.uniform(125, 200)),
+                lower=float(rng.uniform(40, 75)) if rng.integers(0, 2) else None,
+                dx=float(rng.uniform(0.01, 0.03)),
+            )
+            v_scan, v_spec = _solve_both(**kw)
+            scale = max(1.0, np.max(np.abs(v_scan)))
+            err = np.max(np.abs(v_scan - v_spec)) / scale
+            assert err < 1e-9, f"trial {trial}: rel err {err} for {kw}"
+
+
+class TestBatchDriverRouting:
+    def _batch(self, B=6, dtype=np.float64):
+        from finite_difference_tpu.models.pde.batch import build_trade_batch
+
+        rng = np.random.default_rng(3)
+        T = 31.0 / 365.0
+        return build_trade_batch(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[T] * B,
+            r=[0.0705] * B,
+            b=[0.0705] * B,
+            is_call=[True] * B,
+            n_time_steps=48,
+            monitor_times=[[T * (k + 1) / 8.0 for k in range(8)]] * B,
+            upper=[260.0] * B,
+            rebate=[1.0] * B,
+            num_space_nodes=127,
+            dtype=dtype,
+        )
+
+    def test_auto_routes_to_spectral_and_matches_scan(self):
+        from finite_difference_tpu.models.pde.batch import (
+            _spectral_layout,
+            price_barrier_batch,
+        )
+
+        tb = self._batch()
+        assert _spectral_layout(tb, 128) is not None
+        out_auto = price_barrier_batch(tb, n_nodes=128, solver="auto")
+        out_scan = price_barrier_batch(tb, n_nodes=128, solver="scan")
+        for key in ("price", "delta", "gamma", "vega", "theta"):
+            np.testing.assert_allclose(
+                out_auto[key], out_scan[key], rtol=1e-8, atol=1e-10,
+                err_msg=key,
+            )
+
+    def test_ad_vega_through_spectral(self):
+        from finite_difference_tpu.models.pde.batch import price_barrier_batch
+
+        tb = self._batch()
+        out_ad = price_barrier_batch(
+            tb, n_nodes=128, solver="spectral", greeks_mode="ad"
+        )
+        out_scan = price_barrier_batch(
+            tb, n_nodes=128, solver="scan", greeks_mode="ad"
+        )
+        np.testing.assert_allclose(
+            out_ad["vega"], out_scan["vega"], rtol=1e-7, atol=1e-10
+        )
+
+    def test_dividends_fall_back_to_scan(self):
+        from finite_difference_tpu.models.pde.batch import (
+            _spectral_layout,
+            price_barrier_batch,
+        )
+
+        tb = self._batch()
+        tb.div_amount = tb.div_amount.copy()
+        tb.div_amount[:, 10] = 1.0
+        assert _spectral_layout(tb, 128) is None
+        with pytest.raises(ValueError):
+            price_barrier_batch(tb, n_nodes=128, solver="spectral")
+        out = price_barrier_batch(tb, n_nodes=128, solver="auto")
+        assert np.isfinite(out["price"]).all()
+
+
+class TestSymmetrizerGuard:
+    def test_exponent_formula(self):
+        # exponent ~ M |mu_x| dx / sigma^2
+        e = symmetrizer_exponent(
+            np.array([0.25]), np.array([0.05]), np.array([0.0]),
+            np.array([0.01]), 130,
+        )
+        mu = 0.05 - 0.5 * 0.25**2
+        assert np.isclose(
+            e[0], 128 * abs(mu) * 0.01 / 0.25**2, rtol=1e-3
+        )
