@@ -58,7 +58,6 @@ same uniform-dt + monitor-projection structure this exploits.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

@@ -867,13 +867,16 @@ class DeviceILSTensors:
     ref_alpha: np.ndarray            # (K,)
     ref_hist: np.ndarray             # (K,) bool: value from hist_map
     ref_hist_val: np.ndarray         # (K,)
-    pub_mask: np.ndarray             # (n_times, K) ref published at t
+    pub_mask: np.ndarray             # (n_times, K) ref published/stamped at t
     anchor_idx: np.ndarray           # (n_times,) index into K of anchor(t)
     W_infl: np.ndarray               # (n_times, n_tenors, K) proj queries
+    #   (RiskFlow: InflationRate DF queries; legacy: LINEAR CPI-level
+    #    term-structure weights at yf(d_t, k) for unstamped refs)
     t_proj: np.ndarray               # (n_times, K) yf(anchor(t), k)
     j_idx: np.ndarray                # (m,) bracket j index into K
     j1_idx: np.ndarray               # (m,)
     frac: np.ndarray                 # (m,) intramonth weight
+    legacy: bool = False             # CPI factor is a level term structure
 
 
 def build_ils_tensors(ils, scenario_dates: Sequence[dt.date], tenors: np.ndarray):
@@ -882,11 +885,7 @@ def build_ils_tensors(ils, scenario_dates: Sequence[dt.date], tenors: np.ndarray
     import calendar as _cal
 
     leg = ils.inflation_leg
-    if not leg.inflation_rate_curve_name:
-        raise NotImplementedError(
-            "device ILS path needs RiskFlow mode (inflation_rate_curve_name); "
-            "legacy CPI-term-structure mode uses the generic engine"
-        )
+    legacy = not leg.inflation_rate_curve_name
     sc = ils.schedule_config
     dates = list(scenario_dates)
     n_times = len(dates)
@@ -939,6 +938,7 @@ def build_ils_tensors(ils, scenario_dates: Sequence[dt.date], tenors: np.ndarray
     ref_alpha = np.zeros(K)
     ref_hist = np.zeros(K, dtype=bool)
     ref_hist_val = np.zeros(K)
+    stamp_row = np.full(K, n_times, dtype=np.int64)  # sentinel: never stamped
     for idx, k in enumerate(refs):
         if k in hist:
             ref_hist[idx] = True
@@ -951,34 +951,61 @@ def build_ils_tensors(ils, scenario_dates: Sequence[dt.date], tenors: np.ndarray
             j = bisect_right(dates, k) - 1
             d_due = j if (0 <= j < n_times and dates[j] >= k) else j + 1
             d_due = min(max(d_due, 0), n_times - 1)
+            due_eff = bisect_left(dates, k)  # unclamped: first row >= k
         else:
             d_due = None
+            due_eff = n_times
+        stamp_row[idx] = min(
+            d_pre if d_pre is not None else n_times, due_eff
+        )
         if d_pre is not None and (d_due is None or d_pre <= d_due):
             ref_row0[idx] = ref_row1[idx] = d_pre  # pre-seed: spot, no interp
             ref_alpha[idx] = 0.0
         else:
             ref_row0[idx], ref_row1[idx], ref_alpha[idx] = _interp_rows(dates, k)
 
-    pub_mask = np.zeros((n_times, K), dtype=bool)
     anchor_idx = np.zeros(n_times, dtype=np.int64)
     t_proj = np.zeros((n_times, K))
-    for t_idx, d in enumerate(dates):
-        a = anchors[t_idx]
-        anchor_idx[t_idx] = ref_pos[a]
-        for idx, k in enumerate(refs):
-            pub_mask[t_idx, idx] = k <= a
-            if k > a:
-                t_proj[t_idx, idx] = _yf(a, k, sc.curve_day_count)
-    W_infl = np.stack(
-        [_weights_for(tenors, t_proj[t], Tm) for t in range(n_times)]
-    )
+    if legacy:
+        # fixing exists from its stamping row on; hist refs resolve from
+        # the static map at every t (get_cpi_level legacy order). Future
+        # refs read the pathwise CPI-level term structure LINEARLY at
+        # yf(d_t, k) (inflation_pv.py cpi_interp).
+        pub_mask = (
+            np.arange(n_times)[:, None] >= stamp_row[None, :]
+        ) | ref_hist[None, :]
+        for t_idx, d in enumerate(dates):
+            for idx, k in enumerate(refs):
+                if not pub_mask[t_idx, idx]:
+                    t_proj[t_idx, idx] = _yf(d, k, sc.curve_day_count)
+        from ..market_data.yield_curve import _interp_weight_matrix
+
+        W_infl = np.stack(
+            [
+                _interp_weight_matrix(tenors, t_proj[t], hermite=False)
+                for t in range(n_times)
+            ]
+        )
+    else:
+        pub_mask = np.zeros((n_times, K), dtype=bool)
+        for t_idx, d in enumerate(dates):
+            a = anchors[t_idx]
+            anchor_idx[t_idx] = ref_pos[a]
+            for idx, k in enumerate(refs):
+                pub_mask[t_idx, idx] = k <= a
+                if k > a:
+                    t_proj[t_idx, idx] = _yf(a, k, sc.curve_day_count)
+        W_infl = np.stack(
+            [_weights_for(tenors, t_proj[t], Tm) for t in range(n_times)]
+        )
 
     j_idx = np.array([ref_pos[j] for j, _ in brackets], dtype=np.int64)
     j1_idx = np.array([ref_pos[j1] for _, j1 in brackets], dtype=np.int64)
 
     infl = DeviceILSTensors(
         cpi_name=leg.cpi_curve_name,
-        infl_name=leg.inflation_rate_curve_name,
+        infl_name=leg.inflation_rate_curve_name or "",
+        legacy=legacy,
         discount_name=ils.discount_curve_name,
         sign=sign,
         notional=float(ils.notional),
@@ -1015,32 +1042,57 @@ def _ils_mtm(ils_t: DeviceILSTensors, curves, scalars):
     """(n_times, n_paths) inflation-leg MTM; pure jnp."""
     import jax.numpy as jnp
 
-    cpi = scalars[ils_t.cpi_name]                 # (n_times, n_paths)
-    infl = curves[ils_t.infl_name]                # (n_times, n_paths, n_tenors)
     disc = curves[ils_t.discount_name]
 
-    # stamped/published values per ref: (K, n_paths)
-    c0 = cpi[jnp.asarray(ils_t.ref_row0)]
-    c1 = cpi[jnp.asarray(ils_t.ref_row1)]
-    a = jnp.asarray(ils_t.ref_alpha)[:, None]
-    stamped = (1.0 - a) * c0 + a * c1
-    published = jnp.where(
-        jnp.asarray(ils_t.ref_hist)[:, None],
-        jnp.asarray(ils_t.ref_hist_val)[:, None],
-        stamped,
-    )                                             # (K, n_paths)
+    if ils_t.legacy:
+        # CPI factor IS a pathwise level term structure; stamped fixings
+        # take its FIRST column (the spot level) at the stamping rows,
+        # unstamped refs interpolate the sim-date curve linearly.
+        cpi_cube = curves[ils_t.cpi_name]         # (n_times, n_paths, n_ten)
+        spot = cpi_cube[:, :, 0]                  # (n_times, n_paths)
+        c0 = spot[jnp.asarray(ils_t.ref_row0)]
+        c1 = spot[jnp.asarray(ils_t.ref_row1)]
+        a = jnp.asarray(ils_t.ref_alpha)[:, None]
+        stamped = (1.0 - a) * c0 + a * c1
+        published = jnp.where(
+            jnp.asarray(ils_t.ref_hist)[:, None],
+            jnp.asarray(ils_t.ref_hist_val)[:, None],
+            stamped,
+        )                                         # (K, n_paths)
+        future = jnp.einsum(
+            "tpn,tnk->tpk", cpi_cube, jnp.asarray(ils_t.W_infl)
+        )
+        cpi_tk = jnp.where(
+            jnp.asarray(ils_t.pub_mask)[:, None, :],
+            published.T[None, :, :],
+            future,
+        )                                         # (t, p, K)
+    else:
+        cpi = scalars[ils_t.cpi_name]             # (n_times, n_paths)
+        infl = curves[ils_t.infl_name]            # (n_times, n_paths, n_ten)
 
-    # projection: anchor CPI / DF_infl with the sim-date curve
-    r_proj = jnp.einsum("tpn,tnk->tpk", infl, jnp.asarray(ils_t.W_infl))
-    df_infl = jnp.exp(-r_proj * jnp.asarray(ils_t.t_proj)[:, None, :])
-    anchor_val = published[jnp.asarray(ils_t.anchor_idx)]   # (n_times, n_paths)
-    projected = anchor_val[:, :, None] / df_infl            # (t, p, K)
+        # stamped/published values per ref: (K, n_paths)
+        c0 = cpi[jnp.asarray(ils_t.ref_row0)]
+        c1 = cpi[jnp.asarray(ils_t.ref_row1)]
+        a = jnp.asarray(ils_t.ref_alpha)[:, None]
+        stamped = (1.0 - a) * c0 + a * c1
+        published = jnp.where(
+            jnp.asarray(ils_t.ref_hist)[:, None],
+            jnp.asarray(ils_t.ref_hist_val)[:, None],
+            stamped,
+        )                                         # (K, n_paths)
 
-    cpi_tk = jnp.where(
-        jnp.asarray(ils_t.pub_mask)[:, None, :],
-        published.T[None, :, :],
-        projected,
-    )                                                       # (t, p, K)
+        # projection: anchor CPI / DF_infl with the sim-date curve
+        r_proj = jnp.einsum("tpn,tnk->tpk", infl, jnp.asarray(ils_t.W_infl))
+        df_infl = jnp.exp(-r_proj * jnp.asarray(ils_t.t_proj)[:, None, :])
+        anchor_val = published[jnp.asarray(ils_t.anchor_idx)]  # (t, n_paths)
+        projected = anchor_val[:, :, None] / df_infl           # (t, p, K)
+
+        cpi_tk = jnp.where(
+            jnp.asarray(ils_t.pub_mask)[:, None, :],
+            published.T[None, :, :],
+            projected,
+        )                                                      # (t, p, K)
 
     cpi_j = jnp.take(cpi_tk, jnp.asarray(ils_t.j_idx), axis=2)
     cpi_j1 = jnp.take(cpi_tk, jnp.asarray(ils_t.j1_idx), axis=2)
@@ -1095,6 +1147,7 @@ def _make_pytree(cls, aux_names):
 
 _ILS_AUX = (
     "cpi_name", "infl_name", "discount_name", "pay_notional_at_maturity",
+    "legacy",
 )
 _make_pytree(DeviceLegTensors, _LEG_AUX)
 _make_pytree(DeviceTRSTensors, _TRS_AUX)

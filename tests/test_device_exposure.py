@@ -301,20 +301,41 @@ class TestDeviceILS:
     def test_payer_and_no_notional_exchange(self):
         self._compare(self._ils(receiver=False, pay_notional=False))
 
-    def test_legacy_mode_rejected(self):
-        from finite_difference_tpu.xva.device_exposure import build_ils_tensors
-
-        ils = self._ils()
-        object.__setattr__(
-            ils.inflation_leg, "inflation_rate_curve_name", ""
-        ) if hasattr(type(ils.inflation_leg), "__frozen__") else None
+    def test_legacy_cpi_term_structure_matches_generic(self):
+        # legacy mode: the CPI factor is a pathwise level term structure
         import dataclasses
 
+        ils = self._ils()
         ils.inflation_leg = dataclasses.replace(
             ils.inflation_leg, inflation_rate_curve_name=""
         )
-        with pytest.raises(NotImplementedError):
-            build_ils_tensors(ils, [VAL], TENORS)
+        rng = np.random.default_rng(5)
+        n_times, n_paths = 40, 32
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        swap = 0.078 + rng.normal(
+            0, 0.002, (n_times, n_paths, TENORS.size)
+        ).cumsum(axis=0)
+        # CPI-level curve: spot column grows along the scenario, longer
+        # tenors carry expected inflation growth
+        base = 102.4 * np.exp(
+            0.004 * np.arange(n_times)[:, None]
+            + rng.normal(0, 0.002, (n_times, n_paths)).cumsum(axis=0)
+        )
+        cpi_curve = base[:, :, None] * np.exp(0.05 * TENORS)[None, None, :]
+        curves = {"ZAR-SWAP": swap, "CPI.ZA": cpi_curve}
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", swap, TENORS),
+                "CPI.ZA": ("curve", cpi_curve, TENORS),
+            },
+        )
+        generic = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(ils, "T1")])
+        )
+        dev = DeviceExposureEngine(dates, curves, TENORS)
+        mtm = np.asarray(dev.mtm([ils]))
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-5)
 
 
 class TestDeviceFX:
