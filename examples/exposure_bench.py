@@ -63,12 +63,16 @@ def build_cube(n_paths: int, n_times: int = 62, seed: int = 0) -> ScenarioCube:
     eq = 100.0 * np.exp(
         rng.normal(0.002, 0.05, (n_times, n_paths)).cumsum(axis=0)
     )
+    # CPI LEVEL term structure for the legacy ILS mode: spot column = the
+    # scalar CPI path, longer tenors carry expected inflation growth
+    cpi_curve = cpi[:, :, None] * np.exp(0.05 * TENORS)[None, None, :]
     return ScenarioCube(
         dates,
         {
             "ZAR-SWAP": ("curve", swap, TENORS),
             "INFL.ZA": ("curve", infl, TENORS),
             "EQ.DIV": ("curve", np.full(z.shape, 0.02), TENORS),
+            "CPI.CURVE": ("curve", cpi_curve, TENORS),
             "CPI.ZA": ("scalar", cpi),
             "EQ.SPOT": ("scalar", eq),
         },
@@ -122,10 +126,78 @@ def build_netting_set() -> NettingSet:
     )
 
 
+def build_wide_extras() -> list:
+    """The round-2 device-path coverage set: OIS and compounded-reset
+    legs, 'Price'-scaled TRS interest, legacy CPI-term-structure ILS."""
+    ois = IRSwap(
+        name="ois-2y",
+        effective_date=VAL,
+        maturity_date=dt.date(2027, 7, 28),
+        notional=1_000_000,
+        receive_leg=SwapLeg(
+            LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP",
+            overnight_compounding=True,
+        ),
+        pay_leg=SwapLeg(LegType.FIXED, frequency=3, fixed_rate=0.078),
+        discount_curve_name="ZAR-SWAP",
+    )
+    cmp_swap = IRSwap(
+        name="cmp-3y",
+        effective_date=VAL,
+        maturity_date=dt.date(2028, 7, 28),
+        notional=1_000_000,
+        receive_leg=SwapLeg(
+            LegType.FLOATING, frequency=6, curve_name="ZAR-SWAP",
+            reset_frequency_months=3,
+        ),
+        pay_leg=SwapLeg(LegType.FIXED, frequency=6, fixed_rate=0.08),
+        discount_curve_name="ZAR-SWAP",
+    )
+    trs_price = EquityTRS(
+        name="trs-price-2y",
+        effective_date=VAL,
+        maturity_date=dt.date(2027, 7, 28),
+        quantity=1000.0,
+        notional=100_000.0,
+        interest_leg=SwapLeg(
+            LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP", spread=0.01
+        ),
+        spot_name="EQ.SPOT",
+        carry_curve_name="ZAR-SWAP",
+        dividend_curve_name="EQ.DIV",
+        discount_curve_name="ZAR-SWAP",
+        initial_price=100.0,
+        interest_nominal_scaling="Price",
+    )
+    hist = {shift_months(first_of_month(VAL), -k): 100.0 for k in range(0, 8)}
+    ils_legacy = IndexLinkedSwap(
+        name="ils-legacy-3y",
+        effective_date=VAL,
+        maturity_date=dt.date(2028, 7, 28),
+        notional=1_000_000,
+        inflation_leg=InflationLeg(
+            real_rate=0.025, base_cpi=100.0, cpi_curve_name="CPI.CURVE",
+            frequency=6, inflation_rate_curve_name="",
+        ),
+        nominal_leg=SwapLeg(LegType.FIXED, frequency=6, fixed_rate=0.08),
+        discount_curve_name="ZAR-SWAP",
+        inflation_index=hist,
+    )
+    return [ois, cmp_swap, trs_price, ils_legacy]
+
+
 def main() -> None:
     n_paths = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 50_000
     cube = build_cube(n_paths)
     ns = build_netting_set()
+    if "--wide" in sys.argv:
+        extras = build_wide_extras()
+        ns = NettingSet(
+            ns.netting_set_id,
+            list(ns.trades)
+            + [Trade(x, f"W{i}") for i, x in enumerate(extras)],
+            csa=ns.csa,
+        )
     engine = ExposureEngine(cube)
 
     if "--profile" in sys.argv:
@@ -162,7 +234,10 @@ def main() -> None:
                 dtype=np.float32,
             )
 
-        arrays = {k: jnp.asarray(pull(k)) for k in ("ZAR-SWAP", "INFL.ZA", "EQ.DIV")}
+        arrays = {
+            k: jnp.asarray(pull(k))
+            for k in ("ZAR-SWAP", "INFL.ZA", "EQ.DIV", "CPI.CURVE")
+        }
         scalars = {k: jnp.asarray(pull(k)) for k in ("CPI.ZA", "EQ.SPOT")}
         dev = DeviceExposureEngine(
             list(cube.dates), arrays, TENORS, scalars=scalars
