@@ -9,6 +9,7 @@ a ``jax.sharding.Mesh`` for multi-chip sweeps (see ``parallel.mesh``).
 """
 from __future__ import annotations
 
+import inspect
 import math
 from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Sequence
@@ -527,15 +528,16 @@ def _run_batch_driver(
         batch = batch.astype(np.dtype(dtype))
         if max_chunk is not None and dtype.itemsize > 4:
             max_chunk = max(1, max_chunk // 2)  # same working-set budget
-    fn = jax.jit(
-        kernel,
-        static_argnames=("n_nodes", "with_greeks", "greeks_mode", "solver"),
-    )
+    static = ["n_nodes", "with_greeks", "greeks_mode"]
+    takes_solver = "solver" in inspect.signature(kernel).parameters
+    if takes_solver:
+        static.append("solver")
+    fn = jax.jit(kernel, static_argnames=tuple(static))
     kw = dict(
         n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks,
         greeks_mode=greeks_mode,
     )
-    if solver != "scan":
+    if takes_solver:
         kw["solver"] = solver
     B = batch.batch_size
 

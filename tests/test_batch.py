@@ -191,10 +191,21 @@ class TestChunkedDriver:
             upper=[260.0] * B,
             num_space_nodes=255,
         )
-        whole = price_barrier_batch(tb, n_nodes=256, max_chunk=None)
-        chunked = price_barrier_batch(tb, n_nodes=256, max_chunk=16)
+        # the scan path is bit-identical under chunking; the spectral path
+        # only agrees to FP tolerance (matmul row results vary with the
+        # batch tiling), so pin both properties
+        whole = price_barrier_batch(tb, n_nodes=256, max_chunk=None,
+                                    solver="scan")
+        chunked = price_barrier_batch(tb, n_nodes=256, max_chunk=16,
+                                      solver="scan")
         for k in whole:
             np.testing.assert_array_equal(whole[k], chunked[k], err_msg=k)
+        whole_sp = price_barrier_batch(tb, n_nodes=256, max_chunk=None)
+        chunked_sp = price_barrier_batch(tb, n_nodes=256, max_chunk=16)
+        for k in whole_sp:
+            np.testing.assert_allclose(
+                whole_sp[k], chunked_sp[k], rtol=1e-9, atol=1e-10, err_msg=k
+            )
 
     def test_american_chunked_equals_single_launch(self):
         from finite_difference_tpu.models.pde.batch import price_american_batch
@@ -480,10 +491,21 @@ class TestMeshChunking:
             upper=[260.0] * B,
             num_space_nodes=127,
         )
-        whole = price_barrier_batch(tb, n_nodes=128, mesh=mesh, max_chunk=None)
-        chunked = price_barrier_batch(tb, n_nodes=128, mesh=mesh, max_chunk=2)
+        whole = price_barrier_batch(
+            tb, n_nodes=128, mesh=mesh, max_chunk=None, solver="scan"
+        )
+        chunked = price_barrier_batch(
+            tb, n_nodes=128, mesh=mesh, max_chunk=2, solver="scan"
+        )
         for k in whole:
             np.testing.assert_array_equal(whole[k], chunked[k], err_msg=k)
+        # spectral: chunked == single to FP tolerance over the mesh too
+        whole_sp = price_barrier_batch(tb, n_nodes=128, mesh=mesh, max_chunk=None)
+        chunked_sp = price_barrier_batch(tb, n_nodes=128, mesh=mesh, max_chunk=2)
+        for k in whole_sp:
+            np.testing.assert_allclose(
+                whole_sp[k], chunked_sp[k], rtol=1e-9, atol=1e-10, err_msg=k
+            )
 
 
 class TestADGreeks:
