@@ -259,6 +259,38 @@ def _spectral_solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
     )
 
 
+def solve_value_surfaces(
+    batch: BarrierTradeBatch, n_nodes: int, solver: str = "auto"
+):
+    """(V, s): per-trade value FUNCTIONS over the grid, (B, n_nodes) each.
+
+    The surface form of the batched solve — what an XVA engine's
+    ``precompute`` hook wants (price an exotic once per scenario date,
+    then interpolate simulated spots against the surface;
+    instruments/equity_barrier.py). ``solver='auto'`` routes eligible
+    batches through the spectral propagator.
+    """
+    if solver in ("auto", "spectral"):
+        layout = _spectral_layout(batch, n_nodes)
+        if layout is not None:
+            batch = replace(
+                batch, sp_k_end=layout[0], sp_apply=layout[1],
+                sp_rann=layout[2],
+            )
+            solver = "spectral"
+        elif solver == "spectral":
+            raise ValueError("batch is not spectral-eligible")
+        else:
+            solver = "scan"
+    solve_one = _spectral_solve_one if solver == "spectral" else _solve_one
+    dev = jax.tree.map(jnp.asarray, batch)
+    fn = jax.jit(
+        lambda b: jax.vmap(lambda bt: solve_one(bt, bt.sigma, n_nodes))(b)
+    )
+    v, s = fn(dev)
+    return np.asarray(v), np.asarray(s)
+
+
 def price_batch_kernel(
     batch_dev,
     n_nodes: int,
