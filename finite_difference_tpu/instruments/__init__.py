@@ -24,6 +24,7 @@ from .equity_pv import (
     filter_future_periods,
     trs_return_leg_pv,
 )
+from .american_option import AmericanOptionPosition
 from .equity_barrier import EquityBarrierOption
 from .equity_trs import EquityTRS
 from .commodity import CommodityAverageForwardInstrument, CommodityForwardInstrument
@@ -50,6 +51,7 @@ __all__ = [
     "equity_forward_price",
     "filter_future_periods",
     "trs_return_leg_pv",
+    "AmericanOptionPosition",
     "EquityBarrierOption",
     "EquityTRS",
     "CommodityAverageForwardInstrument",

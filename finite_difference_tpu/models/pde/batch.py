@@ -260,7 +260,10 @@ def _spectral_solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
 
 
 def solve_value_surfaces(
-    batch: BarrierTradeBatch, n_nodes: int, solver: str = "auto"
+    batch: BarrierTradeBatch,
+    n_nodes: int,
+    solver: str = "auto",
+    american: bool = False,
 ):
     """(V, s): per-trade value FUNCTIONS over the grid, (B, n_nodes) each.
 
@@ -268,8 +271,19 @@ def solve_value_surfaces(
     ``precompute`` hook wants (price an exotic once per scenario date,
     then interpolate simulated spots against the surface;
     instruments/equity_barrier.py). ``solver='auto'`` routes eligible
-    batches through the spectral propagator.
+    batches through the spectral propagator. ``american=True`` runs the
+    Ikonen-Toivanen early-exercise solve (scan only — the per-step
+    projection is inherently sequential).
     """
+    if american:
+        dev = jax.tree.map(jnp.asarray, batch)
+        fn = jax.jit(
+            lambda b: jax.vmap(
+                lambda bt: _solve_one_american(bt, bt.sigma, n_nodes)
+            )(b)
+        )
+        v, s = fn(dev)
+        return np.asarray(v), np.asarray(s)
     if solver in ("auto", "spectral"):
         layout = _spectral_layout(batch, n_nodes)
         if layout is not None:

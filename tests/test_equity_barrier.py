@@ -163,6 +163,38 @@ class TestEngineIntegration:
                 err_msg=f"date {d}",
             )
 
+    def test_american_position_in_netting_set(self):
+        from finite_difference_tpu.instruments import AmericanOptionPosition
+        from finite_difference_tpu.models.pde.batch import (
+            build_american_batch,
+            price_american_batch,
+        )
+        from finite_difference_tpu.utils.daycount import year_fraction
+
+        dates = self._dates()
+        paths = self._paths(len(dates), dates, crossing_path=False)
+        opt = AmericanOptionPosition(
+            "amer", "EQ.SPOT", 100.0, MAT, 0.3, 0.06, option_type="put",
+            n_time_steps=96, num_space_nodes=255,
+        )
+        prof = self._run(opt, paths, dates)
+        assert np.isfinite(prof.mtm).all()
+        # t=0 value matches the batched American pricer (same kernel)
+        t = year_fraction(VAL, MAT, "ACT/365")
+        tb = build_american_batch(
+            spots=[100.0], strikes=[100.0], sigmas=[0.3], t_expiry=[t],
+            r=[0.06], b=[0.06], is_call=[False], n_time_steps=96,
+            num_space_nodes=255,
+        )
+        ref = price_american_batch(tb, n_nodes=256, with_greeks=False)
+        np.testing.assert_allclose(prof.mtm[1, 0], ref["price"][0], rtol=1e-9)
+        # intrinsic floor: American >= payoff pathwise at every date
+        for i, d in enumerate(dates):
+            if d >= MAT:
+                continue
+            intrinsic = np.maximum(100.0 - paths[i], 0.0)
+            assert (prof.mtm[:, i] >= intrinsic - 1e-8).all(), d
+
     def test_double_barrier_and_down_types_build(self):
         dates = self._dates()
         paths = self._paths(len(dates), dates, crossing_path=False)
