@@ -19,7 +19,7 @@ models/mc/lsm.py (Longstaff-Schwartz) is the independent MC oracle.
 from __future__ import annotations
 
 import datetime as dt
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -28,8 +28,7 @@ the far-field values (flat extrapolation).
 from __future__ import annotations
 
 import datetime as dt
-from bisect import bisect_right
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
