@@ -134,17 +134,38 @@ def _pow_signed(rho, m):
 # (where the denominators are O(1) and nothing cancels).
 
 
-def _stable_pow(z, theta, m):
-    """rho^m with rho = (1 + (1-theta) z)/(1 - theta z), m >= 0 integer."""
+def _log_rho(z, theta):
+    """(log|rho|, rho_negative) for rho = (1 + (1-theta) z)/(1 - theta z).
+
+    The log is interval-INVARIANT (z and theta are), so the interval scan
+    precomputes it once and each stage pays a single exp — on the f64 rung
+    the x64-emulated transcendentals are a large share of the solve.
+    """
     denom = 1.0 - theta * z
     ratio = z / denom  # rho - 1, exact form
     rho = 1.0 + ratio
-    mf = m.astype(z.dtype)
     near = rho > 0.5
-    pow_near = jnp.exp(mf * jnp.log1p(jnp.where(near, ratio, 0.0)))
-    pow_far = _pow_signed(jnp.where(near, -1.0, rho), m)
-    out = jnp.where(near, pow_near, pow_far)
+    log_mag = jnp.where(
+        near,
+        jnp.log1p(jnp.where(near, ratio, 0.0)),
+        jnp.log(jnp.maximum(jnp.abs(jnp.where(near, -1.0, rho)), 1e-300)),
+    )
+    return log_mag, (~near) & (rho < 0.0)
+
+
+def _pow_from_log(log_mag, negative, m):
+    """rho^m from the precomputed (log|rho|, sign) pair, m >= 0 integer."""
+    mf = m.astype(log_mag.dtype)
+    mag = jnp.exp(mf * log_mag)
+    odd = jnp.mod(mf, 2.0) > 0.5
+    out = jnp.where(negative & odd, -mag, mag)
     return jnp.where(m > 0.5, out, jnp.ones_like(out))
+
+
+def _stable_pow(z, theta, m):
+    """rho^m with rho = (1 + (1-theta) z)/(1 - theta z), m >= 0 integer."""
+    log_mag, neg = _log_rho(z, theta)
+    return _pow_from_log(log_mag, neg, m)
 
 
 def channel_conditioning(
@@ -334,17 +355,22 @@ def spectral_solve(
     w0 = _mm((payoff[1:-1] - E_channels(u_cn, jnp.zeros((), dtype))) / d_vec, dst)
     v_lo0, v_hi0 = payoff[0], payoff[-1]
 
+    # interval-invariant per-theta quantities, hoisted out of the scan
+    z_modes = dt * lam
+    rho_cache = {
+        th: (*_log_rho(z_modes, th), 1.0 - th * z_modes) for th in (1.0, 0.5)
+    }
+
     def stage_h(w, m, theta, d_lo, d_hi):
         """m homogeneous theta-steps on a channel-residual state; (d_lo,
         d_hi) are the j=0 deviations of the actual previous-boundary values
         from the asymptotics (nonzero right after a projection)."""
-        z = dt * lam
-        denom = 1.0 - theta * z
-        w_new = _stable_pow(z, theta, m) * w
+        log_mag, neg, denom = rho_cache[theta]
+        w_new = _pow_from_log(log_mag, neg, m) * w
         corr = (1.0 - theta) * (P * d_lo + Q * d_hi) / denom
-        w_new = w_new + _stable_pow(z, theta, jnp.maximum(m - 1, 0)) * jnp.where(
-            m > 0.5, corr, jnp.zeros_like(corr)
-        )
+        w_new = w_new + _pow_from_log(
+            log_mag, neg, jnp.maximum(m - 1, 0)
+        ) * jnp.where(m > 0.5, corr, jnp.zeros_like(corr))
         return w_new
 
     def switch_profiles(w, tau, sign):
