@@ -1113,6 +1113,105 @@ def _ils_mtm(ils_t: DeviceILSTensors, curves, scalars):
     return jnp.sum(df_pay * cf * live, axis=2) * ils_t.sign
 
 
+@dataclass
+class DeviceCommodityTensors:
+    """Commodity (average-)forward tensors (instruments/commodity.py on
+    device): each averaging ref is a stamped fixing once its pricing date
+    passes (linear forward-curve interp at the FIXED tenor yf(pricing,
+    avg), state lerped to the pricing date) or a live linear interp at
+    yf(d_t, avg); NPV = DF(t_pay) * N * (mean_ref - K)."""
+
+    fwd_name: str
+    discount_name: str
+    notional: float
+    strike: float
+    live: np.ndarray        # (n_times,) d <= payment
+    t_pay: np.ndarray       # (n_times,)
+    W_disc: np.ndarray      # (n_times, n_tenors) hermite-rt at t_pay
+    stamped: np.ndarray     # (n_times, m) pricing_j <= d
+    fix_row0: np.ndarray    # (m,) int
+    fix_row1: np.ndarray
+    fix_alpha: np.ndarray   # (m,)
+    Wfz: np.ndarray         # (n_tenors, m) linear at yf(pricing_j, avg_j)
+    W_fwd: np.ndarray       # (n_times, n_tenors, m) linear at yf(d, avg_j)
+
+
+def build_commodity_tensors(inst, scenario_dates: Sequence[dt.date], tenors):
+    """[DeviceCommodityTensors] for CommodityForwardInstrument /
+    CommodityAverageForwardInstrument."""
+    from ..market_data.yield_curve import _interp_weight_matrix
+    from ..utils.daycount import year_fraction as _yfd
+
+    dates = list(scenario_dates)
+    n_times = len(dates)
+    Tm = _tangent_matrix(tenors) if tenors.size > 1 else None
+    schedule = inst.get_commodity_fixing_schedule()
+    m = len(schedule)
+    pay = getattr(inst, "payment_date", None) or inst.delivery_date
+    dc = inst.day_count
+
+    live = np.array([d <= pay for d in dates])
+    t_pay = np.array(
+        [max(0.0, _yfd(d, pay, dc)) for d in dates]
+    )
+    W_disc = np.stack(
+        [_weights_for(tenors, np.array([t_pay[t]]), Tm)[:, 0]
+         for t in range(n_times)]
+    )
+
+    stamped = np.zeros((n_times, m), dtype=bool)
+    t_fwd = np.zeros((n_times, m))
+    fix_row0 = np.zeros(m, dtype=np.int64)
+    fix_row1 = np.zeros(m, dtype=np.int64)
+    fix_alpha = np.zeros(m)
+    tz = np.zeros(m)
+    for j, (avg, pricing, _fx) in enumerate(schedule):
+        fix_row0[j], fix_row1[j], fix_alpha[j] = _interp_rows(dates, pricing)
+        tz[j] = _yfd(pricing, avg, dc)
+        for t_idx, d in enumerate(dates):
+            stamped[t_idx, j] = pricing <= d
+            t_fwd[t_idx, j] = _yfd(d, avg, dc)
+    Wfz = _interp_weight_matrix(tenors, tz, hermite=False)
+    W_fwd = np.stack(
+        [_interp_weight_matrix(tenors, t_fwd[t], hermite=False)
+         for t in range(n_times)]
+    )
+    return [
+        DeviceCommodityTensors(
+            fwd_name=inst.forward_curve_name,
+            discount_name=inst.discount_curve_name,
+            notional=float(inst.notional),
+            strike=float(inst.strike),
+            live=live, t_pay=t_pay, W_disc=W_disc,
+            stamped=stamped, fix_row0=fix_row0, fix_row1=fix_row1,
+            fix_alpha=fix_alpha, Wfz=Wfz, W_fwd=W_fwd,
+        )
+    ]
+
+
+def _commodity_mtm(ct: DeviceCommodityTensors, curves, scalars):
+    """(n_times, n_paths) commodity (average-)forward MTM; pure jnp."""
+    import jax.numpy as jnp
+
+    fwd = curves[ct.fwd_name]                     # (t, p, n)
+    disc = curves[ct.discount_name]
+    # stamped refs: lerp the pricing-date rows, fixed-tenor linear interp
+    s0 = jnp.einsum("mpn,nm->pm", fwd[jnp.asarray(ct.fix_row0)], jnp.asarray(ct.Wfz))
+    s1 = jnp.einsum("mpn,nm->pm", fwd[jnp.asarray(ct.fix_row1)], jnp.asarray(ct.Wfz))
+    a = jnp.asarray(ct.fix_alpha)[None, :]
+    fixed = (1.0 - a) * s0 + a * s1               # (p, m)
+    livefwd = jnp.einsum("tpn,tnm->tpm", fwd, jnp.asarray(ct.W_fwd))
+    ref = jnp.where(
+        jnp.asarray(ct.stamped)[:, None, :], fixed[None, :, :], livefwd
+    ).mean(axis=2)                                # (t, p)
+    r_pay = jnp.einsum("tpn,tn->tp", disc, jnp.asarray(ct.W_disc))
+    df = jnp.exp(-r_pay * jnp.asarray(ct.t_pay)[:, None])
+    return (
+        df * ct.notional * (ref - ct.strike)
+        * jnp.asarray(ct.live, df.dtype)[:, None]
+    )
+
+
 # Leg/TRS tensor dataclasses as pytrees: arrays are leaves (so the jitted
 # netting kernel takes them as ARGUMENTS — no giant baked-in constants, no
 # retrace per call), names/flags are static aux data.
@@ -1149,7 +1248,9 @@ _ILS_AUX = (
     "cpi_name", "infl_name", "discount_name", "pay_notional_at_maturity",
     "legacy",
 )
+_COMMODITY_AUX = ("fwd_name", "discount_name")
 _make_pytree(DeviceLegTensors, _LEG_AUX)
+_make_pytree(DeviceCommodityTensors, _COMMODITY_AUX)
 _make_pytree(DeviceTRSTensors, _TRS_AUX)
 _make_pytree(DeviceILSTensors, _ILS_AUX)
 
@@ -1161,6 +1262,8 @@ def _netting_mtm_kernel(curves, scalars, legs, scales, fx_names):
             piece = _trs_mtm(leg_t, curves, scalars) * scale
         elif isinstance(leg_t, DeviceILSTensors):
             piece = _ils_mtm(leg_t, curves, scalars) * scale
+        elif isinstance(leg_t, DeviceCommodityTensors):
+            piece = _commodity_mtm(leg_t, curves, scalars) * scale
         else:
             piece = _leg_mtm(leg_t, curves, scalars) * scale
         if fx is not None:
@@ -1189,6 +1292,7 @@ _LEG_CACHE: Dict[tuple, tuple] = {}
 
 
 def _legs_for(instruments, dates, tenors):
+    """(flat legs tuple, per-instrument leg counts), cached."""
     key = (
         tuple(id(i) for i in instruments),
         tuple(dates),
@@ -1196,19 +1300,24 @@ def _legs_for(instruments, dates, tenors):
     )
     hit = _LEG_CACHE.get(key)
     if hit is not None and all(a is b for a, b in zip(hit[0], instruments)):
-        return hit[1]
-    legs = tuple(
-        leg_t
+        return hit[1], hit[2]
+    per_inst = [
+        _build_instrument_tensors(inst, list(dates), np.asarray(tenors))
         for inst in instruments
-        for leg_t in _build_instrument_tensors(inst, list(dates), np.asarray(tenors))
-    )
-    _LEG_CACHE[key] = (tuple(instruments), legs)
+    ]
+    legs = tuple(leg_t for ts in per_inst for leg_t in ts)
+    counts = tuple(len(ts) for ts in per_inst)
+    _LEG_CACHE[key] = (tuple(instruments), legs, counts)
     if len(_LEG_CACHE) > 64:
         _LEG_CACHE.pop(next(iter(_LEG_CACHE)))
-    return legs
+    return legs, counts
 
 
 def _build_instrument_tensors(inst, dates, tenors):
+    from ..instruments.commodity import (
+        CommodityAverageForwardInstrument,
+        CommodityForwardInstrument,
+    )
     from ..instruments.equity_trs import EquityTRS
     from ..instruments.index_linked_swap import IndexLinkedSwap
 
@@ -1216,6 +1325,10 @@ def _build_instrument_tensors(inst, dates, tenors):
         return build_trs_tensors(inst, dates, tenors)
     if isinstance(inst, IndexLinkedSwap):
         return build_ils_tensors(inst, dates, tenors)
+    if isinstance(
+        inst, (CommodityForwardInstrument, CommodityAverageForwardInstrument)
+    ):
+        return build_commodity_tensors(inst, dates, tenors)
     if isinstance(inst, IRSwap):
         return build_irswap_tensors(inst, dates, tenors)
     raise NotImplementedError(
@@ -1261,14 +1374,16 @@ class DeviceExposureEngine:
         """
         import jax.numpy as jnp
 
-        legs = _legs_for(tuple(instruments), self.dates, self.tenors)
+        legs, counts = _legs_for(tuple(instruments), self.dates, self.tenors)
         notional_scales = notional_scales or [1.0] * len(instruments)
         fx_factors = fx_factors or [None] * len(instruments)
         scales = jnp.asarray(
-            [float(s) for s, inst in zip(notional_scales, instruments)
-             for _ in range(2)]
+            [float(s) for s, c in zip(notional_scales, counts)
+             for _ in range(c)]
         )
-        fx_names = tuple(f for f in fx_factors for _ in range(2))
+        fx_names = tuple(
+            f for f, c in zip(fx_factors, counts) for _ in range(c)
+        )
         curve_dev = {k: jnp.asarray(v) for k, v in self.curves.items()}
         scalar_dev = {k: jnp.asarray(v) for k, v in self.scalars.items()}
         return _netting_mtm(curve_dev, scalar_dev, legs, scales, fx_names)

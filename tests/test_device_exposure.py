@@ -338,6 +338,86 @@ class TestDeviceILS:
         np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-5)
 
 
+class TestDeviceCommodity:
+    def _market(self, n_times=20, n_paths=16, seed=11):
+        rng = np.random.default_rng(seed)
+        dates = [VAL + dt.timedelta(days=14 * i) for i in range(n_times)]
+        swap = 0.07 + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+        fwd = 70.0 * np.exp(
+            rng.normal(0.001, 0.02, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+        )
+        return dates, {"ZAR-SWAP": swap, "BRENT": fwd}
+
+    def _both(self, inst):
+        dates, curves = self._market()
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", curves["ZAR-SWAP"], TENORS),
+                "BRENT": ("curve", curves["BRENT"], TENORS),
+            },
+        )
+        generic = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(inst, "T1")])
+        )
+        dev = DeviceExposureEngine(dates, curves, TENORS)
+        return generic, np.asarray(dev.mtm([inst]))
+
+    def test_forward_matches_generic(self):
+        from finite_difference_tpu.instruments.commodity import (
+            CommodityForwardInstrument,
+        )
+
+        fwd = CommodityForwardInstrument(
+            "cf", delivery_date=VAL + dt.timedelta(days=180), strike=72.0,
+            notional=1000.0, forward_curve_name="BRENT",
+            discount_curve_name="ZAR-SWAP", pricing_lag_days=2,
+        )
+        generic, mtm = self._both(fwd)
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-8)
+
+    def test_average_forward_matches_generic(self):
+        from finite_difference_tpu.instruments.commodity import (
+            CommodityAverageForwardInstrument,
+        )
+
+        avg = CommodityAverageForwardInstrument(
+            "caf",
+            averaging_dates=[VAL + dt.timedelta(days=30 * k) for k in range(1, 7)],
+            payment_date=VAL + dt.timedelta(days=200),
+            strike=71.0, notional=500.0, forward_curve_name="BRENT",
+            discount_curve_name="ZAR-SWAP", pricing_lag_days=1,
+        )
+        generic, mtm = self._both(avg)
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-8)
+
+    def test_mixed_netting_with_swap(self):
+        from finite_difference_tpu.instruments.commodity import (
+            CommodityForwardInstrument,
+        )
+
+        dates, curves = self._market(n_times=28)
+        fwd = CommodityForwardInstrument(
+            "cf", delivery_date=VAL + dt.timedelta(days=150), strike=70.0,
+            notional=1000.0, forward_curve_name="BRENT",
+            discount_curve_name="ZAR-SWAP",
+        )
+        swap = _swap(n_years=1)
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", curves["ZAR-SWAP"], TENORS),
+                "BRENT": ("curve", curves["BRENT"], TENORS),
+            },
+        )
+        generic = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(fwd, "T1"), Trade(swap, "T2")])
+        )
+        dev = DeviceExposureEngine(dates, curves, TENORS)
+        mtm = np.asarray(dev.mtm([fwd, swap]))
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-6)
+
+
 class TestDeviceFX:
     def test_fx_conversion_matches_generic(self):
         rng = np.random.default_rng(9)
