@@ -62,6 +62,14 @@ class AmericanOptionPosition(Instrument):
         market_states: Sequence[Dict[str, object]],
         dates: Sequence[dt.date],
     ) -> None:
+        spot0 = float(
+            np.mean(np.asarray(market_states[0][self.spot_name].values))
+        )
+        self.build_surfaces(spot0, dates)
+
+    def build_surfaces(self, spot0: float, dates: Sequence[dt.date]) -> None:
+        """Surface construction core (grid centered at ``spot0``); also
+        called by the device exposure path, which has no state dicts."""
         from ..models.pde.batch import (
             build_american_batch,
             solve_value_surfaces,
@@ -71,9 +79,6 @@ class AmericanOptionPosition(Instrument):
         if not live:
             self._surfaces = {}
             return
-        spot0 = float(
-            np.mean(np.asarray(market_states[0][self.spot_name].values))
-        )
         B = len(live)
         batch = build_american_batch(
             spots=[spot0] * B,

@@ -114,15 +114,22 @@ class EquityBarrierOption(Instrument):
         dates: Sequence[dt.date],
     ) -> None:
         """One batched CN solve -> a value surface per scenario date."""
+        spot0 = float(
+            np.mean(np.asarray(market_states[0][self.spot_name].values))
+        )
+        self.build_surfaces(spot0, dates)
+
+    def build_surfaces(
+        self, spot0: float, dates: Sequence[dt.date]
+    ) -> None:
+        """Surface construction core (grid centered at ``spot0``); also
+        called by the device exposure path, which has no state dicts."""
         from ..models.pde.batch import build_trade_batch, solve_value_surfaces
 
         live = [d for d in dates if d < self.maturity_date]
         if not live:
             self._surfaces = {}
             return
-        spot0 = float(
-            np.mean(np.asarray(market_states[0][self.spot_name].values))
-        )
         is_call = self.option_type == "call"
         is_in = self.barrier_type in _IN_TYPES
         has_lower = self.barrier_type.startswith(("down", "double"))

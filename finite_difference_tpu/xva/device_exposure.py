@@ -1114,6 +1114,164 @@ def _ils_mtm(ils_t: DeviceILSTensors, curves, scalars):
 
 
 @dataclass
+class DeviceSurfaceTensors:
+    """PDE-surface exotics on the device path (instruments/equity_barrier,
+    instruments/american_option): per-date value surfaces become a row
+    gather + vmapped jnp.interp of the simulated spots; the barrier's
+    survival state is the OR over stamped monitor-date spot crossings
+    (the same two-row lerp the host engine's equity-fixing cache
+    produces)."""
+
+    spot_name: str
+    kind: str                 # "ko" | "in" | "american"
+    rebate_at_hit: bool
+    quantity: float
+    rate: float
+    rebate: float
+    already_hit: np.ndarray   # () bool
+    lower: np.ndarray         # () — 0 when absent
+    upper: np.ndarray
+    has_lower: np.ndarray     # () bool
+    has_upper: np.ndarray
+    is_live: np.ndarray       # (n_times,) d < maturity
+    live_idx: np.ndarray      # (n_times,) surface row (0 where dead)
+    tau: np.ndarray           # (n_times,) yf(d, maturity)
+    s_nodes: np.ndarray       # (n_rows, N)
+    v_main: np.ndarray        # (n_rows, N) KO / American surface
+    v_van: Optional[np.ndarray] = None     # (n_rows, N), "in" only
+    v_ko_nr: Optional[np.ndarray] = None   # (n_rows, N), "in" only
+    mon_row0: Optional[np.ndarray] = None  # (n_mon,) int
+    mon_row1: Optional[np.ndarray] = None
+    mon_alpha: Optional[np.ndarray] = None
+    mon_active: Optional[np.ndarray] = None  # (n_times, n_mon) mon <= d
+
+
+def build_surface_tensors(inst, scenario_dates: Sequence[dt.date], tenors):
+    """[DeviceSurfaceTensors] for EquityBarrierOption /
+    AmericanOptionPosition. Surfaces must already exist (the engine calls
+    ``build_surfaces`` before tensorizing)."""
+    from ..instruments.equity_barrier import _IN_TYPES
+    from ..utils.daycount import year_fraction as _yfd
+
+    if getattr(inst, "_surfaces", None) is None:
+        raise RuntimeError(
+            f"{type(inst).__name__} {inst.name!r}: build_surfaces/precompute "
+            "must run before the device exposure path tensorizes it"
+        )
+    dates = list(scenario_dates)
+    n_times = len(dates)
+    is_live = np.array([d < inst.maturity_date for d in dates])
+    live_idx = np.zeros(n_times, dtype=np.int64)
+    tau = np.zeros(n_times)
+    for t_idx, d in enumerate(dates):
+        if not is_live[t_idx]:
+            continue
+        live_idx[t_idx] = inst._surfaces[d]
+        tau[t_idx] = _yfd(d, inst.maturity_date, inst.day_count)
+
+    is_american = not hasattr(inst, "barrier_type")
+    if is_american:
+        kind = "american"
+        v_main = inst._v
+        kw: Dict = {}
+        lower = upper = 0.0
+        has_lower = has_upper = False
+        already = False
+        rebate = 0.0
+        rebate_at_hit = False
+    else:
+        kind = "in" if inst.barrier_type in _IN_TYPES else "ko"
+        v_main = inst._v_ko
+        has_lower = inst.barrier_type.startswith(("down", "double"))
+        has_upper = inst.barrier_type.startswith(("up", "double"))
+        lower = inst.lower_barrier if has_lower else 0.0
+        upper = inst.upper_barrier if has_upper else 0.0
+        already = inst.already_hit
+        rebate = inst.rebate
+        rebate_at_hit = inst.rebate_at_hit
+        n_mon = len(inst.monitor_dates)
+        mon_row0 = np.zeros(n_mon, dtype=np.int64)
+        mon_row1 = np.zeros(n_mon, dtype=np.int64)
+        mon_alpha = np.zeros(n_mon)
+        mon_active = np.zeros((n_times, n_mon), dtype=bool)
+        for j, m in enumerate(inst.monitor_dates):
+            mon_row0[j], mon_row1[j], mon_alpha[j] = _interp_rows(dates, m)
+            for t_idx, d in enumerate(dates):
+                mon_active[t_idx, j] = m <= d
+        kw = dict(
+            mon_row0=mon_row0, mon_row1=mon_row1, mon_alpha=mon_alpha,
+            mon_active=mon_active,
+        )
+        if kind == "in":
+            kw.update(v_van=inst._v_van, v_ko_nr=inst._v_ko_nr)
+
+    return [
+        DeviceSurfaceTensors(
+            spot_name=inst.spot_name,
+            kind=kind,
+            rebate_at_hit=bool(rebate_at_hit),
+            quantity=float(inst.quantity),
+            rate=float(inst.rate),
+            rebate=float(rebate),
+            already_hit=np.asarray(already, dtype=bool),
+            lower=np.asarray(float(lower)),
+            upper=np.asarray(float(upper)),
+            has_lower=np.asarray(bool(has_lower)),
+            has_upper=np.asarray(bool(has_upper)),
+            is_live=is_live, live_idx=live_idx, tau=tau,
+            s_nodes=inst._s_nodes, v_main=v_main, **kw,
+        )
+    ]
+
+
+def _surface_mtm(st: DeviceSurfaceTensors, curves, scalars):
+    """(n_times, n_paths) surface-exotic MTM; pure jnp."""
+    import jax
+    import jax.numpy as jnp
+
+    spot = scalars[st.spot_name]                       # (t, p)
+    rows = jnp.asarray(st.live_idx)
+    s_t = jnp.asarray(st.s_nodes)[rows]                # (t, N)
+
+    def interp(v):
+        return jax.vmap(jnp.interp)(spot, s_t, jnp.asarray(v)[rows])
+
+    main = interp(st.v_main)
+    if st.kind == "american":
+        val = main
+    else:
+        sm0 = spot[jnp.asarray(st.mon_row0)]           # (n_mon, p)
+        sm1 = spot[jnp.asarray(st.mon_row1)]
+        a = jnp.asarray(st.mon_alpha)[:, None]
+        sm = (1.0 - a) * sm0 + a * sm1
+        crossed = (jnp.asarray(st.has_lower) & (sm <= jnp.asarray(st.lower))) | (
+            jnp.asarray(st.has_upper) & (sm >= jnp.asarray(st.upper))
+        )                                              # (n_mon, p)
+        hit = jnp.asarray(st.already_hit) | jnp.any(
+            jnp.asarray(st.mon_active)[:, :, None] & crossed[None, :, :],
+            axis=1,
+        )                                              # (t, p)
+        if st.kind == "ko":
+            if st.rebate_at_hit:
+                dead = jnp.zeros_like(main)
+            else:
+                dead = (
+                    st.rebate
+                    * jnp.exp(-st.rate * jnp.asarray(st.tau))[:, None]
+                ) * jnp.ones_like(main)
+            val = jnp.where(hit, dead, main)
+        else:  # knock-in: alive = van + ko_with_rebate - 2 ko_nr
+            van = interp(st.v_van)
+            ko_nr = interp(st.v_ko_nr)
+            alive = van + main - 2.0 * ko_nr
+            val = jnp.where(hit, van, alive)
+    return (
+        st.quantity * val
+        * jnp.asarray(st.is_live, val.dtype)[:, None]
+    )
+
+
+@dataclass
 class DeviceCommodityTensors:
     """Commodity (average-)forward tensors (instruments/commodity.py on
     device): each averaging ref is a stamped fixing once its pricing date
@@ -1249,8 +1407,10 @@ _ILS_AUX = (
     "legacy",
 )
 _COMMODITY_AUX = ("fwd_name", "discount_name")
+_SURFACE_AUX = ("spot_name", "kind", "rebate_at_hit", "quantity", "rate", "rebate")
 _make_pytree(DeviceLegTensors, _LEG_AUX)
 _make_pytree(DeviceCommodityTensors, _COMMODITY_AUX)
+_make_pytree(DeviceSurfaceTensors, _SURFACE_AUX)
 _make_pytree(DeviceTRSTensors, _TRS_AUX)
 _make_pytree(DeviceILSTensors, _ILS_AUX)
 
@@ -1264,6 +1424,8 @@ def _netting_mtm_kernel(curves, scalars, legs, scales, fx_names):
             piece = _ils_mtm(leg_t, curves, scalars) * scale
         elif isinstance(leg_t, DeviceCommodityTensors):
             piece = _commodity_mtm(leg_t, curves, scalars) * scale
+        elif isinstance(leg_t, DeviceSurfaceTensors):
+            piece = _surface_mtm(leg_t, curves, scalars) * scale
         else:
             piece = _leg_mtm(leg_t, curves, scalars) * scale
         if fx is not None:
@@ -1329,6 +1491,8 @@ def _build_instrument_tensors(inst, dates, tenors):
         inst, (CommodityForwardInstrument, CommodityAverageForwardInstrument)
     ):
         return build_commodity_tensors(inst, dates, tenors)
+    if hasattr(inst, "build_surfaces"):
+        return build_surface_tensors(inst, dates, tenors)
     if isinstance(inst, IRSwap):
         return build_irswap_tensors(inst, dates, tenors)
     raise NotImplementedError(
@@ -1374,6 +1538,18 @@ class DeviceExposureEngine:
         """
         import jax.numpy as jnp
 
+        # surface exotics: build their per-date value surfaces first (the
+        # generic engine does this via the precompute hook; here the grid
+        # center comes from the scalar spot cube's first row)
+        for inst in instruments:
+            if (
+                hasattr(inst, "build_surfaces")
+                and getattr(inst, "_surfaces", None) is None
+            ):
+                spot0 = float(
+                    np.mean(np.asarray(self.scalars[inst.spot_name])[0])
+                )
+                inst.build_surfaces(spot0, self.dates)
         legs, counts = _legs_for(tuple(instruments), self.dates, self.tenors)
         notional_scales = notional_scales or [1.0] * len(instruments)
         fx_factors = fx_factors or [None] * len(instruments)

@@ -418,6 +418,66 @@ class TestDeviceCommodity:
         np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-6)
 
 
+class TestDeviceSurfaceExotics:
+    def _market(self, n_times=16, n_paths=24, seed=13):
+        rng = np.random.default_rng(seed)
+        dates = [VAL + dt.timedelta(days=7 * i) for i in range(n_times)]
+        eq = 100.0 * np.exp(
+            rng.normal(0.0, 0.04, (n_times, n_paths)).cumsum(axis=0)
+        )
+        return dates, eq
+
+    def _both(self, inst, dates, eq):
+        cube = ScenarioCube(dates, {"EQ.SPOT": ("scalar", eq)})
+        generic = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(inst, "T1")])
+        )
+        dev = DeviceExposureEngine(
+            dates, {}, TENORS, scalars={"EQ.SPOT": eq}
+        )
+        return generic, np.asarray(dev.mtm([inst]))
+
+    def test_ko_barrier_matches_generic(self):
+        from finite_difference_tpu.instruments import EquityBarrierOption
+
+        dates, eq = self._market()
+        mat = dates[-1]
+        mons = [dates[3], dates[6], dates[9], dates[12]]
+        opt = EquityBarrierOption(
+            "ko", "EQ.SPOT", 100.0, mat, 0.3, 0.06, monitor_dates=mons,
+            barrier_type="up-and-out", upper_barrier=115.0, rebate=1.5,
+            quantity=100.0, n_time_steps=64, num_space_nodes=127,
+        )
+        generic, mtm = self._both(opt, dates, eq)
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-8)
+
+    def test_ki_barrier_matches_generic(self):
+        from finite_difference_tpu.instruments import EquityBarrierOption
+
+        dates, eq = self._market(seed=17)
+        mat = dates[-1]
+        mons = [dates[4], dates[8], dates[12]]
+        opt = EquityBarrierOption(
+            "ki", "EQ.SPOT", 100.0, mat, 0.3, 0.06, monitor_dates=mons,
+            barrier_type="down-and-in", lower_barrier=88.0, rebate=0.5,
+            quantity=50.0, n_time_steps=64, num_space_nodes=127,
+        )
+        generic, mtm = self._both(opt, dates, eq)
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-8)
+
+    def test_american_matches_generic(self):
+        from finite_difference_tpu.instruments import AmericanOptionPosition
+
+        dates, eq = self._market(seed=19)
+        opt = AmericanOptionPosition(
+            "am", "EQ.SPOT", 100.0, dates[-1], 0.3, 0.06,
+            option_type="put", quantity=10.0,
+            n_time_steps=64, num_space_nodes=127,
+        )
+        generic, mtm = self._both(opt, dates, eq)
+        np.testing.assert_allclose(mtm, generic.mtm, rtol=1e-10, atol=1e-8)
+
+
 class TestDeviceFX:
     def test_fx_conversion_matches_generic(self):
         rng = np.random.default_rng(9)
