@@ -81,6 +81,25 @@ def main() -> None:
           f"peak PFE95={pfe.max():,.0f}")
     assert np.isfinite(prof.mtm).all()
 
+    if "--device" in sys.argv:
+        # the same netting set (exotics included) on the device path; in a
+        # default (non-x64) session the device kernels run f32, so compare
+        # the EE profile at f32 tolerance (tests/test_device_exposure.py
+        # pins f64 parity at 1e-10)
+        from finite_difference_tpu.xva.device_exposure import (
+            DeviceExposureEngine,
+        )
+
+        dev = DeviceExposureEngine(
+            dates, {"ZAR-SWAP": rates}, TENORS, scalars={"EQ.SPOT": eq}
+        )
+        dprof = dev.compute([barrier, american, swap])
+        np.testing.assert_allclose(
+            dprof.ee(), ee, rtol=2e-3, atol=ee.max() * 2e-3
+        )
+        print("device path matches the host engine "
+              f"(EE[0]={dprof.ee()[0]:,.0f}, f32)")
+
     if "--plot" in sys.argv:
         out = sys.argv[sys.argv.index("--plot") + 1]
         from finite_difference_tpu.utils.plotting import plot_exposure_profile
