@@ -238,7 +238,9 @@ def _solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
     return cn_solve(grid, dyn, sch, n_nodes, barrier=bar)
 
 
-def _spectral_solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
+def _spectral_solve_one(
+    batch: BarrierTradeBatch, sigma, n_nodes: int, mm_dtype=None
+):
     """Single-trade spectral (sine-basis) solve; see models.pde.spectral."""
     from .spectral import spectral_solve
 
@@ -255,8 +257,14 @@ def _spectral_solve_one(batch: BarrierTradeBatch, sigma, n_nodes: int):
     )
     return spectral_solve(
         grid, dyn, batch.dt[0], batch.sp_k_end, batch.sp_apply, n_nodes,
-        batch.sp_rann, barrier=bar,
+        batch.sp_rann, barrier=bar, mm_dtype=mm_dtype,
     )
+
+
+def _spectral_solve_one_x64dst(batch, sigma, n_nodes: int):
+    """Spectral solve with the DSTs contracted in emulated f64 — rescues
+    the f32 path on TPUs with noisy f32 accumulators (requires x64)."""
+    return _spectral_solve_one(batch, sigma, n_nodes, mm_dtype=jnp.float64)
 
 
 def solve_value_surfaces(
@@ -329,8 +337,13 @@ def price_batch_kernel(
     ``solver='spectral'`` replaces the sequential CN scan with the
     sine-basis closed-form propagator (models.pde.spectral) — requires the
     sp_* interval fields on the batch (price_barrier_batch attaches them).
+    ``solver='spectral_x64dst'`` additionally contracts the DSTs in
+    emulated f64 (needs x64 enabled) — the f32-on-TPU accuracy rescue.
     """
-    solve_one = _spectral_solve_one if solver == "spectral" else _solve_one
+    solve_one = {
+        "spectral": _spectral_solve_one,
+        "spectral_x64dst": _spectral_solve_one_x64dst,
+    }.get(solver, _solve_one)
 
     def solve(sig_field):
         v, s = jax.vmap(lambda bt: solve_one(bt, sig_field(bt), n_nodes))(batch_dev)

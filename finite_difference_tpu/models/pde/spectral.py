@@ -223,12 +223,18 @@ def spectral_solve(
     barrier: Optional[BarrierSpec] = None,
     euro_put_lower_boundary: bool = True,
     dst: Optional[jnp.ndarray] = None,
+    mm_dtype=None,
 ):
     """March one trade via the sine-basis propagator; mirrors ``cn_solve``.
 
     Per-trade scalars/vectors — batch with ``jax.vmap`` (the DST matrix is
     built once and closes over the vmap). ``k_end``/``apply_proj`` come
     from :func:`spectral_intervals`. Returns ``(V, s_nodes)``.
+
+    ``mm_dtype``: run the DST matmuls at this dtype (state stays in the
+    working dtype). ``jnp.float64`` with x64 enabled rescues the f32 path
+    on TPUs whose f32 accumulators are noisy (docs/PERF_NOTES.md) — the
+    emulated-f64 contraction is exact at f32 scale.
     """
     dtype = jnp.result_type(grid.x_min, grid.dx, dyn.sigma)
     M = n_nodes - 2
@@ -238,7 +244,12 @@ def spectral_solve(
     s_min, s_max = s[0], s[-1]
 
     if dst is None:
-        dst = dst_matrix(n_nodes, dtype)
+        dst = dst_matrix(n_nodes, mm_dtype or dtype)
+    if mm_dtype is not None:
+        def _mm_local(a, b):
+            return _mm(a.astype(mm_dtype), b).astype(dtype)
+    else:
+        _mm_local = _mm
 
     payoff = _payoff(s, dyn.strike, dyn.is_call)
 
@@ -268,8 +279,8 @@ def spectral_solve(
     )
 
     # forcing projections: S row values at interior positions 1 and M
-    s_k1 = dst[:, 0]
-    s_kM = dst[:, M - 1]
+    s_k1 = dst[:, 0].astype(dtype)
+    s_kM = dst[:, M - 1].astype(dtype)
     P = dt * a_coef * jnp.exp(-ln_g) * s_k1        # lower-edge channel
     Q = dt * c_coef * jnp.exp(-(M) * ln_g) * s_kM  # upper-edge channel
 
@@ -333,7 +344,7 @@ def spectral_solve(
     u_imp = [channel_profile(a, lo, hi, 1.0) for a, lo, hi in channels]
     # transformed CN-vs-implicit profile differences (small operands, so
     # the one-off DSTs here are benign)
-    ud_bar = [_mm((uc - ui) / d_vec, dst) for uc, ui in zip(u_cn, u_imp)]
+    ud_bar = [_mm_local((uc - ui) / d_vec, dst) for uc, ui in zip(u_cn, u_imp)]
 
     def E_channels(profiles, tau):
         """Real-space interior channel sum at time-to-maturity tau."""
@@ -352,7 +363,9 @@ def spectral_solve(
     # tau=0 are payoff[0]/payoff[-1] (they match the asymptotics except for
     # the American-convention put lower boundary, which the j=0 deviation
     # correction absorbs exactly).
-    w0 = _mm((payoff[1:-1] - E_channels(u_cn, jnp.zeros((), dtype))) / d_vec, dst)
+    w0 = _mm_local(
+        (payoff[1:-1] - E_channels(u_cn, jnp.zeros((), dtype))) / d_vec, dst
+    )
     v_lo0, v_hi0 = payoff[0], payoff[-1]
 
     # interval-invariant per-theta quantities, hoisted out of the scan
@@ -408,7 +421,7 @@ def spectral_solve(
             tau_e, s_min, s_max, dyn, euro_put_lower_boundary
         )
         E_e = E_channels(u_cn, tau_e)
-        v_int = _mm(w2, dst) * d_vec + E_e
+        v_int = _mm_local(w2, dst) * d_vec + E_e
         v_full = jnp.concatenate([v_lo_e[None], v_int, v_hi_e[None]])
         if barrier is not None:
             rebate_pv = jnp.where(
@@ -419,7 +432,7 @@ def spectral_solve(
             v_proj = jnp.where(do_proj & out_mask, rebate_pv, v_full)
         else:
             v_proj = v_full
-        w_proj = _mm((v_proj[1:-1] - E_e) / d_vec, dst)
+        w_proj = _mm_local((v_proj[1:-1] - E_e) / d_vec, dst)
         w_next = jnp.where(do_proj, w_proj, w2)
         v_lo_next = jnp.where(do_proj, v_proj[0], v_lo_e)
         v_hi_next = jnp.where(do_proj, v_proj[-1], v_hi_e)
@@ -433,7 +446,7 @@ def spectral_solve(
     v_final = jnp.concatenate(
         [
             v_lo_fin[None],
-            _mm(w_fin, dst) * d_vec + E_channels(u_cn, tau_fin),
+            _mm_local(w_fin, dst) * d_vec + E_channels(u_cn, tau_fin),
             v_hi_fin[None],
         ]
     )

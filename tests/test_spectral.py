@@ -224,6 +224,51 @@ class TestBatchDriverRouting:
         assert np.isfinite(out["price"]).all()
 
 
+class TestX64DstRescue:
+    def test_f32_with_f64_dsts_reaches_scan_floor(self):
+        """solver='spectral_x64dst' (f32 state, f64 DST contractions)
+        matches the f64 oracle to the f32 scan's own rounding floor on
+        CPU — the serving-mode rescue when f32 matmul accumulation is the
+        binding noise source (docs/PERF_NOTES.md)."""
+        from dataclasses import replace
+
+        from finite_difference_tpu.models.pde.batch import (
+            _spectral_layout,
+            build_trade_batch,
+            price_batch_kernel,
+        )
+
+        B, NS, NST = 32, 511, 256
+        T = 31.0 / 365.0
+        rng = np.random.default_rng(0)
+        kw = dict(
+            spots=list(rng.uniform(180.0, 250.0, B)), strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)), t_expiry=[T] * B,
+            r=[0.0705] * B, b=[0.0705] * B, is_call=[True] * B,
+            n_time_steps=NST,
+            monitor_times=[[T * (k + 1) / 24.0 for k in range(24)]] * B,
+            upper=[420.0] * B, num_space_nodes=NS,
+        )
+
+        def run(dtype, solver):
+            tb = build_trade_batch(dtype=dtype, **kw)
+            lay = _spectral_layout(tb, NS + 1, dtype)
+            tb = replace(
+                tb, sp_k_end=lay[0], sp_apply=lay[1], sp_rann=lay[2]
+            )
+            dev = jax.tree.map(jnp.asarray, tb)
+            return np.asarray(
+                price_batch_kernel(
+                    dev, n_nodes=NS + 1, with_greeks=False, solver=solver
+                )["price"]
+            ).astype(np.float64)
+
+        oracle = run(np.float64, "scan")
+        p = run(np.float32, "spectral_x64dst")
+        rel = np.max(np.abs(p - oracle) / oracle)
+        assert rel < 1e-3, rel
+
+
 class TestSymmetrizerGuard:
     def test_exponent_formula(self):
         # exponent ~ M |mu_x| dx / sigma^2
