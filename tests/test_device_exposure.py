@@ -649,3 +649,89 @@ class TestDeviceFuzz:
                 err_msg=f"trial {trial}: freq={freq} fixing={fixing} "
                         f"kind={kind} reset={reset_freq} eff={eff} mat={mat}",
             )
+
+    def test_random_mixed_families_match_generic(self):
+        """Fuzz across instrument FAMILIES: each trial nets a random swap,
+        commodity forward, and surface exotic — device == generic."""
+        from finite_difference_tpu.instruments import (
+            AmericanOptionPosition,
+            EquityBarrierOption,
+        )
+        from finite_difference_tpu.instruments.commodity import (
+            CommodityAverageForwardInstrument,
+        )
+
+        rng = np.random.default_rng(31)
+        n_times, n_paths = 18, 8
+        dates = [VAL + dt.timedelta(days=14 * i) for i in range(n_times)]
+        t = np.arange(n_times)[:, None, None]
+        swap_arr = 0.07 + 0.0004 * t + rng.normal(
+            0, 0.002, (n_times, n_paths, TENORS.size)
+        ).cumsum(axis=0)
+        oil = 70.0 * np.exp(
+            rng.normal(0, 0.02, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+        )
+        eq = 100.0 * np.exp(
+            rng.normal(0, 0.04, (n_times, n_paths)).cumsum(axis=0)
+        )
+        curves = {"ZAR-SWAP": swap_arr, "OIL": oil}
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", swap_arr, TENORS),
+                "OIL": ("curve", oil, TENORS),
+                "EQ.SPOT": ("scalar", eq),
+            },
+        )
+        dev = DeviceExposureEngine(
+            dates, curves, TENORS, scalars={"EQ.SPOT": eq}
+        )
+        for trial in range(4):
+            mat_days = int(rng.integers(90, 200))
+            swap = IRSwap(
+                name=f"s{trial}", effective_date=VAL,
+                maturity_date=VAL + dt.timedelta(days=mat_days),
+                notional=float(rng.uniform(1e5, 1e6)),
+                receive_leg=SwapLeg(
+                    LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP",
+                    overnight_compounding=bool(rng.integers(0, 2)),
+                ),
+                pay_leg=SwapLeg(
+                    LegType.FIXED, frequency=3,
+                    fixed_rate=float(rng.uniform(0.05, 0.1)),
+                ),
+                discount_curve_name="ZAR-SWAP",
+            )
+            caf = CommodityAverageForwardInstrument(
+                f"c{trial}",
+                averaging_dates=[
+                    VAL + dt.timedelta(days=int(d))
+                    for d in sorted(rng.integers(10, mat_days, 4))
+                ],
+                payment_date=VAL + dt.timedelta(days=mat_days),
+                strike=float(rng.uniform(65, 80)), notional=500.0,
+                forward_curve_name="OIL", discount_curve_name="ZAR-SWAP",
+            )
+            exotic_mat = dates[int(rng.integers(8, n_times - 1))]
+            if rng.integers(0, 2):
+                exo = EquityBarrierOption(
+                    f"b{trial}", "EQ.SPOT", 100.0, exotic_mat, 0.3, 0.06,
+                    monitor_dates=[dates[4], dates[7]],
+                    barrier_type=str(rng.choice(["up-and-out", "down-and-in"])),
+                    lower_barrier=85.0, upper_barrier=120.0,
+                    quantity=100.0, n_time_steps=48, num_space_nodes=127,
+                )
+            else:
+                exo = AmericanOptionPosition(
+                    f"a{trial}", "EQ.SPOT", 100.0, exotic_mat, 0.3, 0.06,
+                    quantity=10.0, n_time_steps=48, num_space_nodes=127,
+                )
+            trades = [swap, caf, exo]
+            generic = ExposureEngine(cube).compute(
+                NettingSet("NS", [Trade(x, f"T{i}") for i, x in enumerate(trades)])
+            )
+            mtm = np.asarray(dev.mtm(trades))
+            np.testing.assert_allclose(
+                mtm, generic.mtm, rtol=1e-9, atol=1e-4,
+                err_msg=f"trial {trial}",
+            )
