@@ -14,8 +14,10 @@ from .order_accuracy import (
     greek_order_of_accuracy,
     predict_truncation_error,
 )
+from .spectral import spectral_solve
 
 __all__ = [
+    "spectral_solve",
     "CNDynamics",
     "CNGrid",
     "CNSchedule",
