@@ -1569,11 +1569,31 @@ class DeviceExposureEngine:
         currency: str = "ZAR", notional_scales=None, fx_factors=None,
         csa=None,
     ) -> ExposureProfile:
-        from .exposure_engine import simulate_collateral
+        from types import SimpleNamespace
+
+        from .exposure_engine import compute_im, simulate_collateral
 
         mtm = np.asarray(self.mtm(instruments, notional_scales, fx_factors))
+        im_fn = None
+        if csa is not None and csa.im_method is not None:
+            from ..portfolio.csa import InitialMarginMethod
+
+            if csa.im_method is InitialMarginMethod.SIMM:
+                raise NotImplementedError(
+                    "SIMM IM is pathwise and computed in the generic "
+                    "ExposureEngine's pricing pass; use it for SIMM CSAs."
+                )
+            if csa.im_method is not InitialMarginMethod.NONE:
+                scales = notional_scales or [1.0] * len(instruments)
+                ns_shim = SimpleNamespace(
+                    trades=[
+                        SimpleNamespace(instrument=i, notional_scale=s)
+                        for i, s in zip(instruments, scales)
+                    ]
+                )
+                im_fn = lambda n, d: compute_im(n, csa, d, ns_shim)
         collateral = (
-            simulate_collateral(mtm, self.dates, csa)
+            simulate_collateral(mtm, self.dates, csa, im_fn=im_fn)
             if csa is not None
             else np.zeros_like(mtm)
         )

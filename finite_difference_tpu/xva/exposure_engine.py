@@ -124,6 +124,16 @@ def simulate_collateral(
     return collateral
 
 
+def compute_im(
+    n_paths: int, csa, sim_date=None, netting_set=None
+) -> np.ndarray:
+    """Per-date IM under the NONE/FIXED/SCHEDULE policies (module-level
+    twin of ExposureEngine._compute_im so the device fast path can honor
+    the same CSA without an engine instance; SIMM stays pathwise in the
+    generic engine's pricing pass)."""
+    return ExposureEngine._compute_im(None, n_paths, csa, sim_date, netting_set)
+
+
 class ExposureEngine:
     """Computes an ExposureProfile for a NettingSet against a ScenarioCube."""
 
@@ -562,7 +572,9 @@ class ExposureEngine:
                 notional = abs(float(getattr(inst, "notional", 0.0)))
                 im += (
                     abs(trade.notional_scale) * notional
-                    * schedule_im_factor(self._trade_asset_class(inst), residual)
+                    * schedule_im_factor(
+                        ExposureEngine._trade_asset_class(inst), residual
+                    )
                 )
             return np.full(n_paths, im)
         if csa.im_method is InitialMarginMethod.SIMM:

@@ -525,6 +525,32 @@ def test_device_csa_collateral_matches_generic():
     np.testing.assert_allclose(dev.exposure, generic.exposure, rtol=1e-10, atol=1e-6)
 
 
+@pytest.mark.parametrize("im_method_name", ["FIXED", "SCHEDULE"])
+def test_device_csa_initial_margin_matches_generic(im_method_name):
+    """Device compute honors the FIXED/SCHEDULE IM policies (previously
+    the device path silently dropped IM)."""
+    from finite_difference_tpu.portfolio.csa import CSA, InitialMarginMethod
+
+    dates, curves = _cube_arrays(14, 16, seed=4)
+    csa = CSA(
+        mpor_days=10, vm_threshold=500.0, vm_threshold_post=800.0,
+        im_method=InitialMarginMethod[im_method_name], im_amount=2500.0,
+    )
+    swap = _swap(n_years=1)
+    cube = ScenarioCube(dates, {"ZAR-SWAP": ("curve", curves["ZAR-SWAP"], TENORS)})
+    generic = ExposureEngine(cube).compute(
+        NettingSet("NS", [Trade(swap, "T1")], csa=csa)
+    )
+    dev = DeviceExposureEngine(dates, curves, TENORS).compute([swap], csa=csa)
+    assert np.abs(dev.collateral).max() > 0
+    np.testing.assert_allclose(
+        dev.collateral, generic.collateral, rtol=1e-10, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        dev.exposure, generic.exposure, rtol=1e-10, atol=1e-6
+    )
+
+
 class TestJointCubeDevicePipeline:
     def test_multifactor_device_pipeline_matches_generic(self):
         """simulate_joint_cube(as_jax=True) -> DeviceExposureEngine over the
