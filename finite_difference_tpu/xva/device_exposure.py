@@ -101,6 +101,10 @@ class DeviceLegTensors:
     eq_spot_name: str = ""
     eq_carry_name: str = ""
     eq_div_name: str = ""
+    # FORWARD close-out: realized/stamped quantities keep the BASE curve
+    # (the engine stamps fixings from the un-substituted states) while
+    # live forwards/discounting move to the risky curve — "" = curve_name
+    frozen_curve_name: str = ""
 
 
 def _weights_for(tenors: np.ndarray, tq: np.ndarray, Tm) -> np.ndarray:
@@ -338,12 +342,16 @@ def build_irswap_tensors(
     ]
 
 
-def _float_rate_cols(leg: DeviceLegTensors, fwd_cube):
+def _float_rate_cols(leg: DeviceLegTensors, fwd_cube, frozen_cube=None):
     """Fixing-or-forward simple rates, one column per fixing window.
 
     (n_times, n_paths, C) where C is m for plain floating legs and
-    m*n_subs for compounded-reset legs.
+    m*n_subs for compounded-reset legs. ``frozen_cube`` backs the stamped
+    fixings (the base curve under FORWARD close-out); defaults to
+    ``fwd_cube``.
     """
+    if frozen_cube is None:
+        frozen_cube = fwd_cube
     import jax.numpy as jnp
 
     r0 = jnp.einsum("tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_f0))
@@ -360,7 +368,7 @@ def _float_rate_cols(leg: DeviceLegTensors, fwd_cube):
     live_fwd = jnp.where(tau <= 0.0, 0.0, (df0 / df1 - 1.0) / tau_safe)
 
     # frozen fixings: gather the reset-row curve snapshot per window
-    snap = fwd_cube[jnp.asarray(leg.fix_row)]  # (C, n_paths, n_tenors)
+    snap = frozen_cube[jnp.asarray(leg.fix_row)]  # (C, n_paths, n_tenors)
     rz0 = jnp.einsum("mpn,nm->pm", snap, jnp.asarray(leg.Wfz0))
     rz1 = jnp.einsum("mpn,nm->pm", snap, jnp.asarray(leg.Wfz1))
     dfz0 = jnp.exp(-rz0 * jnp.maximum(jnp.asarray(leg.tfz0), 0.0)[None, :])
@@ -374,7 +382,7 @@ def _float_rate_cols(leg: DeviceLegTensors, fwd_cube):
     )
 
 
-def _ois_rate(leg: DeviceLegTensors, fwd_cube):
+def _ois_rate(leg: DeviceLegTensors, fwd_cube, frozen_cube=None):
     """OIS period rate (CF_realized * CF_future - 1)/accrual on device.
 
     The realized compound factor is seed * exp(L[t] - L[j0]) with L the
@@ -386,9 +394,14 @@ def _ois_rate(leg: DeviceLegTensors, fwd_cube):
     """
     import jax.numpy as jnp
 
+    if frozen_cube is None:
+        frozen_cube = fwd_cube
     n_paths = fwd_cube.shape[1]
     if leg.tau_seg.shape[0]:
-        r_seg = jnp.einsum("tpn,tn->tp", fwd_cube[:-1], jnp.asarray(leg.W_inc))
+        # realized segment increments are STAMPED quantities -> base curve
+        r_seg = jnp.einsum(
+            "tpn,tn->tp", frozen_cube[:-1], jnp.asarray(leg.W_inc)
+        )
         loginc = r_seg * jnp.asarray(leg.tau_seg)[:, None]
         L = jnp.concatenate(
             [jnp.zeros((1, n_paths), loginc.dtype), jnp.cumsum(loginc, axis=0)]
@@ -430,9 +443,15 @@ def _leg_mtm(
         rate = jnp.asarray(leg.fixed_rate)
         rate = jnp.broadcast_to(rate, df_pay.shape)
     elif leg.is_ois:
-        rate = _ois_rate(leg, curves[leg.curve_name])
+        rate = _ois_rate(
+            leg, curves[leg.curve_name],
+            curves[leg.frozen_curve_name or leg.curve_name],
+        )
     else:
-        rate = _float_rate_cols(leg, curves[leg.curve_name])
+        rate = _float_rate_cols(
+            leg, curves[leg.curve_name],
+            curves[leg.frozen_curve_name or leg.curve_name],
+        )
         if leg.n_subs:
             # compounded sub-period rates (cashflow.py:155-168): growth =
             # prod(1 + r_s tau_s) over the period's subs, padded factors 1
@@ -1292,6 +1311,7 @@ class DeviceCommodityTensors:
     fix_alpha: np.ndarray   # (m,)
     Wfz: np.ndarray         # (n_tenors, m) linear at yf(pricing_j, avg_j)
     W_fwd: np.ndarray       # (n_times, n_tenors, m) linear at yf(d, avg_j)
+    frozen_fwd_name: str = ""  # base curve for stamped refs (close-out)
 
 
 def build_commodity_tensors(inst, scenario_dates: Sequence[dt.date], tenors):
@@ -1352,10 +1372,12 @@ def _commodity_mtm(ct: DeviceCommodityTensors, curves, scalars):
     import jax.numpy as jnp
 
     fwd = curves[ct.fwd_name]                     # (t, p, n)
+    frozen = curves[ct.frozen_fwd_name or ct.fwd_name]
     disc = curves[ct.discount_name]
     # stamped refs: lerp the pricing-date rows, fixed-tenor linear interp
-    s0 = jnp.einsum("mpn,nm->pm", fwd[jnp.asarray(ct.fix_row0)], jnp.asarray(ct.Wfz))
-    s1 = jnp.einsum("mpn,nm->pm", fwd[jnp.asarray(ct.fix_row1)], jnp.asarray(ct.Wfz))
+    # (STAMPED -> base curve under FORWARD close-out)
+    s0 = jnp.einsum("mpn,nm->pm", frozen[jnp.asarray(ct.fix_row0)], jnp.asarray(ct.Wfz))
+    s1 = jnp.einsum("mpn,nm->pm", frozen[jnp.asarray(ct.fix_row1)], jnp.asarray(ct.Wfz))
     a = jnp.asarray(ct.fix_alpha)[None, :]
     fixed = (1.0 - a) * s0 + a * s1               # (p, m)
     livefwd = jnp.einsum("tpn,tnm->tpm", fwd, jnp.asarray(ct.W_fwd))
@@ -1375,7 +1397,7 @@ def _commodity_mtm(ct: DeviceCommodityTensors, curves, scalars):
 # retrace per call), names/flags are static aux data.
 _LEG_AUX = (
     "curve_name", "discount_name", "is_fixed", "is_ois", "n_subs",
-    "eq_spot_name", "eq_carry_name", "eq_div_name",
+    "eq_spot_name", "eq_carry_name", "eq_div_name", "frozen_curve_name",
 )
 _TRS_AUX = (
     "spot_name", "carry_name", "div_name", "discount_name",
@@ -1406,7 +1428,7 @@ _ILS_AUX = (
     "cpi_name", "infl_name", "discount_name", "pay_notional_at_maturity",
     "legacy",
 )
-_COMMODITY_AUX = ("fwd_name", "discount_name")
+_COMMODITY_AUX = ("fwd_name", "discount_name", "frozen_fwd_name")
 _SURFACE_AUX = ("spot_name", "kind", "rebate_at_hit", "quantity", "rate", "rebate")
 _make_pytree(DeviceLegTensors, _LEG_AUX)
 _make_pytree(DeviceCommodityTensors, _COMMODITY_AUX)
@@ -1526,6 +1548,7 @@ class DeviceExposureEngine:
         instruments: Sequence[IRSwap],
         notional_scales=None,
         fx_factors: Optional[Sequence[Optional[str]]] = None,
+        risky_curve: Optional[str] = None,
     ):
         """(n_paths, n_times) netting-set MTM as one jitted program.
 
@@ -1551,6 +1574,44 @@ class DeviceExposureEngine:
                 )
                 inst.build_surfaces(spot0, self.dates)
         legs, counts = _legs_for(tuple(instruments), self.dates, self.tenors)
+        if risky_curve is not None:
+            # FORWARD close-out: the generic engine rebinds the market
+            # state entry under each trade's discount-curve NAME to the
+            # risky curve (exposure_engine._pricing_market_state), which
+            # also redirects same-named projection lookups — replicate by
+            # renaming every matching curve field on the trade's tensors.
+            import dataclasses
+
+            swapped: List = []
+            it = iter(legs)
+            for inst, c in zip(instruments, counts):
+                disc = getattr(inst, "discount_curve_name", None)
+                for leg_t in (next(it) for _ in range(c)):
+                    if disc is None or disc == risky_curve:
+                        swapped.append(leg_t)
+                        continue
+                    kw = {
+                        f: risky_curve
+                        for f in (
+                            "curve_name", "discount_name", "carry_name",
+                            "div_name", "infl_name", "fwd_name", "cpi_name",
+                            "eq_carry_name", "eq_div_name",
+                        )
+                        if getattr(leg_t, f, None) == disc
+                    }
+                    # stamped/realized quantities keep the base curve
+                    if "curve_name" in kw and hasattr(
+                        leg_t, "frozen_curve_name"
+                    ):
+                        kw["frozen_curve_name"] = (
+                            leg_t.frozen_curve_name or disc
+                        )
+                    if "fwd_name" in kw and hasattr(leg_t, "frozen_fwd_name"):
+                        kw["frozen_fwd_name"] = leg_t.frozen_fwd_name or disc
+                    swapped.append(
+                        dataclasses.replace(leg_t, **kw) if kw else leg_t
+                    )
+            legs = tuple(swapped)
         notional_scales = notional_scales or [1.0] * len(instruments)
         fx_factors = fx_factors or [None] * len(instruments)
         scales = jnp.asarray(
@@ -1573,7 +1634,23 @@ class DeviceExposureEngine:
 
         from .exposure_engine import compute_im, simulate_collateral
 
-        mtm = np.asarray(self.mtm(instruments, notional_scales, fx_factors))
+        risky = None
+        if csa is not None:
+            from ..portfolio.csa import CloseOutMethod
+
+            if csa.close_out_method is CloseOutMethod.FORWARD and (
+                csa.risky_curve_name is not None
+            ):
+                if not isinstance(csa.risky_curve_name, str):
+                    raise NotImplementedError(
+                        "per-currency risky-curve dicts need the generic "
+                        "ExposureEngine (the device path has no per-trade "
+                        "currency context)"
+                    )
+                risky = csa.risky_curve_name
+        mtm = np.asarray(
+            self.mtm(instruments, notional_scales, fx_factors, risky_curve=risky)
+        )
         im_fn = None
         if csa is not None and csa.im_method is not None:
             from ..portfolio.csa import InitialMarginMethod

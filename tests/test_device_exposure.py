@@ -525,6 +525,45 @@ def test_device_csa_collateral_matches_generic():
     np.testing.assert_allclose(dev.exposure, generic.exposure, rtol=1e-10, atol=1e-6)
 
 
+def test_device_forward_closeout_risky_curve_matches_generic():
+    """FORWARD close-out: the device path rebinds the trade's discount
+    (and same-named projection) curve to the CSA risky curve exactly as
+    the generic engine's state substitution does."""
+    from finite_difference_tpu.portfolio.csa import (
+        CSA,
+        CloseOutMethod,
+        InitialMarginMethod,
+    )
+
+    rng = np.random.default_rng(8)
+    n_times, n_paths = 14, 16
+    dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+    swap_arr = 0.07 + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+    risky_arr = swap_arr + 0.02  # wide risky spread
+    curves = {"ZAR-SWAP": swap_arr, "RISKY": risky_arr}
+    csa = CSA(
+        mpor_days=10, vm_threshold=0.0, vm_threshold_post=0.0,
+        im_method=InitialMarginMethod.NONE,
+        close_out_method=CloseOutMethod.FORWARD, risky_curve_name="RISKY",
+    )
+    swap = _swap(n_years=1)
+    cube = ScenarioCube(
+        dates,
+        {
+            "ZAR-SWAP": ("curve", swap_arr, TENORS),
+            "RISKY": ("curve", risky_arr, TENORS),
+        },
+    )
+    generic = ExposureEngine(cube).compute(
+        NettingSet("NS", [Trade(swap, "T1")], csa=csa)
+    )
+    dev = DeviceExposureEngine(dates, curves, TENORS).compute([swap], csa=csa)
+    # the substitution must actually bite (risky spread changes the MTM)
+    base = DeviceExposureEngine(dates, curves, TENORS).compute([swap])
+    assert np.abs(dev.mtm - base.mtm).max() > 1.0
+    np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-6)
+
+
 @pytest.mark.parametrize("im_method_name", ["FIXED", "SCHEDULE"])
 def test_device_csa_initial_margin_matches_generic(im_method_name):
     """Device compute honors the FIXED/SCHEDULE IM policies (previously
