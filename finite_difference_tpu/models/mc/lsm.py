@@ -86,7 +86,15 @@ def _lsm_kernel(
     pv = disc * cf  # discount t_1 -> t_0
     # the holder may also exercise AT the valuation date: floor at payoff(S0)
     price = jnp.maximum(jnp.mean(pv), payoff(jnp.asarray(s0, dtype)))
-    stderr = jnp.std(pv) / jnp.sqrt(jnp.asarray(n_paths, dtype))
+    if antithetic:
+        # mirrored paths are (negatively) correlated — the independent
+        # samples are the n_paths/2 PAIR MEANS, so estimate the MC error
+        # of the mean from those
+        n_half = n_paths // 2
+        pair_mean = 0.5 * (pv[:n_half] + pv[n_half:])
+        stderr = jnp.std(pair_mean) / jnp.sqrt(jnp.asarray(n_half, dtype))
+    else:
+        stderr = jnp.std(pv) / jnp.sqrt(jnp.asarray(n_paths, dtype))
     return price, stderr
 
 

@@ -267,6 +267,22 @@ def _spectral_solve_one_x64dst(batch, sigma, n_nodes: int):
     return _spectral_solve_one(batch, sigma, n_nodes, mm_dtype=jnp.float64)
 
 
+def _effective_is64(batch: BarrierTradeBatch, dtype) -> bool:
+    """True iff the solve will actually run in 64-bit ON DEVICE.
+
+    Host f64 arrays silently demote to f32 when ``jax_enable_x64`` is off,
+    so the requested/batch dtype only counts when x64 is enabled — routing
+    and conditioning thresholds keyed off the host dtype alone would apply
+    f64 limits to an f32 computation (silent overflow in the spectral
+    symmetrizer).
+    """
+    if not jax.config.jax_enable_x64:
+        return False
+    if dtype is not None:
+        return jnp.dtype(dtype).itemsize > 4
+    return np.asarray(batch.sigma).dtype.itemsize > 4
+
+
 def solve_value_surfaces(
     batch: BarrierTradeBatch,
     n_nodes: int,
@@ -279,9 +295,11 @@ def solve_value_surfaces(
     ``precompute`` hook wants (price an exotic once per scenario date,
     then interpolate simulated spots against the surface;
     instruments/equity_barrier.py). ``solver='auto'`` routes eligible
-    batches through the spectral propagator. ``american=True`` runs the
-    Ikonen-Toivanen early-exercise solve (scan only — the per-step
-    projection is inherently sequential).
+    batches through the spectral propagator, with the same effective-dtype
+    gating as :func:`price_barrier_batch` (TPU f32 stays on the scan; the
+    f32 symmetrizer/conditioning thresholds apply when x64 is off).
+    ``american=True`` runs the Ikonen-Toivanen early-exercise solve (scan
+    only — the per-step projection is inherently sequential).
     """
     if american:
         dev = jax.tree.map(jnp.asarray, batch)
@@ -292,6 +310,9 @@ def solve_value_surfaces(
         )
         v, s = fn(dev)
         return np.asarray(v), np.asarray(s)
+    if solver == "auto" and jax.default_backend() != "cpu" and not _effective_is64(batch, None):
+        # TPU f32 matmul accumulation noise — same gate as price_barrier_batch
+        solver = "scan"
     if solver in ("auto", "spectral"):
         layout = _spectral_layout(batch, n_nodes)
         if layout is not None:
@@ -713,9 +734,9 @@ def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     expo = symmetrizer_exponent(
         batch.sigma, batch.b, batch.q, batch.dx, n_nodes
     )
-    is64 = dtype is not None and jnp.dtype(dtype).itemsize > 4
-    if not is64:
-        is64 = np.asarray(batch.sigma).dtype.itemsize > 4
+    # thresholds keyed off the EFFECTIVE device dtype: with x64 off, host
+    # f64 arrays demote to f32 on device, so the f32 limit applies
+    is64 = _effective_is64(batch, dtype)
     if np.any(expo > (200.0 if is64 else 15.0)):
         return None
     from .spectral import channel_conditioning
@@ -766,13 +787,11 @@ def price_barrier_batch(
         # measured — docs/PERF_NOTES.md) is ~30x noisier than CPU f32,
         # which the sine-transform roundtrips amplify to ~1e-2 rel on
         # cheap OTM trades; f32-on-TPU therefore stays on the scan. The
-        # f64 rung and CPU runs route to the spectral propagator.
-        is64 = (
-            jnp.dtype(dtype).itemsize > 4
-            if dtype is not None
-            else np.asarray(batch.sigma).dtype.itemsize > 4
-        )
-        if jax.default_backend() != "cpu" and not is64:
+        # f64 rung and CPU runs route to the spectral propagator. The
+        # rung is 64-bit only if the arrays actually STAY 64-bit on
+        # device (x64 enabled) — a host-f64 batch in a non-x64 session
+        # runs in f32 and must take the f32 route.
+        if jax.default_backend() != "cpu" and not _effective_is64(batch, dtype):
             solver = "scan"
     if solver in ("auto", "spectral"):
         layout = _spectral_layout(batch, n_nodes, dtype)
