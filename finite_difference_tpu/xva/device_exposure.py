@@ -105,6 +105,10 @@ class DeviceLegTensors:
     # (the engine stamps fixings from the un-substituted states) while
     # live forwards/discounting move to the risky curve — "" = curve_name
     frozen_curve_name: str = ""
+    # stamped equity-notional spots keep the base scalar under SIMM bumps
+    # ("" = eq_spot_name); same split as frozen_curve_name but in the
+    # scalars namespace
+    frozen_eq_spot_name: str = ""
 
 
 def _weights_for(tenors: np.ndarray, tq: np.ndarray, Tm) -> np.ndarray:
@@ -481,8 +485,10 @@ def _leg_mtm(
             )
         t_s = jnp.asarray(leg.eq_t_s)[:, None, :]
         fwd = spot[:, :, None] * jnp.exp(r_eq * jnp.maximum(t_s, 0.0))
-        s0 = spot[jnp.asarray(leg.eq_row0)]             # (m, n_paths)
-        s1 = spot[jnp.asarray(leg.eq_row1)]
+        # stamped notional spots are historical fixings -> base scalar
+        spot_fz = scalars[leg.frozen_eq_spot_name or leg.eq_spot_name]
+        s0 = spot_fz[jnp.asarray(leg.eq_row0)]          # (m, n_paths)
+        s1 = spot_fz[jnp.asarray(leg.eq_row1)]
         a = jnp.asarray(leg.eq_alpha)[:, None]
         stamped_spot = ((1.0 - a) * s0 + a * s1).T      # (n_paths, m)
         notional = leg.eq_quantity * jnp.where(
@@ -609,8 +615,6 @@ class DeviceTRSTensors:
     quantity: float
     notional_fixed: float
     price_scaling: bool              # True: quantity*(Fe-Fs); False: N*(Fe/Fs-1)
-    initial_price: float             # fallback when period-0 start predates cube
-    has_initial_price: bool
     live: np.ndarray                 # (n_times, m)
     first_live: np.ndarray           # (n_times, m) one-hot first outstanding
     start_future: np.ndarray         # (n_times, m) settled start > d
@@ -631,10 +635,12 @@ class DeviceTRSTensors:
     s_row0: np.ndarray               # (m,) int
     s_row1: np.ndarray
     s_alpha: np.ndarray              # (m,)
-    s_valid: np.ndarray              # (m,) raw start >= dates[0]
     e_row0: np.ndarray
     e_row1: np.ndarray
     e_alpha: np.ndarray
+    # stamped start/end spots keep the base scalar under SIMM bumps
+    # ("" = spot_name)
+    frozen_spot_name: str = ""
 
 
 def _interp_rows(dates, d):
@@ -708,13 +714,11 @@ def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray
     s_row0 = np.zeros(m, dtype=np.int64)
     s_row1 = np.zeros(m, dtype=np.int64)
     s_alpha = np.zeros(m)
-    s_valid = np.zeros(m, dtype=bool)
     e_row0 = np.zeros(m, dtype=np.int64)
     e_row1 = np.zeros(m, dtype=np.int64)
     e_alpha = np.zeros(m)
     for i, (st, en, _, _) in enumerate(schedule):
         s_row0[i], s_row1[i], s_alpha[i] = _interp_rows(dates, st)
-        s_valid[i] = st >= dates[0]
         e_row0[i], e_row1[i], e_alpha[i] = _interp_rows(dates, en)
 
     ret = DeviceTRSTensors(
@@ -726,8 +730,6 @@ def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray
         quantity=float(trs.quantity),
         notional_fixed=float(trs.notional),
         price_scaling=trs.return_nominal_scaling == "Price",
-        initial_price=float(trs.initial_price or 0.0),
-        has_initial_price=trs.initial_price is not None,
         live=live, first_live=first_live,
         start_future=start_future, end_future=end_future,
         t_pay=t_pay, W_disc=W_disc,
@@ -735,7 +737,7 @@ def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray
         Wc_start=Wc_start, Wc_end=Wc_end,
         Wd_start=Wc_start, Wd_end=Wc_end,  # same query times; dims via curve
         Wc_t0=Wt0, Wd_t0=Wt0,
-        s_row0=s_row0, s_row1=s_row1, s_alpha=s_alpha, s_valid=s_valid,
+        s_row0=s_row0, s_row1=s_row1, s_alpha=s_alpha,
         e_row0=e_row0, e_row1=e_row1, e_alpha=e_alpha,
     )
 
@@ -809,9 +811,12 @@ def _trs_mtm(trs_t: DeviceTRSTensors, curves, scalars):
     f_start_fwd = spot[:, :, None] * jnp.exp(g_start)
     f_end_fwd = spot[:, :, None] * jnp.exp(g_end)
 
+    # stamped reset spots are historical fixings -> base scalar
+    spot_fz = scalars[trs_t.frozen_spot_name or trs_t.spot_name]
+
     def stamped(rows0, rows1, alpha):
-        s0 = spot[jnp.asarray(rows0)]            # (m, n_paths)
-        s1 = spot[jnp.asarray(rows1)]
+        s0 = spot_fz[jnp.asarray(rows0)]         # (m, n_paths)
+        s1 = spot_fz[jnp.asarray(rows1)]
         a = jnp.asarray(alpha)[:, None]
         return ((1.0 - a) * s0 + a * s1).T       # (n_paths, m)
 
@@ -819,20 +824,14 @@ def _trs_mtm(trs_t: DeviceTRSTensors, curves, scalars):
     stamped_end = stamped(trs_t.e_row0, trs_t.e_row1, trs_t.e_alpha)
 
     first = jnp.asarray(trs_t.first_live)[:, None, :]
-    s_valid = jnp.asarray(trs_t.s_valid)[None, None, :]
-    # first outstanding started period: engine-stamped spot at the raw
-    # start (linear state interp); if the start predates the cube, the
-    # scalar initial_price (else today's spot). Other started periods:
-    # today's spot (trs_return_leg_pv:125-132).
-    fallback_first = (
-        jnp.broadcast_to(jnp.asarray(trs_t.initial_price), spot[:, :, None].shape)
-        if trs_t.has_initial_price
-        else spot[:, :, None]
-    )
+    # first outstanding started period: the engine-stamped spot at the
+    # raw start (linear state interp, CLAMPED to the first cube row for
+    # pre-window starts — _build_equity_fixings stamps every reset <=
+    # sim date, and equity_trs.scenario_npvs lets the stamp win over the
+    # contractual initial_price). Other started periods: today's spot
+    # (trs_return_leg_pv:140-150).
     started_start = jnp.where(
-        first & s_valid,
-        stamped_start[None, :, :],
-        jnp.where(first, fallback_first, spot[:, :, None]),
+        first, stamped_start[None, :, :], spot[:, :, None]
     )
     f_start = jnp.where(
         jnp.asarray(trs_t.start_future)[:, None, :], f_start_fwd, started_start
@@ -896,6 +895,9 @@ class DeviceILSTensors:
     j1_idx: np.ndarray               # (m,)
     frac: np.ndarray                 # (m,) intramonth weight
     legacy: bool = False             # CPI factor is a level term structure
+    # stamped CPI refs keep the base factor under SIMM bumps
+    # ("" = cpi_name; scalars namespace, or curves when legacy)
+    frozen_cpi_name: str = ""
 
 
 def build_ils_tensors(ils, scenario_dates: Sequence[dt.date], tenors: np.ndarray):
@@ -1068,7 +1070,8 @@ def _ils_mtm(ils_t: DeviceILSTensors, curves, scalars):
         # take its FIRST column (the spot level) at the stamping rows,
         # unstamped refs interpolate the sim-date curve linearly.
         cpi_cube = curves[ils_t.cpi_name]         # (n_times, n_paths, n_ten)
-        spot = cpi_cube[:, :, 0]                  # (n_times, n_paths)
+        # stamped fixings are historical -> base factor under SIMM bumps
+        spot = curves[ils_t.frozen_cpi_name or ils_t.cpi_name][:, :, 0]
         c0 = spot[jnp.asarray(ils_t.ref_row0)]
         c1 = spot[jnp.asarray(ils_t.ref_row1)]
         a = jnp.asarray(ils_t.ref_alpha)[:, None]
@@ -1087,7 +1090,8 @@ def _ils_mtm(ils_t: DeviceILSTensors, curves, scalars):
             future,
         )                                         # (t, p, K)
     else:
-        cpi = scalars[ils_t.cpi_name]             # (n_times, n_paths)
+        # stamped refs are historical fixings -> base scalar under bumps
+        cpi = scalars[ils_t.frozen_cpi_name or ils_t.cpi_name]
         infl = curves[ils_t.infl_name]            # (n_times, n_paths, n_ten)
 
         # stamped/published values per ref: (K, n_paths)
@@ -1163,6 +1167,9 @@ class DeviceSurfaceTensors:
     mon_row1: Optional[np.ndarray] = None
     mon_alpha: Optional[np.ndarray] = None
     mon_active: Optional[np.ndarray] = None  # (n_times, n_mon) mon <= d
+    # stamped monitor-date spots (barrier hit state) keep the base scalar
+    # under SIMM bumps ("" = spot_name)
+    frozen_spot_name: str = ""
 
 
 def build_surface_tensors(inst, scenario_dates: Sequence[dt.date], tenors):
@@ -1259,8 +1266,10 @@ def _surface_mtm(st: DeviceSurfaceTensors, curves, scalars):
     if st.kind == "american":
         val = main
     else:
-        sm0 = spot[jnp.asarray(st.mon_row0)]           # (n_mon, p)
-        sm1 = spot[jnp.asarray(st.mon_row1)]
+        # stamped monitor spots (hit state) are historical -> base scalar
+        spot_fz = scalars[st.frozen_spot_name or st.spot_name]
+        sm0 = spot_fz[jnp.asarray(st.mon_row0)]        # (n_mon, p)
+        sm1 = spot_fz[jnp.asarray(st.mon_row1)]
         a = jnp.asarray(st.mon_alpha)[:, None]
         sm = (1.0 - a) * sm0 + a * sm1
         crossed = (jnp.asarray(st.has_lower) & (sm <= jnp.asarray(st.lower))) | (
@@ -1398,10 +1407,11 @@ def _commodity_mtm(ct: DeviceCommodityTensors, curves, scalars):
 _LEG_AUX = (
     "curve_name", "discount_name", "is_fixed", "is_ois", "n_subs",
     "eq_spot_name", "eq_carry_name", "eq_div_name", "frozen_curve_name",
+    "frozen_eq_spot_name",
 )
 _TRS_AUX = (
     "spot_name", "carry_name", "div_name", "discount_name",
-    "price_scaling", "has_initial_price",
+    "price_scaling", "frozen_spot_name",
 )
 
 
@@ -1426,15 +1436,83 @@ def _make_pytree(cls, aux_names):
 
 _ILS_AUX = (
     "cpi_name", "infl_name", "discount_name", "pay_notional_at_maturity",
-    "legacy",
+    "legacy", "frozen_cpi_name",
 )
 _COMMODITY_AUX = ("fwd_name", "discount_name", "frozen_fwd_name")
-_SURFACE_AUX = ("spot_name", "kind", "rebate_at_hit", "quantity", "rate", "rebate")
+_SURFACE_AUX = (
+    "spot_name", "kind", "rebate_at_hit", "quantity", "rate", "rebate",
+    "frozen_spot_name",
+)
 _make_pytree(DeviceLegTensors, _LEG_AUX)
 _make_pytree(DeviceCommodityTensors, _COMMODITY_AUX)
 _make_pytree(DeviceSurfaceTensors, _SURFACE_AUX)
 _make_pytree(DeviceTRSTensors, _TRS_AUX)
 _make_pytree(DeviceILSTensors, _ILS_AUX)
+
+
+def _pin_frozen_sources(legs):
+    """Pin every stamped-fixing read onto a ``<name>#base`` alias.
+
+    The generic engine's SIMM pass re-prices the netting set under a
+    bumped market state while historical fixings stay stamped from the
+    UNBUMPED states (exposure_engine.py:224-241: ``price_all`` closes
+    over fixings built once from ``all_states``). On the device path the
+    stamped reads gather from the factor cubes themselves, so a bump of
+    a live cube would (wrongly) move the history too. Redirecting each
+    leg's ``frozen_*`` field to an alias entry that always holds the base
+    cube makes bumps hit only the live reads — and because the alias
+    names are identical for the base and every bumped evaluation, one
+    jit trace of the netting kernel serves them all.
+
+    Returns ``(pinned_legs, curve_aliases, scalar_aliases)`` where the
+    alias dicts map ``<name>#base`` -> ``<name>`` for the caller to
+    mirror into its curves / scalars dicts.
+    """
+    import dataclasses
+
+    curve_alias: Dict[str, str] = {}
+    scalar_alias: Dict[str, str] = {}
+
+    def _curve(name: str) -> str:
+        alias = name + "#base"
+        curve_alias[alias] = name
+        return alias
+
+    def _scalar(name: str) -> str:
+        alias = name + "#base"
+        scalar_alias[alias] = name
+        return alias
+
+    pinned = []
+    for leg in legs:
+        kw = {}
+        if isinstance(leg, DeviceTRSTensors):
+            kw["frozen_spot_name"] = _scalar(
+                leg.frozen_spot_name or leg.spot_name
+            )
+        elif isinstance(leg, DeviceILSTensors):
+            tgt = leg.frozen_cpi_name or leg.cpi_name
+            kw["frozen_cpi_name"] = _curve(tgt) if leg.legacy else _scalar(tgt)
+        elif isinstance(leg, DeviceCommodityTensors):
+            kw["frozen_fwd_name"] = _curve(
+                leg.frozen_fwd_name or leg.fwd_name
+            )
+        elif isinstance(leg, DeviceSurfaceTensors):
+            if leg.mon_row0 is not None:
+                kw["frozen_spot_name"] = _scalar(
+                    leg.frozen_spot_name or leg.spot_name
+                )
+        else:  # DeviceLegTensors
+            if not leg.is_fixed and leg.curve_name:
+                kw["frozen_curve_name"] = _curve(
+                    leg.frozen_curve_name or leg.curve_name
+                )
+            if leg.eq_spot_name:
+                kw["frozen_eq_spot_name"] = _scalar(
+                    leg.frozen_eq_spot_name or leg.eq_spot_name
+                )
+        pinned.append(dataclasses.replace(leg, **kw) if kw else leg)
+    return tuple(pinned), curve_alias, scalar_alias
 
 
 def _netting_mtm_kernel(curves, scalars, legs, scales, fx_names):
@@ -1543,21 +1621,19 @@ class DeviceExposureEngine:
         self.scalars = scalars or {}
         self.tenors = np.asarray(tenors, dtype=np.float64)
 
-    def mtm(
+    def _prepare(
         self,
         instruments: Sequence[IRSwap],
         notional_scales=None,
         fx_factors: Optional[Sequence[Optional[str]]] = None,
-        risky_curve: Optional[str] = None,
+        risky_curve=None,
     ):
-        """(n_paths, n_times) netting-set MTM as one jitted program.
+        """(legs, scales, fx_names) ready for the jitted netting kernel.
 
-        Leg tensors are cached per (instruments, dates, tenors) and passed
-        to one module-level jitted kernel as pytree arguments, so repeated
-        calls (a pricing service, the CVA pipeline) pay host cost once.
-        ``fx_factors``: per-instrument scalar-factor name converting the
-        trade currency to the reporting currency (None = same currency),
-        mirroring the generic engine's fx_rate_factor handling.
+        ``risky_curve``: FORWARD close-out substitution — a single curve
+        name applied to every trade, or a per-instrument sequence (the
+        per-currency dict form of ``CSA.risky_curve_name`` resolved by
+        :meth:`compute`); ``None`` entries leave that trade unsubstituted.
         """
         import jax.numpy as jnp
 
@@ -1574,7 +1650,11 @@ class DeviceExposureEngine:
                 )
                 inst.build_surfaces(spot0, self.dates)
         legs, counts = _legs_for(tuple(instruments), self.dates, self.tenors)
-        if risky_curve is not None:
+        if risky_curve is None or isinstance(risky_curve, str):
+            risky_list = [risky_curve] * len(instruments)
+        else:
+            risky_list = list(risky_curve)
+        if any(r is not None for r in risky_list):
             # FORWARD close-out: the generic engine rebinds the market
             # state entry under each trade's discount-curve NAME to the
             # risky curve (exposure_engine._pricing_market_state), which
@@ -1584,14 +1664,14 @@ class DeviceExposureEngine:
 
             swapped: List = []
             it = iter(legs)
-            for inst, c in zip(instruments, counts):
+            for inst, c, risky in zip(instruments, counts, risky_list):
                 disc = getattr(inst, "discount_curve_name", None)
                 for leg_t in (next(it) for _ in range(c)):
-                    if disc is None or disc == risky_curve:
+                    if risky is None or disc is None or disc == risky:
                         swapped.append(leg_t)
                         continue
                     kw = {
-                        f: risky_curve
+                        f: risky
                         for f in (
                             "curve_name", "discount_name", "carry_name",
                             "div_name", "infl_name", "fwd_name", "cpi_name",
@@ -1608,6 +1688,8 @@ class DeviceExposureEngine:
                         )
                     if "fwd_name" in kw and hasattr(leg_t, "frozen_fwd_name"):
                         kw["frozen_fwd_name"] = leg_t.frozen_fwd_name or disc
+                    if "cpi_name" in kw and hasattr(leg_t, "frozen_cpi_name"):
+                        kw["frozen_cpi_name"] = leg_t.frozen_cpi_name or disc
                     swapped.append(
                         dataclasses.replace(leg_t, **kw) if kw else leg_t
                     )
@@ -1621,6 +1703,29 @@ class DeviceExposureEngine:
         fx_names = tuple(
             f for f, c in zip(fx_factors, counts) for _ in range(c)
         )
+        return legs, scales, fx_names
+
+    def mtm(
+        self,
+        instruments: Sequence[IRSwap],
+        notional_scales=None,
+        fx_factors: Optional[Sequence[Optional[str]]] = None,
+        risky_curve=None,
+    ):
+        """(n_paths, n_times) netting-set MTM as one jitted program.
+
+        Leg tensors are cached per (instruments, dates, tenors) and passed
+        to one module-level jitted kernel as pytree arguments, so repeated
+        calls (a pricing service, the CVA pipeline) pay host cost once.
+        ``fx_factors``: per-instrument scalar-factor name converting the
+        trade currency to the reporting currency (None = same currency),
+        mirroring the generic engine's fx_rate_factor handling.
+        """
+        import jax.numpy as jnp
+
+        legs, scales, fx_names = self._prepare(
+            instruments, notional_scales, fx_factors, risky_curve
+        )
         curve_dev = {k: jnp.asarray(v) for k, v in self.curves.items()}
         scalar_dev = {k: jnp.asarray(v) for k, v in self.scalars.items()}
         return _netting_mtm(curve_dev, scalar_dev, legs, scales, fx_names)
@@ -1628,8 +1733,17 @@ class DeviceExposureEngine:
     def compute(
         self, instruments: Sequence[IRSwap], netting_set_id: str = "NS",
         currency: str = "ZAR", notional_scales=None, fx_factors=None,
-        csa=None,
+        csa=None, currencies: Optional[Sequence[Optional[str]]] = None,
     ) -> ExposureProfile:
+        """ExposureProfile with full CSA support on the device path.
+
+        ``currencies``: per-instrument trade currency (None entries fall
+        back to the reporting ``currency``) — only consulted to key the
+        per-currency dict form of ``CSA.risky_curve_name``, mirroring the
+        generic engine's per-trade resolution
+        (exposure_engine._pricing_market_state; ref
+        exposure_engine.py:552-587).
+        """
         from types import SimpleNamespace
 
         from .exposure_engine import compute_im, simulate_collateral
@@ -1641,13 +1755,23 @@ class DeviceExposureEngine:
             if csa.close_out_method is CloseOutMethod.FORWARD and (
                 csa.risky_curve_name is not None
             ):
-                if not isinstance(csa.risky_curve_name, str):
-                    raise NotImplementedError(
-                        "per-currency risky-curve dicts need the generic "
-                        "ExposureEngine (the device path has no per-trade "
-                        "currency context)"
+                rn = csa.risky_curve_name
+                if isinstance(rn, dict):
+                    # unknown currencies / absent curves leave the trade
+                    # unsubstituted, exactly like the generic engine
+                    ccys = (
+                        list(currencies)
+                        if currencies is not None
+                        else [None] * len(instruments)
                     )
-                risky = csa.risky_curve_name
+                    risky = [
+                        r if r in self.curves else None
+                        for r in (rn.get(c or currency) for c in ccys)
+                    ]
+                    if all(r is None for r in risky):
+                        risky = None
+                else:
+                    risky = rn if rn in self.curves else None
         mtm = np.asarray(
             self.mtm(instruments, notional_scales, fx_factors, risky_curve=risky)
         )
@@ -1656,11 +1780,12 @@ class DeviceExposureEngine:
             from ..portfolio.csa import InitialMarginMethod
 
             if csa.im_method is InitialMarginMethod.SIMM:
-                raise NotImplementedError(
-                    "SIMM IM is pathwise and computed in the generic "
-                    "ExposureEngine's pricing pass; use it for SIMM CSAs."
+                im_paths = self._simm_im_paths(
+                    instruments, notional_scales, fx_factors, csa, risky
                 )
-            if csa.im_method is not InitialMarginMethod.NONE:
+                date_idx = {d: i for i, d in enumerate(self.dates)}
+                im_fn = lambda n, d: im_paths[:, date_idx[d]]
+            elif csa.im_method is not InitialMarginMethod.NONE:
                 scales = notional_scales or [1.0] * len(instruments)
                 ns_shim = SimpleNamespace(
                     trades=[
@@ -1684,3 +1809,82 @@ class DeviceExposureEngine:
             neg_exposure=np.minimum(net, 0.0),
             currency=currency,
         )
+
+    def _simm_im_paths(
+        self, instruments, notional_scales, fx_factors, csa, risky_curve,
+    ) -> np.ndarray:
+        """(n_paths, n_times) pathwise SIMM delta margin on device.
+
+        Mirrors ``ExposureEngine._simm_im_paths`` (itself beyond the
+        reference, which stubs SIMM at exposure_engine.py:640-644): every
+        curve cube gets +1bp-per-SIMM-bucket bumps, every scalar factor a
+        +1%% relative bump, and the finite-difference netting-set
+        sensitivities aggregate through ``portfolio.simm``. Two device
+        advantages over the generic per-date loop:
+
+        - historical fixings stay at base via :func:`_pin_frozen_sources`
+          aliases, so every bump reuses ONE jitted kernel trace (only the
+          dict values change); and
+        - each output column t of the netting kernel reads live factors
+          only at row t, so bumping the WHOLE cube yields the per-date
+          sensitivities of every simulation date in a single kernel call
+          — (n_buckets + n_scalars) kernel launches total instead of
+          n_times x that.
+        """
+        import jax.numpy as jnp
+
+        from ..portfolio.simm import (
+            IR_TENORS, SimmConfig, assign_ir_buckets, simm_im,
+            weight_ir_sensitivities,
+        )
+
+        cfg = csa.simm_config or SimmConfig()
+        p = cfg.params
+        legs, scales, fx_names = self._prepare(
+            instruments, notional_scales, fx_factors, risky_curve
+        )
+        legs, curve_alias, scalar_alias = _pin_frozen_sources(legs)
+        curve_dev = {k: jnp.asarray(v) for k, v in self.curves.items()}
+        scalar_dev = {k: jnp.asarray(v) for k, v in self.scalars.items()}
+        for alias, live in curve_alias.items():
+            curve_dev[alias] = curve_dev[live]
+        for alias, live in scalar_alias.items():
+            scalar_dev[alias] = scalar_dev[live]
+
+        def run():
+            return np.asarray(
+                _netting_mtm(curve_dev, scalar_dev, legs, scales, fx_names)
+            )
+
+        base = run()                                  # (n_paths, n_times)
+        n_paths, n_times = base.shape
+        buckets = assign_ir_buckets(self.tenors)
+        shift = p.bump_bp * 1e-4
+        ir_s = np.zeros((n_paths, n_times, len(IR_TENORS)))
+        has_ir = False
+        for name in self.curves:
+            if cfg.factors is not None and name not in cfg.factors:
+                continue
+            has_ir = True
+            cube0 = curve_dev[name]
+            for k in np.unique(buckets):
+                mask = (buckets == k).astype(base.dtype)
+                curve_dev[name] = cube0 + shift * jnp.asarray(mask)[None, None, :]
+                ir_s[:, :, int(k)] += (run() - base) / p.bump_bp
+            curve_dev[name] = cube0
+        scalar_ws: Dict[str, list] = {}
+        for name in self.scalars:
+            if cfg.factors is not None and name not in cfg.factors:
+                continue
+            s0 = scalar_dev[name]
+            scalar_dev[name] = s0 * (1.0 + p.bump_rel)
+            s = (run() - base) * (0.01 / p.bump_rel)
+            scalar_dev[name] = s0
+            if not np.any(s):
+                continue  # factor not referenced by any trade
+            cls = cfg.scalar_class(name)
+            scalar_ws.setdefault(cls, []).append(p.scalar_risk_weights[cls] * s)
+        ws_ir = weight_ir_sensitivities(ir_s, p) if has_ir else None
+        return np.broadcast_to(
+            simm_im(ws_ir, scalar_ws or None, p), (n_paths, n_times)
+        ).copy()

@@ -237,6 +237,35 @@ class TestDeviceTRS:
         trs.interest_nominal_scaling = "Price"
         self._compare(trs)
 
+    def test_seasoned_in_flight_first_period(self):
+        """A return period IN PROGRESS at the early sim dates whose start
+        predates the scenario window: the engine stamps its start spot
+        from the clamped first-row state, and that stamp wins over the
+        contractual initial_price (equity_trs.scenario_npvs:245-268).
+        Regression: the device path used initial_price for pre-window
+        starts (~70%% MTM error at the early dates)."""
+        from finite_difference_tpu.instruments.equity_trs import EquityTRS
+
+        for scaling in ("Price", "Initial Price"):
+            trs = EquityTRS(
+                name="trs",
+                effective_date=VAL - dt.timedelta(days=100),
+                maturity_date=dt.date(2026, 4, 19),  # inside the window
+                quantity=1000.0,
+                notional=100_000.0,
+                interest_leg=SwapLeg(
+                    LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP",
+                    spread=0.01,
+                ),
+                spot_name="EQ.SPOT",
+                carry_curve_name="ZAR-SWAP",
+                dividend_curve_name="EQ.DIV",
+                discount_curve_name="ZAR-SWAP",
+                initial_price=100.0,
+                return_nominal_scaling=scaling,
+            )
+            self._compare(trs)
+
 
 class TestDeviceILS:
     def _ils(self, n_years=3, receiver=True, pay_notional=True):
@@ -564,10 +593,18 @@ def test_device_forward_closeout_risky_curve_matches_generic():
     np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-6)
 
 
-@pytest.mark.parametrize("im_method_name", ["FIXED", "SCHEDULE"])
-def test_device_csa_initial_margin_matches_generic(im_method_name):
-    """Device compute honors the FIXED/SCHEDULE IM policies (previously
-    the device path silently dropped IM)."""
+# FIXED/SCHEDULE IM is a deterministic per-date policy -> the engines
+# agree at their 1e-10 base-MTM level. SIMM IM is built from
+# finite-difference sensitivities, and (bumped - base)/h amplifies the
+# engines' ~1e-10 relative MTM agreement by |V|/|dV| ~ 1e2-1e3 (measured
+# max 1.7e-8 rel here), so the honest cross-engine SIMM gate is 1e-7.
+@pytest.mark.parametrize(
+    "im_method_name,rtol", [("FIXED", 1e-10), ("SCHEDULE", 1e-10), ("SIMM", 1e-7)]
+)
+def test_device_csa_initial_margin_matches_generic(im_method_name, rtol):
+    """Device compute honors the FIXED/SCHEDULE/SIMM IM policies
+    (previously the device path silently dropped IM, then punted SIMM to
+    the generic engine)."""
     from finite_difference_tpu.portfolio.csa import CSA, InitialMarginMethod
 
     dates, curves = _cube_arrays(14, 16, seed=4)
@@ -583,8 +620,143 @@ def test_device_csa_initial_margin_matches_generic(im_method_name):
     dev = DeviceExposureEngine(dates, curves, TENORS).compute([swap], csa=csa)
     assert np.abs(dev.collateral).max() > 0
     np.testing.assert_allclose(
-        dev.collateral, generic.collateral, rtol=1e-10, atol=1e-8
+        dev.collateral, generic.collateral, rtol=rtol, atol=1e-8
     )
+    np.testing.assert_allclose(
+        dev.exposure, generic.exposure, rtol=rtol, atol=1e-6
+    )
+
+
+def test_device_simm_mixed_factors_matches_generic():
+    """SIMM on device over a curve factor AND a scalar (equity) factor:
+    the IR bucket bumps, the +1%% scalar bump (with stamped equity
+    fixings held at base), and the cross-class aggregation must all
+    reproduce the generic engine's pathwise SIMM margin."""
+    from finite_difference_tpu.instruments.equity_trs import EquityTRS
+    from finite_difference_tpu.portfolio.csa import CSA, InitialMarginMethod
+
+    rng = np.random.default_rng(11)
+    n_times, n_paths = 14, 12
+    dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+    swap_arr = 0.075 + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+    div = np.full((n_times, n_paths, TENORS.size), 0.02)
+    eq = 100.0 * np.exp(rng.normal(0.002, 0.05, (n_times, n_paths)).cumsum(axis=0))
+    curves = {"ZAR-SWAP": swap_arr, "EQ.DIV": div}
+    scalars = {"EQ.SPOT": eq}
+    # seasoned TRS so stamped (historical) spot fixings exist and must
+    # stay at base under the equity bump
+    trs = EquityTRS(
+        name="trs",
+        effective_date=VAL - dt.timedelta(days=100),
+        maturity_date=dt.date(2026, 6, 28),
+        quantity=1000.0,
+        notional=100_000.0,
+        interest_leg=SwapLeg(
+            LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP", spread=0.01
+        ),
+        spot_name="EQ.SPOT",
+        carry_curve_name="ZAR-SWAP",
+        dividend_curve_name="EQ.DIV",
+        discount_curve_name="ZAR-SWAP",
+        initial_price=100.0,
+    )
+    swap = _swap(n_years=1)
+    csa = CSA(
+        mpor_days=10, vm_threshold=500.0, vm_threshold_post=800.0,
+        im_method=InitialMarginMethod.SIMM,
+    )
+    cube = ScenarioCube(
+        dates,
+        {
+            "ZAR-SWAP": ("curve", swap_arr, TENORS),
+            "EQ.DIV": ("curve", div, TENORS),
+            "EQ.SPOT": ("scalar", eq),
+        },
+    )
+    generic = ExposureEngine(cube).compute(
+        NettingSet("NS", [Trade(swap, "T1"), Trade(trs, "T2")], csa=csa)
+    )
+    dev = DeviceExposureEngine(dates, curves, TENORS, scalars=scalars).compute(
+        [swap, trs], csa=csa
+    )
+    assert np.abs(dev.collateral).max() > 0
+    # 1e-7: the cross-engine finite-difference noise floor (see the
+    # comment above test_device_csa_initial_margin_matches_generic)
+    np.testing.assert_allclose(
+        dev.collateral, generic.collateral, rtol=1e-7, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        dev.exposure, generic.exposure, rtol=1e-7, atol=1e-6
+    )
+
+
+def test_device_dict_risky_curve_matches_generic():
+    """Per-currency risky-curve dicts (FORWARD close-out) on the device
+    path: each trade's discount curve is rebound to the risky curve keyed
+    by ITS currency, exactly like the generic engine's per-trade state
+    substitution; currencies missing from the dict stay unsubstituted."""
+    from finite_difference_tpu.portfolio.csa import (
+        CSA,
+        CloseOutMethod,
+        InitialMarginMethod,
+    )
+
+    rng = np.random.default_rng(21)
+    n_times, n_paths = 14, 16
+    dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+    swap_arr = 0.07 + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+    fx = 18.0 * np.exp(rng.normal(0, 0.01, (n_times, n_paths)).cumsum(axis=0))
+    curves = {
+        "ZAR-SWAP": swap_arr,
+        "RISKY-ZAR": swap_arr + 0.02,
+        "RISKY-USD": swap_arr + 0.035,
+    }
+    scalars = {"USDZAR": fx}
+    csa = CSA(
+        mpor_days=10, vm_threshold=0.0, vm_threshold_post=0.0,
+        im_method=InitialMarginMethod.NONE,
+        close_out_method=CloseOutMethod.FORWARD,
+        risky_curve_name={"ZAR": "RISKY-ZAR", "USD": "RISKY-USD"},
+    )
+    zar_swap = _swap(n_years=1)
+    usd_swap = _swap(n_years=1, fixed_rate=0.07)
+    gbp_swap = _swap(n_years=1, fixed_rate=0.06)  # GBP absent from dict
+    cube = ScenarioCube(
+        dates,
+        {
+            "ZAR-SWAP": ("curve", swap_arr, TENORS),
+            "RISKY-ZAR": ("curve", curves["RISKY-ZAR"], TENORS),
+            "RISKY-USD": ("curve", curves["RISKY-USD"], TENORS),
+            "USDZAR": ("scalar", fx),
+        },
+    )
+    generic = ExposureEngine(cube).compute(
+        NettingSet(
+            "NS",
+            [
+                Trade(zar_swap, "T1", currency="ZAR"),
+                Trade(usd_swap, "T2", currency="USD",
+                      fx_rate_factor="USDZAR"),
+                Trade(gbp_swap, "T3", currency="GBP",
+                      fx_rate_factor="USDZAR"),
+            ],
+            reporting_currency="ZAR",
+            csa=csa,
+        )
+    )
+    dev = DeviceExposureEngine(dates, curves, TENORS, scalars=scalars).compute(
+        [zar_swap, usd_swap, gbp_swap],
+        fx_factors=[None, "USDZAR", "USDZAR"],
+        csa=csa,
+        currencies=["ZAR", "USD", "GBP"],
+    )
+    # the substitution must actually bite, and differently per currency
+    base = DeviceExposureEngine(dates, curves, TENORS, scalars=scalars).compute(
+        [zar_swap, usd_swap, gbp_swap],
+        fx_factors=[None, "USDZAR", "USDZAR"],
+    )
+    assert np.abs(dev.mtm - base.mtm).max() > 1.0
+    np.testing.assert_allclose(dev.mtm, generic.mtm, rtol=1e-10, atol=1e-6)
     np.testing.assert_allclose(
         dev.exposure, generic.exposure, rtol=1e-10, atol=1e-6
     )
