@@ -8,7 +8,12 @@ with <=1e-6 rel err vs the CPU reference"; 8 chips -> 1250 grids/s/chip):
   - f32 greeks rung (price+delta+gamma+vega+theta via one-sided sigma bump),
   - f64 accuracy rung: throughput AND max rel err vs an f64 CPU oracle of
     the SAME trades/grids (must show <=1e-6),
-  - far-barrier European-limit cross-check vs Black-76 closed form.
+  - f64 GREEKS rung — the reference's production workload
+    (price+delta+gamma+vega+theta, run_config_scenarios.py:106-133) with
+    AD vega, vs the CPU oracle's greeks (must show <=1e-6),
+  - far-barrier European-limit cross-check vs Black-76 closed form,
+  - subsystem rungs: batched analytic sweep (trades/s), device-resident
+    exposure (NPVs/s), HW1F scenario->exposure->CVA pipeline (NPVs/s).
 
 Stages run in subprocesses so each gets the right jax config before
 backend init (x64 for the f64 rung; forced-cpu for the oracle — the
@@ -66,11 +71,22 @@ def make_batch(B: int, dtype):
     )
     lay = _spectral_layout(tb, N_SPACE_NODES + 1, dtype)
     assert lay is not None, "bench config must be spectral-eligible"
-    tb = replace(tb, sp_k_end=lay[0], sp_apply=lay[1], sp_rann=lay[2])
+    tb = replace(
+        tb, sp_k_end=lay[0], sp_apply=lay[1], sp_rann=lay[2], sp_dt=lay[3]
+    )
     return tb, spots, sigmas
 
 
-def _timed_kernel(dev, with_greeks: bool, iters: int, solver: str = "scan"):
+def _timed_kernel(
+    dev,
+    with_greeks: bool,
+    iters: int,
+    solver: str = "scan",
+    greeks_mode: str = "bump",
+):
+    """(stacked outputs, elapsed). Output row order with greeks:
+    [price, vega, delta, gamma, theta] (price_batch_kernel's dict order,
+    identical for 'bump' and 'ad' modes); price-only: [price]."""
     import jax
     import jax.numpy as jnp
     from finite_difference_tpu.models.pde.batch import price_batch_kernel
@@ -84,6 +100,7 @@ def _timed_kernel(dev, with_greeks: bool, iters: int, solver: str = "scan"):
                     b,
                     n_nodes=N_SPACE_NODES + 1,
                     with_greeks=with_greeks,
+                    greeks_mode=greeks_mode,
                     solver=solver,
                 ).values()
             )
@@ -93,7 +110,7 @@ def _timed_kernel(dev, with_greeks: bool, iters: int, solver: str = "scan"):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = np.asarray(fn(dev))
-    return out[0], time.perf_counter() - t0
+    return out, time.perf_counter() - t0
 
 
 def stage_f32(out_path: str) -> None:
@@ -114,12 +131,14 @@ def stage_f32(out_path: str) -> None:
     # the CN scan (TPU f32 matmul accumulation noise makes the spectral
     # transforms ~1e-2 on cheap trades — docs/PERF_NOTES.md); the spectral
     # f32 number is reported alongside with its own accuracy field.
-    p_np, elapsed = _timed_kernel(dev, with_greeks=False, iters=iters, solver="scan")
+    out, elapsed = _timed_kernel(dev, with_greeks=False, iters=iters, solver="scan")
+    p_np = out[0]
     grids_per_sec = B * iters / elapsed
 
-    sp_np, sp_elapsed = _timed_kernel(
+    sp_out, sp_elapsed = _timed_kernel(
         dev, with_greeks=False, iters=max(1, iters // 2), solver="spectral"
     )
+    sp_np = sp_out[0]
     spectral_grids_per_sec = B * max(1, iters // 2) / sp_elapsed
 
     _, g_elapsed = _timed_kernel(
@@ -174,7 +193,7 @@ def stage_f32(out_path: str) -> None:
         )
 
 
-def stage_f64(out_path: str, prices_path: str) -> None:
+def stage_f64(out_path: str, prices_path: str, greeks_path: str) -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -191,23 +210,49 @@ def stage_f64(out_path: str, prices_path: str) -> None:
     dev = jax.tree.map(jnp.asarray, tb)
     # production auto-routing sends f64 to the spectral propagator
     # (exact to ~1e-11 vs the scan; 2.4x the scan's f64 throughput)
-    p_np, elapsed = _timed_kernel(
+    out, elapsed = _timed_kernel(
         dev, with_greeks=False, iters=iters, solver="spectral"
     )
-    np.save(prices_path, p_np.astype(np.float64))
+    np.save(prices_path, out[0].astype(np.float64))
+
+    # THE REFERENCE WORKLOAD at the accuracy rung: price+delta+gamma+vega+
+    # theta in f64 (run_config_scenarios.py:106-133 computes exactly this
+    # set per scenario). Vega via forward-mode AD (one augmented solve,
+    # no bump-h truncation); delta/gamma from the grid stencil; theta from
+    # the PDE identity.
+    g_B, g_dev = B, dev
+    try:
+        g_out, g_elapsed = _timed_kernel(
+            g_dev, with_greeks=True, iters=iters, solver="spectral",
+            greeks_mode="ad",
+        )
+    except Exception:
+        # greeks working set is ~2x price-only; fall back past the cliff
+        g_B = B // 2
+        tb2, _, _ = make_batch(g_B, np.float64)
+        g_dev = jax.tree.map(jnp.asarray, tb2)
+        g_out, g_elapsed = _timed_kernel(
+            g_dev, with_greeks=True, iters=iters, solver="spectral",
+            greeks_mode="ad",
+        )
+    np.save(greeks_path, g_out.astype(np.float64))
     with open(out_path, "w") as f:
         json.dump(
             {
                 "grids_per_sec": B * iters / elapsed,
                 "batch": B,
+                "greeks_grids_per_sec": g_B * iters / g_elapsed,
+                "greeks_batch": g_B,
                 "platform": "tpu" if on_tpu else "cpu",
             },
             f,
         )
 
 
-def stage_oracle(prices_path: str) -> None:
-    """f64 CPU oracle of the same trades (forced-cpu jax)."""
+def stage_oracle(prices_path: str, greeks_path: str) -> None:
+    """f64 CPU oracle of the same trades (forced-cpu jax): prices from the
+    CN scan (a DIFFERENT solver than the spectral rung it validates) and
+    the same price+AD-vega+delta/gamma/theta greeks set."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -215,10 +260,203 @@ def stage_oracle(prices_path: str) -> None:
     import jax.numpy as jnp
 
     B = int(os.environ.get("BENCH_ORACLE_B", "256"))
+    g_B = int(os.environ.get("BENCH_ORACLE_GREEKS_B", str(B)))
     tb, _, _ = make_batch(B, np.float64)
     dev = jax.tree.map(jnp.asarray, tb)
-    p_np, _ = _timed_kernel(dev, with_greeks=False, iters=0)
-    np.save(prices_path, p_np.astype(np.float64))
+    out, _ = _timed_kernel(dev, with_greeks=False, iters=0)
+    np.save(prices_path, out[0].astype(np.float64))
+    if g_B != B:
+        tb, _, _ = make_batch(g_B, np.float64)
+        dev = jax.tree.map(jnp.asarray, tb)
+    g_out, _ = _timed_kernel(
+        dev, with_greeks=True, iters=0, greeks_mode="ad"
+    )
+    np.save(greeks_path, g_out.astype(np.float64))
+
+
+def stage_analytic(out_path: str) -> None:
+    """Batched analytic sweep: B=2^20 MIXED barrier table (singles up/down,
+    Ikeda-Kunitomo doubles, vanillas; random in/out) through
+    models/analytic/batch.continuous_barrier_sweep — the hybrid router's
+    continuous branch. Host-materialized output per iteration."""
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from finite_difference_tpu.models.analytic.batch import (
+        continuous_barrier_sweep,
+    )
+
+    B = (1 << 20) if on_tpu else (1 << 12)
+    iters = 10 if on_tpu else 2
+    rng = np.random.default_rng(3)
+    dt_ = np.float32 if on_tpu else np.float64
+    s = rng.uniform(80.0, 120.0, B).astype(dt_)
+    k = rng.uniform(90.0, 110.0, B).astype(dt_)
+    t = rng.uniform(0.05, 2.0, B).astype(dt_)
+    sig = rng.uniform(0.15, 0.45, B).astype(dt_)
+    kind = rng.integers(0, 6, B)  # 0-1 lower, 2-3 upper, 4 double, 5 vanilla
+    lower = np.where(
+        (kind <= 1) | (kind == 4), (s * rng.uniform(0.7, 0.95, B)), np.nan
+    ).astype(dt_)
+    upper = np.where(
+        (kind == 2) | (kind == 3) | (kind == 4),
+        (s * rng.uniform(1.05, 1.4, B)),
+        np.nan,
+    ).astype(dt_)
+    is_call = rng.integers(0, 2, B).astype(bool)
+    is_in = rng.integers(0, 2, B).astype(bool)
+    args = [
+        jnp.asarray(x)
+        for x in (s, k, t, np.full(B, 0.06, dt_), np.full(B, 0.04, dt_), sig)
+    ]
+    kw = dict(
+        lower=jnp.asarray(lower), upper=jnp.asarray(upper),
+        is_call=jnp.asarray(is_call), is_in=jnp.asarray(is_in),
+    )
+    p = np.asarray(continuous_barrier_sweep(*args, **kw))  # compile+warm
+    # floor: worthless options may round to ~-1e-5 at f32 on a ~100 scale
+    assert np.isfinite(p).all() and (p >= -1e-3).all()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p = np.asarray(continuous_barrier_sweep(*args, **kw))
+    elapsed = time.perf_counter() - t0
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "trades_per_sec": B * iters / elapsed,
+                "batch": B,
+                "platform": "tpu" if on_tpu else "cpu",
+            },
+            f,
+        )
+
+
+def stage_exposure(out_path: str) -> None:
+    """Device-resident exposure on the full bench netting set
+    (IRSwap+TRS+ILS incl. legacy mode — examples/exposure_bench.py
+    --device): NPVs/s with only the EE/PFE profile materialized."""
+    import importlib.util
+
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    spec = importlib.util.spec_from_file_location(
+        "exposure_bench", os.path.join(HERE, "examples", "exposure_bench.py")
+    )
+    eb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(eb)
+
+    from finite_difference_tpu.xva.cva import exposure_profile
+    from finite_difference_tpu.xva.device_exposure import DeviceExposureEngine
+
+    n_paths = 50_000 if on_tpu else 2_000
+    cube = eb.build_cube(n_paths)
+    ns = eb.build_netting_set()
+    swaps = [t.instrument for t in ns.trades]
+    pull = lambda name: np.asarray(
+        [cube.get_time_slice(t)[name].values for t in range(cube.n_times)],
+        dtype=np.float32 if on_tpu else np.float64,
+    )
+    arrays = {
+        kk: jnp.asarray(pull(kk))
+        for kk in ("ZAR-SWAP", "INFL.ZA", "EQ.DIV", "CPI.CURVE")
+    }
+    scalars = {kk: jnp.asarray(pull(kk)) for kk in ("CPI.ZA", "EQ.SPOT")}
+    dev = DeviceExposureEngine(list(cube.dates), arrays, eb.TENORS, scalars=scalars)
+    times_days = np.arange(cube.n_times, dtype=float) * 30.0
+    run = lambda: exposure_profile(times_days, dev.mtm(swaps).T)
+    p = run()  # compile + first
+    assert np.isfinite(p.ee).all()
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p = run()
+    per = (time.perf_counter() - t0) / iters
+    evals = n_paths * cube.n_times * len(swaps)
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "npvs_per_sec": evals / per,
+                "n_paths": n_paths,
+                "n_times": cube.n_times,
+                "n_trades": len(swaps),
+                "platform": "tpu" if on_tpu else "cpu",
+            },
+            f,
+        )
+
+
+def stage_hw1f(out_path: str) -> None:
+    """HW1F scenario-generation -> device exposure -> CVA, cube resident in
+    HBM end-to-end (xva/device_exposure.hw1f_cva_pipeline; the
+    examples/device_cva_pipeline.py measurement)."""
+    import datetime as _dt
+
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from finite_difference_tpu.instruments.cashflow import LegType, SwapLeg
+    from finite_difference_tpu.instruments.ir_swap import IRSwap
+    from finite_difference_tpu.models.mc.hw1f import (
+        HW1FCurveSimulator, HW1FParams,
+    )
+    from finite_difference_tpu.xva.device_exposure import hw1f_cva_pipeline
+
+    val = _dt.date(2025, 7, 28)
+    tenors = np.array([0.25, 0.5, 1.0, 2.0, 3.0, 5.0, 7.0, 10.0])
+    sim = HW1FCurveSimulator(
+        HW1FParams.flat(alpha=0.05, sigma=0.01),
+        curve_tenors=tenors,
+        curve_rates=np.full(tenors.size, 0.075),
+    )
+    swaps = [
+        IRSwap(
+            name=f"irs{kk}",
+            effective_date=val,
+            maturity_date=_dt.date(2030, 7, 28),
+            notional=1_000_000,
+            receive_leg=SwapLeg(
+                LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP"
+            ),
+            pay_leg=SwapLeg(
+                LegType.FIXED, frequency=3, fixed_rate=0.07 + 0.002 * kk
+            ),
+            discount_curve_name="ZAR-SWAP",
+        )
+        for kk in range(10)
+    ]
+    scen_days = list(range(30, 1890, 30))
+    n_paths = 50_000 if on_tpu else 2_000
+    run = lambda: hw1f_cva_pipeline(
+        sim, val, scen_days, tenors, n_paths, swaps,
+        hazard_rate=0.02, recovery=0.4, flat_discount_rate=0.075,
+    )
+    out = run()  # compile + first
+    assert np.isfinite(out["cva"])
+    t0 = time.perf_counter()
+    out = run()
+    steady = time.perf_counter() - t0
+    evals = n_paths * (len(scen_days) + 1) * len(swaps)
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "npvs_per_sec": evals / steady,
+                "n_paths": n_paths,
+                "platform": "tpu" if on_tpu else "cpu",
+            },
+            f,
+        )
 
 
 def _run_stage(args, timeout=3600):
@@ -238,31 +476,79 @@ def _run_stage(args, timeout=3600):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--stage", choices=["f32", "f64", "oracle"])
+    parser.add_argument(
+        "--stage",
+        choices=["f32", "f64", "oracle", "analytic", "exposure", "hw1f"],
+    )
     parser.add_argument("--out")
     parser.add_argument("--prices")
+    parser.add_argument("--greeks")
     a = parser.parse_args()
     if a.stage == "f32":
         return stage_f32(a.out)
     if a.stage == "f64":
-        return stage_f64(a.out, a.prices)
+        return stage_f64(a.out, a.prices, a.greeks)
     if a.stage == "oracle":
-        return stage_oracle(a.prices)
+        return stage_oracle(a.prices, a.greeks)
+    if a.stage == "analytic":
+        return stage_analytic(a.out)
+    if a.stage == "exposure":
+        return stage_exposure(a.out)
+    if a.stage == "hw1f":
+        return stage_hw1f(a.out)
 
     with tempfile.TemporaryDirectory() as td:
         f32_json = os.path.join(td, "f32.json")
         f64_json = os.path.join(td, "f64.json")
         f64_npy = os.path.join(td, "f64.npy")
+        f64_g_npy = os.path.join(td, "f64_greeks.npy")
         oracle_npy = os.path.join(td, "oracle.npy")
+        oracle_g_npy = os.path.join(td, "oracle_greeks.npy")
         _run_stage(["--stage", "f32", "--out", f32_json])
-        _run_stage(["--stage", "f64", "--out", f64_json, "--prices", f64_npy])
+        _run_stage([
+            "--stage", "f64", "--out", f64_json,
+            "--prices", f64_npy, "--greeks", f64_g_npy,
+        ])
         f32 = json.load(open(f32_json))
         f64 = json.load(open(f64_json))
         os.environ["BENCH_ORACLE_B"] = str(f64["batch"])
-        _run_stage(["--stage", "oracle", "--prices", oracle_npy])
+        os.environ["BENCH_ORACLE_GREEKS_B"] = str(f64["greeks_batch"])
+        _run_stage([
+            "--stage", "oracle", "--prices", oracle_npy,
+            "--greeks", oracle_g_npy,
+        ])
         p64 = np.load(f64_npy)
         oracle = np.load(oracle_npy)
         f64_rel = float(np.max(np.abs(p64 - oracle) / np.maximum(np.abs(oracle), 1e-8)))
+
+        # greeks rows: [price, vega, delta, gamma, theta]. Price is
+        # per-element relative; derivative components are scale-normalized
+        # (max |diff| / max |oracle| per component) so sign-crossing
+        # thetas/vegas don't divide by ~0.
+        g64 = np.load(f64_g_npy)
+        g_or = np.load(oracle_g_npy)
+        g_rel = float(
+            np.max(np.abs(g64[0] - g_or[0]) / np.maximum(np.abs(g_or[0]), 1e-8))
+        )
+        for row in range(1, g_or.shape[0]):
+            g_rel = max(
+                g_rel,
+                float(
+                    np.max(np.abs(g64[row] - g_or[row]))
+                    / np.max(np.abs(g_or[row]))
+                ),
+            )
+
+        # subsystem rungs (each subprocess-isolated like the CN stages)
+        sub = {}
+        for stage, key, field in (
+            ("analytic", "analytic_sweep_trades_per_sec", "trades_per_sec"),
+            ("exposure", "device_exposure_npvs_per_sec", "npvs_per_sec"),
+            ("hw1f", "hw1f_pipeline_npvs_per_sec", "npvs_per_sec"),
+        ):
+            path = os.path.join(td, stage + ".json")
+            _run_stage(["--stage", stage, "--out", path])
+            sub[key] = round(json.load(open(path))[field], 1)
 
     gps = f32["grids_per_sec"]
     result = {
@@ -280,6 +566,10 @@ def main() -> None:
         "greeks_vs_baseline": round(
             f32["greeks_grids_per_sec"] / BASELINE_PER_CHIP, 4
         ),
+        # diagnostic only: production auto-routing REFUSES this path on
+        # TPU f32 (matmul accumulation noise, models/pde/batch.py) — the
+        # number is reported so the refusal stays measured, not quoted
+        "f32_spectral_routed": False,
         "f32_spectral_grids_per_sec": round(f32["spectral_grids_per_sec"], 2),
         "f32_spectral_max_rel_err_vs_bs": f32[
             "spectral_far_barrier_max_rel_err_vs_bs"
@@ -289,6 +579,16 @@ def main() -> None:
         "f64_vs_baseline": round(f64["grids_per_sec"] / BASELINE_PER_CHIP, 4),
         "f64_max_rel_err_vs_cpu_oracle": f64_rel,
         "f64_meets_1e-6": bool(f64_rel <= 1e-6),
+        # the reference workload (price+delta+gamma+vega+theta,
+        # run_config_scenarios.py:106-133) at the accuracy rung
+        "f64_greeks_grids_per_sec": round(f64["greeks_grids_per_sec"], 2),
+        "f64_greeks_vs_baseline": round(
+            f64["greeks_grids_per_sec"] / BASELINE_PER_CHIP, 4
+        ),
+        "f64_greeks_batch": f64["greeks_batch"],
+        "f64_greeks_max_rel_err_vs_cpu_oracle": g_rel,
+        "f64_greeks_meets_1e-6": bool(g_rel <= 1e-6),
+        **sub,
     }
     print(json.dumps(result))
 

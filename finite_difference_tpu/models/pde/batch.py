@@ -60,6 +60,9 @@ class BarrierTradeBatch:
     sp_k_end: "Optional[np.ndarray]" = None     # (B, n_intervals) int32
     sp_apply: "Optional[np.ndarray]" = None     # (B, n_intervals) bool
     sp_rann: "Optional[np.ndarray]" = None      # (B,) Rannacher step count
+    # per-interval dt for monitor-aligned (piecewise-constant) schedules;
+    # None when dt is globally uniform (the hoisted fast path)
+    sp_dt: "Optional[np.ndarray]" = None        # (B, n_intervals)
 
     @property
     def batch_size(self) -> int:
@@ -99,6 +102,8 @@ def build_trade_batch(
     num_space_nodes: Optional[int] = None,
     dtype=np.float64,
     use_native: bool = True,
+    monitor_aligned: bool = False,
+    steps_per_interval: int = 10,
 ) -> BarrierTradeBatch:
     """Host-side canonicalisation: per-trade grids (production barrier grid
     policy) + per-trade monitor schedules into fixed-shape arrays.
@@ -108,6 +113,12 @@ def build_trade_batch(
     ``use_native``: route grid/schedule construction through the C++ batch
     builder (finite_difference_tpu.native) when it is available; the pure
     numpy loop below is the reference implementation and fallback.
+    ``monitor_aligned``: use :func:`grid.monitor_aligned_schedule` (the
+    reference CN auto-grid's ">= k steps per monitor interval" layout —
+    per-interval constant dt, monitors exactly on step boundaries; also
+    spectral-eligible) instead of :func:`grid.uniform_schedule`;
+    ``n_time_steps`` then acts as the target-dt divisor T/n. Trades must
+    share a monitor-interval structure (same step count) to stack.
     """
     B = len(spots)
     if num_space_nodes is None:
@@ -126,7 +137,7 @@ def build_trade_batch(
         rebate_at_hit if rebate_at_hit is not None else np.zeros(B, dtype=bool)
     )
 
-    if use_native:
+    if use_native and not monitor_aligned:
         from ... import native as _native
 
         if _native.available():
@@ -179,9 +190,20 @@ def build_trade_batch(
         )
         cols["x_min"].append(g.x_min)
         cols["dx"].append(g.dx)
-        sch = uniform_schedule(
-            float(t_expiry[i]), n_time_steps, rannacher_steps, monitor_times[i]
-        )
+        if monitor_aligned:
+            from .grid import monitor_aligned_schedule
+
+            sch = monitor_aligned_schedule(
+                float(t_expiry[i]), monitor_times[i],
+                steps_per_interval=steps_per_interval,
+                target_dt=float(t_expiry[i]) / n_time_steps,
+                rannacher_steps=rannacher_steps,
+            )
+        else:
+            sch = uniform_schedule(
+                float(t_expiry[i]), n_time_steps, rannacher_steps,
+                monitor_times[i],
+            )
         cols["dt"].append(sch.dt)
         cols["theta"].append(sch.theta)
         cols["tau_next"].append(sch.tau_next)
@@ -255,8 +277,9 @@ def _spectral_solve_one(
         rebate=batch.rebate, rebate_at_hit=batch.rebate_at_hit,
         rebate_rate=batch.rebate_rate,
     )
+    dt_arg = batch.sp_dt if batch.sp_dt is not None else batch.dt[0]
     return spectral_solve(
-        grid, dyn, batch.dt[0], batch.sp_k_end, batch.sp_apply, n_nodes,
+        grid, dyn, dt_arg, batch.sp_k_end, batch.sp_apply, n_nodes,
         batch.sp_rann, barrier=bar, mm_dtype=mm_dtype,
     )
 
@@ -318,7 +341,7 @@ def solve_value_surfaces(
         if layout is not None:
             batch = replace(
                 batch, sp_k_end=layout[0], sp_apply=layout[1],
-                sp_rann=layout[2],
+                sp_rann=layout[2], sp_dt=layout[3],
             )
             solver = "spectral"
         elif solver == "spectral":
@@ -702,17 +725,21 @@ def price_american_batch(
 
 
 def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
-    """(sp_k_end, sp_apply, sp_rann) if the batch is spectral-eligible,
-    else None. Eligibility = the uniform_schedule shape the closed form
-    assumes (constant dt, Rannacher-prefix thetas, no dividend jumps) plus
-    a bounded symmetrizer exponent for the working dtype."""
+    """(sp_k_end, sp_apply, sp_rann, sp_dt) if the batch is
+    spectral-eligible, else None. Eligibility = the schedule shape the
+    closed form assumes (dt constant WITHIN each monitor interval —
+    globally uniform OR the monitor-aligned piecewise-constant layouts,
+    e.g. the reference CN auto-grid's ">= k steps per monitor interval",
+    discrete_barrier_fdm_pricer_cn.py:92-118 — Rannacher-prefix thetas,
+    no dividend jumps) plus a bounded symmetrizer exponent for the
+    working dtype. ``sp_dt`` is None for globally-uniform dt (the hoisted
+    fast path) and (B, n_intervals) otherwise."""
     from .spectral import spectral_intervals, symmetrizer_exponent
 
     if np.asarray(batch.div_amount).any():
         return None
     dt = np.asarray(batch.dt, dtype=float)
-    if not np.all(dt == dt[:, :1]):
-        return None
+    uniform = bool(np.all(dt == dt[:, :1]))
     th = np.asarray(batch.theta, dtype=float)
     is_one = th == 1.0
     if not np.all(is_one | (th == 0.5)):
@@ -741,13 +768,42 @@ def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
         return None
     from .spectral import channel_conditioning
 
-    cond = channel_conditioning(
-        batch.sigma, batch.b, batch.q, batch.r, batch.dx, dt[:, 0], n_nodes
-    )
-    if np.any(cond < 1e-9):
-        return None
     k_end, apply_proj = spectral_intervals(np.asarray(batch.monitor))
-    return k_end, apply_proj, R.astype(np.int32)
+
+    sp_dt = None
+    if not uniform:
+        # dt must be constant within every monitor interval; collect the
+        # per-interval values (padded intervals repeat the last dt)
+        B, n_iv = k_end.shape
+        sp_dt = np.empty((B, n_iv), dtype=float)
+        for bb in range(B):
+            k0 = 0
+            for j in range(n_iv):
+                ke = int(k_end[bb, j])
+                seg = dt[bb, k0:ke]
+                if seg.size == 0:
+                    sp_dt[bb, j] = sp_dt[bb, j - 1] if j else dt[bb, 0]
+                else:
+                    if not np.all(seg == seg[0]):
+                        return None
+                    sp_dt[bb, j] = seg[0]
+                k0 = ke
+        if np.allclose(sp_dt, dt[:, :1], rtol=1e-12, atol=0.0):
+            # equal monitor intervals land within fp noise of uniform:
+            # take the hoisted path (dt[:,0] everywhere is identical to
+            # <= 1e-12 relative, far below the solver's own error)
+            sp_dt = None
+            uniform = True
+
+    cond_dts = dt[:, :1] if uniform else sp_dt
+    for col in range(cond_dts.shape[1]):
+        cond = channel_conditioning(
+            batch.sigma, batch.b, batch.q, batch.r, batch.dx,
+            cond_dts[:, col], n_nodes,
+        )
+        if np.any(cond < 1e-9):
+            return None
+    return k_end, apply_proj, R.astype(np.int32), sp_dt
 
 
 def price_barrier_batch(
@@ -806,7 +862,7 @@ def price_barrier_batch(
         else:
             batch = replace(
                 batch, sp_k_end=layout[0], sp_apply=layout[1],
-                sp_rann=layout[2],
+                sp_rann=layout[2], sp_dt=layout[3],
             )
             solver = "spectral"
     return _run_batch_driver(

@@ -163,6 +163,63 @@ def uniform_schedule(
     )
 
 
+def monitor_aligned_schedule(
+    t_expiry: float,
+    monitor_times: Sequence[float],
+    steps_per_interval: int = 10,
+    target_dt: "Optional[float]" = None,
+    rannacher_steps: int = 2,
+) -> ScheduleArrays:
+    """Monitor-aligned layout (the reference CN auto-grid's ">= 10 steps
+    per monitor interval" semantics, discrete_barrier_fdm_pricer_cn.py:
+    92-118): interval boundaries at every monitor date and at expiry,
+    each interval with its OWN constant dt so monitors land exactly on
+    step boundaries (no floor-snap aliasing like :func:`uniform_schedule`).
+    ``steps_per_interval`` is the per-interval minimum; ``target_dt``
+    additionally bounds dt from above. dt is piecewise-constant on the
+    monitor intervals, which the spectral propagator accepts
+    (models.pde.spectral, per-interval-dt branch).
+    """
+    T = float(t_expiry)
+    taus = sorted({T - float(t) for t in monitor_times if 0.0 < t <= T})
+    at_expiry = bool(taus) and taus[0] <= 1e-12 * max(T, 1.0)
+    bounds = [0.0]
+    for t in taus:
+        if t > bounds[-1] + 1e-12 * max(T, 1.0):
+            bounds.append(t)
+    if T > bounds[-1] + 1e-12 * max(T, 1.0):
+        bounds.append(T)
+    else:
+        bounds[-1] = T
+
+    dt_l: List[float] = []
+    mon_l: List[bool] = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        seg = hi - lo
+        n_seg = max(int(steps_per_interval), 1)
+        if target_dt is not None:
+            n_seg = max(n_seg, int(math.ceil(seg / float(target_dt) - 1e-9)))
+        dt_l.extend([seg / n_seg] * n_seg)
+        mon_l.extend([False] * (n_seg - 1))
+        # every interior boundary IS a monitor tau by construction; the
+        # final boundary (tau = T) never is (t_mon = 0 is excluded)
+        mon_l.append(hi < T - 1e-12 * max(T, 1.0))
+    if at_expiry:
+        # monitor AT expiry: mirror uniform_schedule's k >= 1 clamp
+        # (projection after the first step)
+        mon_l[0] = True
+    n = len(dt_l)
+    dt = np.asarray(dt_l)
+    return ScheduleArrays(
+        dt=dt,
+        theta=np.where(np.arange(n) < rannacher_steps, 1.0, 0.5),
+        tau_next=dt.cumsum(),
+        monitor=np.asarray(mon_l, dtype=bool),
+        div_amount=np.zeros(n),
+        reset_lambda=np.zeros(n, dtype=bool),
+    )
+
+
 def segmented_schedule(
     t_expiry: float,
     base_steps: int,

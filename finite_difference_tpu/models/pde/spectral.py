@@ -281,8 +281,6 @@ def spectral_solve(
     # forcing projections: S row values at interior positions 1 and M
     s_k1 = dst[:, 0].astype(dtype)
     s_kM = dst[:, M - 1].astype(dtype)
-    P = dt * a_coef * jnp.exp(-ln_g) * s_k1        # lower-edge channel
-    Q = dt * c_coef * jnp.exp(-(M) * ln_g) * s_kM  # upper-edge channel
 
     # boundary asymptotics as A e^{-r tau} + B e^{gamma tau} per edge
     gam = dyn.b - dyn.q - dyn.r
@@ -309,14 +307,15 @@ def spectral_solve(
     # boundary sums, and the transformed amplitudes shrink to the residual's
     # (time-value) scale, which is what keeps the f32 path accurate.
     # u_i = kp zeta_+^{i-(n-1)} + km zeta_-^i (both factors <= O(1)).
-    def channel_profile(alpha_rate, lo_amp, hi_amp, theta):
+    def channel_profile(alpha_rate, lo_amp, hi_amp, theta, dt_=None):
         # root pair of c z^2 + (b - omega) z + a = 0 in stable residual
         # form: with s = r + omega, disc = 4 alpha s + s^2 + 4 beta^2
         # (NOT bw^2 - 4ac, which cancels at the 1e5^2 scale in f32), and
         # zp - 1 = (s + (sqrt(disc) - 2 beta))/(2c) with the sqrt
         # difference rationalized when beta > 0.
-        q1 = jnp.expm1(alpha_rate * dt)
-        omega = q1 / (dt * (theta * jnp.exp(alpha_rate * dt) + 1.0 - theta))
+        dt_ = dt if dt_ is None else dt_
+        q1 = jnp.expm1(alpha_rate * dt_)
+        omega = q1 / (dt_ * (theta * jnp.exp(alpha_rate * dt_) + 1.0 - theta))
         s_ch = dyn.r + omega
         disc = 4.0 * alpha * s_ch + s_ch * s_ch + 4.0 * beta_adv * beta_adv
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -340,11 +339,6 @@ def spectral_solve(
 
     channels = ((-dyn.r, A_lo, A_hi), (gam, B_lo, B_hi))
     alphas = tuple(a for a, _, _ in channels)
-    u_cn = [channel_profile(a, lo, hi, 0.5) for a, lo, hi in channels]
-    u_imp = [channel_profile(a, lo, hi, 1.0) for a, lo, hi in channels]
-    # transformed CN-vs-implicit profile differences (small operands, so
-    # the one-off DSTs here are benign)
-    ud_bar = [_mm_local((uc - ui) / d_vec, dst) for uc, ui in zip(u_cn, u_imp)]
 
     def E_channels(profiles, tau):
         """Real-space interior channel sum at time-to-maturity tau."""
@@ -352,6 +346,113 @@ def spectral_solve(
         for a_r, u in zip(alphas, profiles):
             tot = tot + jnp.exp(a_r * tau) * u
         return tot
+
+    R = rannacher_steps  # python int or traced per-trade scalar
+
+    if jnp.ndim(dt) > 0:
+        # ---- per-interval dt (monitor-aligned schedule layouts) --------
+        # The closed form only needs rho_k, the channel profiles, and the
+        # forcing projections PER INTERVAL, so dt may change across
+        # monitor intervals (the reference CN auto-grid's ">= k steps per
+        # monitor interval" layouts, discrete_barrier_fdm_pricer_cn.py:
+        # 92-118). The residual basis (channel profiles) changes with dt
+        # at every interval boundary, so this branch carries the
+        # REAL-SPACE interior vector and re-projects per interval — two
+        # DSTs per interval, the same count the uniform path already pays
+        # at monitors; the rho/channel transcendentals just lose the
+        # interval-invariant hoist.
+        # ``dt`` aligns elementwise with ``k_end``/``apply_proj``.
+        def interval_nu(carry, iv):
+            v_int_c, k_start, tau_s, v_lo_act, v_hi_act = carry
+            ke, do_proj, dt_iv = iv
+            m = (ke - k_start).astype(jnp.int32)
+            u_cn_iv = [
+                channel_profile(a, lo, hi, 0.5, dt_iv)
+                for a, lo, hi in channels
+            ]
+            u_imp_iv = [
+                channel_profile(a, lo, hi, 1.0, dt_iv)
+                for a, lo, hi in channels
+            ]
+            ud_bar_iv = [
+                _mm_local((uc - ui) / d_vec, dst)
+                for uc, ui in zip(u_cn_iv, u_imp_iv)
+            ]
+            P_iv = dt_iv * a_coef * jnp.exp(-ln_g) * s_k1
+            Q_iv = dt_iv * c_coef * jnp.exp(-(M) * ln_g) * s_kM
+            z = dt_iv * lam
+            rho_c = {
+                th: (*_log_rho(z, th), 1.0 - th * z) for th in (1.0, 0.5)
+            }
+
+            def stage(w, m_steps, theta, d_lo, d_hi):
+                log_mag, neg, denom = rho_c[theta]
+                w_new = _pow_from_log(log_mag, neg, m_steps) * w
+                corr = (1.0 - theta) * (P_iv * d_lo + Q_iv * d_hi) / denom
+                return w_new + _pow_from_log(
+                    log_mag, neg, jnp.maximum(m_steps - 1, 0)
+                ) * jnp.where(m_steps > 0.5, corr, jnp.zeros_like(corr))
+
+            def switch(w, tau, sign):
+                for a_r, ud in zip(alphas, ud_bar_iv):
+                    w = w + sign * jnp.exp(a_r * tau) * ud
+                return w
+
+            v_lo_asym, v_hi_asym = _boundary_values(
+                tau_s, s_min, s_max, dyn, euro_put_lower_boundary
+            )
+            d_lo = v_lo_act - v_lo_asym
+            d_hi = v_hi_act - v_hi_asym
+            E_s = E_channels(u_cn_iv, tau_s)
+            w = _mm_local((v_int_c - E_s) / d_vec, dst)
+            n_imp = jnp.clip(R - k_start, 0, m).astype(jnp.int32)
+            n_cn = m - n_imp
+            tau_mid = tau_s + n_imp.astype(dtype) * dt_iv
+            w1 = stage(switch(w, tau_s, +1.0), n_imp, 1.0, d_lo, d_hi)
+            # the correction belongs to the stage that executes step j=0
+            d_lo2 = jnp.where(n_imp > 0, 0.0, d_lo)
+            d_hi2 = jnp.where(n_imp > 0, 0.0, d_hi)
+            w2 = stage(switch(w1, tau_mid, -1.0), n_cn, 0.5, d_lo2, d_hi2)
+
+            tau_e = tau_s + m.astype(dtype) * dt_iv
+            v_lo_e, v_hi_e = _boundary_values(
+                tau_e, s_min, s_max, dyn, euro_put_lower_boundary
+            )
+            E_e = E_channels(u_cn_iv, tau_e)
+            v_int = _mm_local(w2, dst) * d_vec + E_e
+            v_full = jnp.concatenate([v_lo_e[None], v_int, v_hi_e[None]])
+            if barrier is not None:
+                rebate_pv = jnp.where(
+                    barrier.rebate_at_hit,
+                    barrier.rebate,
+                    barrier.rebate * jnp.exp(-barrier.rebate_rate * tau_e),
+                )
+                v_proj = jnp.where(do_proj & out_mask, rebate_pv, v_full)
+            else:
+                v_proj = v_full
+            return (
+                v_proj[1:-1], ke.astype(jnp.int32), tau_e,
+                v_proj[0], v_proj[-1],
+            ), None
+
+        init_nu = (
+            payoff[1:-1], jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
+            payoff[0], payoff[-1],
+        )
+        (v_fin, _kf, _tf, v_lo_fin, v_hi_fin), _ = lax.scan(
+            interval_nu, init_nu,
+            (k_end.astype(jnp.int32), apply_proj, dt.astype(dtype)),
+        )
+        return jnp.concatenate([v_lo_fin[None], v_fin, v_hi_fin[None]]), s
+
+    # ---- uniform dt: interval-invariant quantities hoisted -----------------
+    P = dt * a_coef * jnp.exp(-ln_g) * s_k1        # lower-edge channel
+    Q = dt * c_coef * jnp.exp(-(M) * ln_g) * s_kM  # upper-edge channel
+    u_cn = [channel_profile(a, lo, hi, 0.5) for a, lo, hi in channels]
+    u_imp = [channel_profile(a, lo, hi, 1.0) for a, lo, hi in channels]
+    # transformed CN-vs-implicit profile differences (small operands, so
+    # the one-off DSTs here are benign)
+    ud_bar = [_mm_local((uc - ui) / d_vec, dst) for uc, ui in zip(u_cn, u_imp)]
 
     # The CARRIED state is the sine transform of the RESIDUAL v - E (E =
     # CN-profile channel sum). The channels are evaluated in closed form in
@@ -392,8 +493,6 @@ def spectral_solve(
         for a_r, ud in zip(alphas, ud_bar):
             w = w + sign * jnp.exp(a_r * tau) * ud
         return w
-
-    R = rannacher_steps  # python int or traced per-trade scalar
 
     def interval(carry, iv):
         w, k_start, v_lo_act, v_hi_act = carry  # w: residual wrt CN profiles

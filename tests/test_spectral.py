@@ -224,6 +224,126 @@ class TestBatchDriverRouting:
         assert np.isfinite(out["price"]).all()
 
 
+class TestMonitorAlignedSchedules:
+    """Per-interval dt (the reference CN auto-grid's '>= k steps per
+    monitor interval' layouts) riding the spectral rung instead of
+    falling back to the scan."""
+
+    MONS = (0.13, 0.29, 0.55, 0.62, 0.91)  # irregular -> non-uniform dt
+
+    def _batch(self, B=6, dtype=np.float64, lower=None, rebate=None,
+               rebate_at_hit=None, mons=MONS, spi=7):
+        from finite_difference_tpu.models.pde.batch import build_trade_batch
+
+        rng = np.random.default_rng(5)
+        T = 31.0 / 365.0
+        return build_trade_batch(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[T] * B,
+            r=[0.0705] * B,
+            b=[0.0705] * B,
+            is_call=[True] * B,
+            n_time_steps=48,
+            monitor_times=[[T * f for f in mons]] * B,
+            upper=[260.0] * B,
+            lower=lower,
+            rebate=rebate,
+            rebate_at_hit=rebate_at_hit,
+            num_space_nodes=127,
+            dtype=dtype,
+            monitor_aligned=True,
+            steps_per_interval=spi,
+        )
+
+    def test_schedule_is_monitor_aligned(self):
+        from finite_difference_tpu.models.pde.grid import (
+            monitor_aligned_schedule,
+        )
+
+        T = 31.0 / 365.0
+        sch = monitor_aligned_schedule(
+            T, [T * f for f in self.MONS], steps_per_interval=7
+        )
+        # every monitor tau sits exactly on a step boundary, flagged
+        taus = np.concatenate([[0.0], sch.tau_next])
+        for f in self.MONS:
+            tau_mon = T - T * f
+            j = int(np.argmin(np.abs(taus - tau_mon)))
+            assert abs(taus[j] - tau_mon) < 1e-12
+            assert sch.monitor[j - 1]
+        assert abs(sch.tau_next[-1] - T) < 1e-12
+        # dt is genuinely non-uniform across intervals
+        assert not np.all(sch.dt == sch.dt[0])
+
+    def test_layout_accepts_piecewise_constant_dt(self):
+        from finite_difference_tpu.models.pde.batch import _spectral_layout
+
+        tb = self._batch()
+        dt = np.asarray(tb.dt)
+        assert not np.all(dt == dt[:, :1])  # non-uniform overall
+        lay = _spectral_layout(tb, 128)
+        assert lay is not None and lay[3] is not None
+        # per-interval dts collected correctly: each equals the segment's
+        k_end, _, _, sp_dt = lay
+        k0 = 0
+        for j in range(k_end.shape[1]):
+            ke = int(k_end[0, j])
+            if ke > k0:
+                assert np.all(dt[0, k0:ke] == sp_dt[0, j])
+            k0 = ke
+
+    def test_truly_nonuniform_steps_still_rejected(self):
+        from finite_difference_tpu.models.pde.batch import _spectral_layout
+
+        tb = self._batch()
+        tb.dt = tb.dt.copy()
+        tb.dt[:, 1] *= 1.5  # break WITHIN-interval constancy
+        assert _spectral_layout(tb, 128) is None
+
+    def test_auto_routes_spectral_and_matches_scan(self):
+        from finite_difference_tpu.models.pde.batch import (
+            _spectral_layout,
+            price_barrier_batch,
+        )
+
+        tb = self._batch()
+        assert _spectral_layout(tb, 128) is not None
+        out_auto = price_barrier_batch(tb, n_nodes=128, solver="auto")
+        out_scan = price_barrier_batch(tb, n_nodes=128, solver="scan")
+        for key in ("price", "delta", "gamma", "vega", "theta"):
+            np.testing.assert_allclose(
+                out_auto[key], out_scan[key], rtol=1e-8, atol=1e-10,
+                err_msg=key,
+            )
+
+    def test_double_barrier_rebates_match_scan(self):
+        from finite_difference_tpu.models.pde.batch import price_barrier_batch
+
+        B = 6
+        tb = self._batch(
+            B=B, lower=[150.0] * B, rebate=[1.5] * B,
+            rebate_at_hit=[True, False] * (B // 2),
+        )
+        out_sp = price_barrier_batch(tb, n_nodes=128, solver="spectral")
+        out_scan = price_barrier_batch(tb, n_nodes=128, solver="scan")
+        np.testing.assert_allclose(
+            out_sp["price"], out_scan["price"], rtol=1e-8, atol=1e-10
+        )
+
+    def test_equal_intervals_stay_on_hoisted_uniform_path(self):
+        from finite_difference_tpu.models.pde.batch import _spectral_layout
+
+        # equally-spaced monitors -> every interval identical -> globally
+        # uniform dt -> the hoisted fast path (sp_dt None)
+        tb = self._batch(mons=(1 / 6, 2 / 6, 3 / 6, 4 / 6, 5 / 6))
+        dt = np.asarray(tb.dt)
+        assert np.allclose(dt, dt[:, :1])
+        lay = _spectral_layout(tb, 128)
+        assert lay is not None and lay[3] is None
+
+
 class TestX64DstRescue:
     def test_f32_with_f64_dsts_reaches_scan_floor(self):
         """solver='spectral_x64dst' (f32 state, f64 DST contractions)
