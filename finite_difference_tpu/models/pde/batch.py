@@ -290,6 +290,30 @@ def _spectral_solve_one_x64dst(batch, sigma, n_nodes: int):
     return _spectral_solve_one(batch, sigma, n_nodes, mm_dtype=jnp.float64)
 
 
+def _spectral_solve_one_mixed(batch, sigma, n_nodes: int):
+    """Mixed-precision spectral solve: f64 transcendentals + x64 DSTs +
+    f32 state/elementwise (spectral.spectral_solve_mixed — the next rung
+    of the precision ladder after spectral_x64dst; requires x64, uniform
+    dt)."""
+    from .spectral import spectral_solve_mixed
+
+    grid = CNGrid(batch.x_min, batch.dx)
+    dyn = CNDynamics(
+        strike=batch.strike, is_call=batch.is_call, sigma=sigma,
+        r=batch.r, b=batch.b, q=batch.q,
+    )
+    bar = BarrierSpec(
+        lower=batch.lower, upper=batch.upper,
+        has_lower=batch.has_lower, has_upper=batch.has_upper,
+        rebate=batch.rebate, rebate_at_hit=batch.rebate_at_hit,
+        rebate_rate=batch.rebate_rate,
+    )
+    return spectral_solve_mixed(
+        grid, dyn, batch.dt[0], batch.sp_k_end, batch.sp_apply, n_nodes,
+        batch.sp_rann, barrier=bar,
+    )
+
+
 def _effective_is64(batch: BarrierTradeBatch, dtype) -> bool:
     """True iff the solve will actually run in 64-bit ON DEVICE.
 
@@ -387,6 +411,7 @@ def price_batch_kernel(
     solve_one = {
         "spectral": _spectral_solve_one,
         "spectral_x64dst": _spectral_solve_one_x64dst,
+        "spectral_mixed": _spectral_solve_one_mixed,
     }.get(solver, _solve_one)
 
     def solve(sig_field):
@@ -849,22 +874,30 @@ def price_barrier_batch(
         # runs in f32 and must take the f32 route.
         if jax.default_backend() != "cpu" and not _effective_is64(batch, dtype):
             solver = "scan"
-    if solver in ("auto", "spectral"):
+    if solver in ("auto", "spectral", "spectral_x64dst", "spectral_mixed"):
         layout = _spectral_layout(batch, n_nodes, dtype)
         if layout is None:
-            if solver == "spectral":
+            if solver != "auto":
                 raise ValueError(
-                    "batch is not spectral-eligible (needs uniform dt, "
-                    "Rannacher-prefix thetas, no dividend jumps, bounded "
-                    "symmetrizer exponent); use solver='auto' or 'scan'"
+                    "batch is not spectral-eligible (needs per-interval-"
+                    "constant dt, Rannacher-prefix thetas, no dividend "
+                    "jumps, bounded symmetrizer exponent); use "
+                    "solver='auto' or 'scan'"
                 )
             solver = "scan"
         else:
+            if solver == "spectral_mixed" and layout[3] is not None:
+                raise ValueError(
+                    "spectral_mixed supports uniform dt only (the hoisted "
+                    "layout); use solver='auto'/'spectral' for "
+                    "monitor-aligned schedules"
+                )
             batch = replace(
                 batch, sp_k_end=layout[0], sp_apply=layout[1],
                 sp_rann=layout[2], sp_dt=layout[3],
             )
-            solver = "spectral"
+            if solver == "auto":
+                solver = "spectral"
     return _run_batch_driver(
         price_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
         mesh, axis_name, max_chunk, dtype, greeks_mode, solver,

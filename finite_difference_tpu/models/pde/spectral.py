@@ -560,3 +560,238 @@ def dst_matrix(n_nodes: int, dtype) -> jnp.ndarray:
         np.pi * np.outer(idx, idx) / (M + 1)
     )
     return jnp.asarray(S, dtype)
+
+
+def spectral_solve_mixed(
+    grid: CNGrid,
+    dyn: CNDynamics,
+    dt: jnp.ndarray,
+    k_end: jnp.ndarray,
+    apply_proj: jnp.ndarray,
+    n_nodes: int,
+    rannacher_steps: int,
+    barrier: Optional[BarrierSpec] = None,
+    euro_put_lower_boundary: bool = True,
+    dst: Optional[jnp.ndarray] = None,
+):
+    """Mixed-precision spectral march: f64 transcendentals, f32 state.
+
+    The TPU f32-accuracy ladder (docs/PERF_NOTES.md "Precision ladder"):
+    plain f32 spectral fails on the v5e because f32 MATMUL accumulation is
+    ~30x noisier than CPU f32; ``spectral_x64dst`` fixed the matmuls
+    (emulated-f64 DST contractions) but still measured 1.3e-2 on chip
+    because the v5e's f32 TRANSCENDENTALS (exp ~4.4e-6 rel) get amplified
+    by the symmetrizer range. This variant closes that hole: every
+    exp/log/expm1-family evaluation — the coefficient prep chain, the
+    mode-power exponentials, the channel/boundary exponentials — runs in
+    emulated f64 with results CAST to f32, while the carried state, the
+    elementwise stage arithmetic, and the projection stay f32 and the DST
+    matmuls stay emulated-f64 (as x64dst). The remaining error floor is
+    f32 rounding of exact quantities (~6e-8 per op) plus the E-channel
+    subtraction at the value scale — ~1e-6 by construction.
+
+    Requires x64 enabled; uniform dt only (the hoisted layout). Mirrors
+    :func:`spectral_solve`'s uniform path structurally.
+    """
+    f32 = jnp.float32
+    f64 = jnp.float64
+    hx = lambda v: jnp.asarray(v).astype(f64)
+    sc = lambda v: v.astype(f32)
+
+    M = n_nodes - 2
+    i64 = lax.iota(f64, n_nodes)
+    x64 = hx(grid.x_min) + i64 * hx(grid.dx)
+    s64 = jnp.exp(x64)
+    s = sc(s64)
+    s_min, s_max = s64[0], s64[-1]
+
+    if dst is None:
+        dst = dst_matrix(n_nodes, f64)
+
+    def mm64(a, b):
+        return _mm(a.astype(f64), b)
+
+    payoff = sc(_payoff(s64, hx(dyn.strike), dyn.is_call))
+
+    # ---- PREP: the whole coefficient chain in f64 --------------------------
+    dt64 = hx(dt)
+    sig = hx(dyn.sigma)
+    sig2 = sig * sig
+    r64, b64, q64 = hx(dyn.r), hx(dyn.b), hx(dyn.q)
+    dx64 = hx(grid.dx)
+    mu_x = (b64 - q64) - 0.5 * sig2
+    alpha = 0.5 * sig2 / (dx64 * dx64)
+    beta_adv = mu_x / (2.0 * dx64)
+    a_coef = alpha - beta_adv
+    c_coef = alpha + beta_adv
+
+    ln_g = 0.5 * jnp.log1p(-2.0 * beta_adv / c_coef)
+    ii = lax.iota(f64, M) + 1.0
+    d_vec = jnp.exp(ii * ln_g)          # f64; cast at use sites
+    d_vec_s = sc(d_vec)
+    off = jnp.sqrt(a_coef * c_coef)
+    k = lax.iota(f64, M) + 1.0
+    half_t = 0.5 * jnp.pi * k / (M + 1.0)
+    lam = -(
+        r64
+        + 2.0 * beta_adv * beta_adv / (alpha + off)
+        + 4.0 * off * jnp.sin(half_t) ** 2
+    )
+
+    s_k1 = dst[:, 0]
+    s_kM = dst[:, M - 1]
+    P = sc(dt64 * a_coef * jnp.exp(-ln_g) * s_k1)
+    Q = sc(dt64 * c_coef * jnp.exp(-(M) * ln_g) * s_kM)
+
+    gam = b64 - q64 - r64
+    zero = jnp.zeros((), f64)
+    strike64 = hx(dyn.strike)
+    A_lo = jnp.where(dyn.is_call, zero, strike64)
+    B_lo = jnp.where(
+        dyn.is_call, zero, -s_min if euro_put_lower_boundary else zero
+    )
+    A_hi = jnp.where(dyn.is_call, -strike64, zero)
+    B_hi = jnp.where(dyn.is_call, s_max, zero)
+
+    if barrier is not None:
+        out_mask = (barrier.has_lower & (s <= sc(hx(barrier.lower)))) | (
+            barrier.has_upper & (s >= sc(hx(barrier.upper)))
+        )
+
+    def channel_profile(alpha_rate, lo_amp, hi_amp, theta):
+        q1 = jnp.expm1(alpha_rate * dt64)
+        omega = q1 / (dt64 * (theta * jnp.exp(alpha_rate * dt64) + 1.0 - theta))
+        s_ch = r64 + omega
+        disc = 4.0 * alpha * s_ch + s_ch * s_ch + 4.0 * beta_adv * beta_adv
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq_m2b = jnp.where(
+            beta_adv > 0.0,
+            (4.0 * alpha * s_ch + s_ch * s_ch)
+            / jnp.maximum(sq + 2.0 * beta_adv, 1e-300),
+            sq - 2.0 * beta_adv,
+        )
+        zp_m1 = (s_ch + sq_m2b) / (2.0 * c_coef)
+        ln_p = jnp.log1p(zp_m1)
+        ln_m = 2.0 * ln_g - ln_p
+        nn = jnp.asarray(n_nodes - 1, f64)
+        ep = jnp.exp(-nn * ln_p)
+        em = jnp.exp(nn * ln_m)
+        det = ep * em - 1.0
+        kp = (lo_amp * em - hi_amp) / det
+        km = (hi_amp * ep - lo_amp) / det
+        return kp * jnp.exp((ii - nn) * ln_p) + km * jnp.exp(ii * ln_m)
+
+    channels = ((-r64, A_lo, A_hi), (gam, B_lo, B_hi))
+    alphas = tuple(a for a, _, _ in channels)
+    u_cn = [channel_profile(a, lo, hi, 0.5) for a, lo, hi in channels]
+    u_imp = [channel_profile(a, lo, hi, 1.0) for a, lo, hi in channels]
+    u_cn_s = [sc(u) for u in u_cn]
+    ud_bar_s = [
+        sc(mm64((uc - ui) / d_vec, dst)) for uc, ui in zip(u_cn, u_imp)
+    ]
+
+    def exp_rate(a_r, tau):
+        """e^{a_r tau} evaluated in f64, returned f32 (the chip's f32 exp
+        is the measured 4.4e-6 hole this variant closes)."""
+        return sc(jnp.exp(a_r * hx(tau)))
+
+    def E_channels_s(tau):
+        tot = jnp.zeros((M,), f32)
+        for a_r, u_s in zip(alphas, u_cn_s):
+            tot = tot + exp_rate(a_r, tau) * u_s
+        return tot
+
+    def boundary_s(tau):
+        """(v_lo, v_hi) asymptotics at tau — the channel amplitudes give
+        exactly _boundary_values' A e^{-r tau} + B e^{gamma tau} form."""
+        e_r = exp_rate(-r64, tau)
+        e_g = exp_rate(gam, tau)
+        v_lo = sc(A_lo) * e_r + sc(B_lo) * e_g
+        v_hi = sc(A_hi) * e_r + sc(B_hi) * e_g
+        return v_lo, v_hi
+
+    # state transform: w = DST((v - E)/d) with the x64 matmul
+    w0 = sc(mm64((payoff[1:-1] - E_channels_s(jnp.zeros((), f32))) / d_vec_s, dst))
+    v_lo0, v_hi0 = payoff[0], payoff[-1]
+
+    # interval-invariant per-theta mode logs, f64 (exponent accuracy);
+    # the per-stage exp runs in f64 and casts down
+    z64 = dt64 * lam
+    rho_cache = {
+        th: (*_log_rho(z64, th), sc(1.0 - th * z64)) for th in (1.0, 0.5)
+    }
+
+    def pow_s(log_mag64, neg, m):
+        mf = m.astype(f64)
+        mag = sc(jnp.exp(mf * log_mag64))
+        odd = jnp.mod(mf, 2.0) > 0.5
+        out = jnp.where(neg & odd, -mag, mag)
+        return jnp.where(m > 0.5, out, jnp.ones_like(out))
+
+    def stage_h(w, m, theta, d_lo, d_hi):
+        log_mag, neg, denom_s = rho_cache[theta]
+        w_new = pow_s(log_mag, neg, m) * w
+        corr = jnp.float32(1.0 - theta) * (P * d_lo + Q * d_hi) / denom_s
+        w_new = w_new + pow_s(log_mag, neg, jnp.maximum(m - 1, 0)) * jnp.where(
+            m > 0.5, corr, jnp.zeros_like(corr)
+        )
+        return w_new
+
+    def switch_profiles(w, tau, sign):
+        for a_r, ud_s in zip(alphas, ud_bar_s):
+            w = w + jnp.float32(sign) * exp_rate(a_r, tau) * ud_s
+        return w
+
+    R = rannacher_steps
+
+    def interval(carry, iv):
+        w, k_start, v_lo_act, v_hi_act = carry
+        ke, do_proj = iv
+        m = (ke - k_start).astype(jnp.int32)
+        tau_s = sc(k_start.astype(f64) * dt64)
+        v_lo_asym, v_hi_asym = boundary_s(tau_s)
+        d_lo = v_lo_act - v_lo_asym
+        d_hi = v_hi_act - v_hi_asym
+        n_imp = jnp.clip(R - k_start, 0, m).astype(jnp.int32)
+        n_cn = m - n_imp
+        tau_mid = sc((k_start + n_imp).astype(f64) * dt64)
+        w1 = stage_h(switch_profiles(w, tau_s, +1.0), n_imp, 1.0, d_lo, d_hi)
+        d_lo2 = jnp.where(n_imp > 0, jnp.float32(0.0), d_lo)
+        d_hi2 = jnp.where(n_imp > 0, jnp.float32(0.0), d_hi)
+        w2 = stage_h(
+            switch_profiles(w1, tau_mid, -1.0), n_cn, 0.5, d_lo2, d_hi2
+        )
+
+        tau_e = sc(ke.astype(f64) * dt64)
+        v_lo_e, v_hi_e = boundary_s(tau_e)
+        E_e = E_channels_s(tau_e)
+        v_int = sc(mm64(w2, dst)) * d_vec_s + E_e
+        v_full = jnp.concatenate([v_lo_e[None], v_int, v_hi_e[None]])
+        if barrier is not None:
+            rebate_pv = jnp.where(
+                barrier.rebate_at_hit,
+                sc(hx(barrier.rebate)),
+                sc(hx(barrier.rebate)) * exp_rate(-hx(barrier.rebate_rate), tau_e),
+            )
+            v_proj = jnp.where(do_proj & out_mask, rebate_pv, v_full)
+        else:
+            v_proj = v_full
+        w_proj = sc(mm64((v_proj[1:-1] - E_e) / d_vec_s, dst))
+        w_next = jnp.where(do_proj, w_proj, w2)
+        v_lo_next = jnp.where(do_proj, v_proj[0], v_lo_e)
+        v_hi_next = jnp.where(do_proj, v_proj[-1], v_hi_e)
+        return (w_next, ke.astype(jnp.int32), v_lo_next, v_hi_next), None
+
+    init = (w0, jnp.zeros((), jnp.int32), v_lo0, v_hi0)
+    (w_fin, k_fin, v_lo_fin, v_hi_fin), _ = lax.scan(
+        interval, init, (k_end.astype(jnp.int32), apply_proj)
+    )
+    tau_fin = sc(k_fin.astype(f64) * dt64)
+    v_final = jnp.concatenate(
+        [
+            v_lo_fin[None],
+            sc(mm64(w_fin, dst)) * d_vec_s + E_channels_s(tau_fin),
+            v_hi_fin[None],
+        ]
+    )
+    return v_final, s

@@ -388,6 +388,61 @@ class TestX64DstRescue:
         rel = np.max(np.abs(p - oracle) / oracle)
         assert rel < 1e-3, rel
 
+    def test_mixed_transcendental_rescue_hits_the_state_floor(self):
+        """solver='spectral_mixed' (f64 transcendentals + x64 DSTs + f32
+        state) — the round-3 interval-refinement attempt (VERDICT item 6).
+
+        MEASURED NEGATIVE RESULT, pinned: with every exp/log in f64 and
+        exact matmuls, the error lands at ~1.8e-4 — the SAME order as
+        x64dst (9.7e-5) — because the binding floor is the f32
+        RESIDUAL-STATE roundtrip at the E-channel value scale (6e-8 x
+        |E|~200 per interval, recurring at every monitor), NOT the
+        transcendentals. Isolation: the f64 scan on the f32-QUANTIZED
+        batch differs from the true-f64 oracle by only 5.7e-7, so the
+        floor is solver-internal state rounding. No f32-state variant can
+        reach the 1e-6 bar; the accuracy rung stays on full f64
+        (docs/PERF_NOTES.md 'Precision ladder')."""
+        from dataclasses import replace
+
+        from finite_difference_tpu.models.pde.batch import (
+            _spectral_layout,
+            build_trade_batch,
+            price_batch_kernel,
+        )
+
+        B, NS, NST = 16, 511, 256
+        T = 31.0 / 365.0
+        rng = np.random.default_rng(0)
+        kw = dict(
+            spots=list(rng.uniform(180.0, 250.0, B)), strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)), t_expiry=[T] * B,
+            r=[0.0705] * B, b=[0.0705] * B, is_call=[True] * B,
+            n_time_steps=NST,
+            monitor_times=[[T * (k + 1) / 24.0 for k in range(24)]] * B,
+            upper=[420.0] * B, num_space_nodes=NS,
+        )
+
+        def run(tb, dtype, solver):
+            lay = _spectral_layout(tb, NS + 1, dtype)
+            tb = replace(
+                tb, sp_k_end=lay[0], sp_apply=lay[1], sp_rann=lay[2],
+                sp_dt=lay[3],
+            )
+            dev = jax.tree.map(jnp.asarray, tb)
+            return np.asarray(
+                price_batch_kernel(
+                    dev, n_nodes=NS + 1, with_greeks=False, solver=solver
+                )["price"]
+            ).astype(np.float64)
+
+        tb32 = build_trade_batch(dtype=np.float32, **kw)
+        oracle_q = run(tb32.astype(np.float64), np.float64, "scan")
+        p = run(tb32, np.float32, "spectral_mixed")
+        rel = np.max(np.abs(p - oracle_q) / oracle_q)
+        # correct to the measured f32-state floor, NOT to 1e-6
+        assert rel < 1e-3, rel
+        assert rel > 1e-6  # documents that the bar is NOT met
+
 
 class TestSymmetrizerGuard:
     def test_exponent_formula(self):
