@@ -332,6 +332,29 @@ class TestMonitorAlignedSchedules:
             out_sp["price"], out_scan["price"], rtol=1e-8, atol=1e-10
         )
 
+    def test_mixed_solver_rejects_nonuniform_dt(self):
+        from finite_difference_tpu.models.pde.batch import price_barrier_batch
+
+        tb = self._batch()
+        with pytest.raises(ValueError, match="uniform dt"):
+            price_barrier_batch(tb, n_nodes=128, solver="spectral_mixed")
+
+    def test_x64dst_solver_through_public_driver(self):
+        """The explicit ladder rungs attach the interval layout through
+        price_barrier_batch too (previously only auto/spectral did)."""
+        from finite_difference_tpu.models.pde.batch import price_barrier_batch
+
+        tb = self._batch()  # non-uniform dt: x64dst supports it
+        out = price_barrier_batch(
+            tb, n_nodes=128, with_greeks=False, solver="spectral_x64dst"
+        )
+        ref = price_barrier_batch(
+            tb, n_nodes=128, with_greeks=False, solver="scan"
+        )
+        np.testing.assert_allclose(
+            out["price"], ref["price"], rtol=1e-7, atol=1e-9
+        )
+
     def test_equal_intervals_stay_on_hoisted_uniform_path(self):
         from finite_difference_tpu.models.pde.batch import _spectral_layout
 
