@@ -175,6 +175,7 @@ def run_all_scenarios_batched(
     num_space_nodes: Optional[int] = None,
     dtype=np.float64,
     route: str = "pde",
+    schedule: str = "uniform",
 ) -> pd.DataFrame:
     """TPU path: the whole scenario table as one batched device program.
 
@@ -188,6 +189,12 @@ def run_all_scenarios_batched(
     go to the batched analytic sweep with BGK-shifted barriers
     (models.analytic.batch — ~10^6 trades/s-class), the rest to the CN
     batch. ``route='pde'`` sends everything through the CN batch.
+
+    ``schedule='monitor-aligned'`` builds the reference CN auto-grid's
+    ">= 10 steps per monitor interval" time layout (per-interval constant
+    dt, monitors exactly on step boundaries — grid.monitor_aligned_schedule)
+    instead of the uniform grid with floor-snapped monitor indices; both
+    layouts are spectral-eligible.
     """
     from ..models.analytic.batch import (
         continuous_barrier_sweep_greeks,
@@ -270,6 +277,7 @@ def run_all_scenarios_batched(
             upper=sub(uppers),
             num_space_nodes=n_nodes,
             dtype=dtype,
+            monitor_aligned=(schedule == "monitor-aligned"),
         )
         out = price_barrier_batch(tb, n_nodes=n_nodes + 1, mesh=mesh)
         price_arr[pde_idx] = out["price"]
@@ -374,6 +382,11 @@ def build_parser():
     p.add_argument("--route", default="pde", choices=["pde", "hybrid"],
                    help="batched path: 'hybrid' sends continuous-regime "
                         "trades (FIS n_lim rule) to the analytic sweep")
+    p.add_argument("--schedule", default="uniform",
+                   choices=["uniform", "monitor-aligned"],
+                   help="batched path time layout: 'monitor-aligned' uses "
+                        "per-interval constant dt with monitors exactly on "
+                        "step boundaries (reference CN auto-grid rule)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -397,6 +410,7 @@ def main(argv=None):
             args.config_csv, args.output_csv, base,
             num_space_nodes=args.num_space_nodes,
             route=args.route,
+            schedule=args.schedule,
         )
     else:
         df = run_all_scenarios(

@@ -91,6 +91,21 @@ class TestBarrierRunner:
             scalar["model_price"].sum(), rel=2e-2
         )
 
+    def test_monitor_aligned_schedule_converges_to_uniform(self, tmp_path):
+        """--schedule monitor-aligned (per-interval dt, monitors exactly
+        on step boundaries) prices the same trades within discretization
+        error of the uniform layout, and the batch it builds is genuinely
+        non-uniform yet spectral-eligible."""
+        cfg = _barrier_config(tmp_path)
+        base = dict(BASE, num_space_nodes=300, num_time_steps=300)
+        uni = run_all_scenarios_batched(cfg, None, base)
+        mal = run_all_scenarios_batched(
+            cfg, None, base, schedule="monitor-aligned"
+        )
+        np.testing.assert_allclose(
+            mal["model_price"], uni["model_price"], rtol=5e-3, atol=5e-3
+        )
+
     def test_hybrid_route_discrete_regime_equals_pde(self, tmp_path):
         """24 daily monitors over 1 month stay under the n_lim threshold, so
         route='hybrid' must take the CN path and reproduce route='pde'."""
