@@ -887,6 +887,94 @@ class TestDeviceFuzz:
                         f"kind={kind} reset={reset_freq} eff={eff} mat={mat}",
             )
 
+    def test_random_simm_netting_sets_match_generic(self):
+        """Fuzz the device SIMM path: random swap+TRS netting sets (varying
+        frequencies, spreads, seasoning, quantities) under a SIMM CSA —
+        device collateral == generic at the 1e-7 cross-engine FD noise
+        floor for every configuration."""
+        from finite_difference_tpu.instruments.equity_trs import EquityTRS
+        from finite_difference_tpu.portfolio.csa import (
+            CSA, InitialMarginMethod,
+        )
+
+        rng = np.random.default_rng(41)
+        n_times, n_paths = 10, 6
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        swap_arr = 0.073 + rng.normal(
+            0, 0.002, (n_times, n_paths, TENORS.size)
+        ).cumsum(axis=0)
+        div = np.full((n_times, n_paths, TENORS.size), 0.02)
+        eq = 100.0 * np.exp(
+            rng.normal(0.002, 0.04, (n_times, n_paths)).cumsum(axis=0)
+        )
+        curves = {"ZAR-SWAP": swap_arr, "EQ.DIV": div}
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", swap_arr, TENORS),
+                "EQ.DIV": ("curve", div, TENORS),
+                "EQ.SPOT": ("scalar", eq),
+            },
+        )
+        dev = DeviceExposureEngine(
+            dates, curves, TENORS, scalars={"EQ.SPOT": eq}
+        )
+        csa = CSA(
+            mpor_days=10, vm_threshold=300.0, vm_threshold_post=500.0,
+            im_method=InitialMarginMethod.SIMM,
+        )
+        for trial in range(6):
+            freq = int(rng.choice([3, 6]))
+            eff = VAL + dt.timedelta(days=int(rng.integers(-200, 60)))
+            mat = min(
+                eff + dt.timedelta(days=int(rng.integers(200, 400))),
+                dates[-1],
+            )
+            if mat <= max(eff, dates[0]):
+                continue
+            swap = IRSwap(
+                name=f"s{trial}", effective_date=eff, maturity_date=mat,
+                notional=float(rng.uniform(2e5, 2e6)),
+                receive_leg=SwapLeg(
+                    LegType.FLOATING, frequency=freq, curve_name="ZAR-SWAP",
+                    spread=float(rng.uniform(-0.005, 0.01)),
+                ),
+                pay_leg=SwapLeg(
+                    LegType.FIXED, frequency=freq,
+                    fixed_rate=float(rng.uniform(0.06, 0.09)),
+                ),
+                discount_curve_name="ZAR-SWAP",
+            )
+            trs = EquityTRS(
+                name=f"t{trial}",
+                effective_date=VAL + dt.timedelta(days=int(rng.integers(-90, 30))),
+                maturity_date=dates[-1],
+                quantity=float(rng.uniform(100, 2000)),
+                notional=100_000.0,
+                interest_leg=SwapLeg(
+                    LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP",
+                    spread=0.01,
+                ),
+                spot_name="EQ.SPOT", carry_curve_name="ZAR-SWAP",
+                dividend_curve_name="EQ.DIV", discount_curve_name="ZAR-SWAP",
+                initial_price=100.0,
+                return_nominal_scaling=str(rng.choice(["Price", "Initial Price"])),
+            )
+            generic = ExposureEngine(cube).compute(
+                NettingSet(
+                    "NS", [Trade(swap, "T1"), Trade(trs, "T2")], csa=csa
+                )
+            )
+            prof = dev.compute([swap, trs], csa=csa)
+            np.testing.assert_allclose(
+                prof.collateral, generic.collateral, rtol=1e-7, atol=1e-6,
+                err_msg=f"trial {trial}: freq={freq} eff={eff} mat={mat}",
+            )
+            np.testing.assert_allclose(
+                prof.exposure, generic.exposure, rtol=1e-7, atol=1e-6,
+                err_msg=f"trial {trial}",
+            )
+
     def test_random_mixed_families_match_generic(self):
         """Fuzz across instrument FAMILIES: each trial nets a random swap,
         commodity forward, and surface exotic — device == generic."""
