@@ -202,9 +202,10 @@ def stage_f64(out_path: str, prices_path: str, greeks_path: str) -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    # B=512 sits just under the f64 working-set cliff (measured: 1304
-    # grids/s at B=256, 1411 at B=512 on the v5e)
-    B = 512 if on_tpu else 8
+    # B=1024 measured fastest for both f64 rungs on the v5e (price
+    # 6,730 vs 5,613 grids/s at B=512; greeks 4,719 vs 4,175 vs 3,267 at
+    # B=256); compile ~310 s through the tunnel, within the stage budget
+    B = 1024 if on_tpu else 8
     iters = 4 if on_tpu else 1
     tb, _, _ = make_batch(B, np.float64)
     dev = jax.tree.map(jnp.asarray, tb)
