@@ -446,6 +446,448 @@ def cn_barrier_solve_hoisted(
     return v_final, s
 
 
+# --------------------------------------------------------------------------- #
+# SPIKE (partitioned Thomas) variant                                           #
+# --------------------------------------------------------------------------- #
+# The Hillis-Steele kernel above does O(N log N) work per step in ~20
+# full-(N, TB) roll passes; measured slower than XLA (module docstring).
+# This variant partitions the interior rows into P=8 chunks held on the
+# VPU's 8 SUBLANES and runs O(N) sequential Thomas chains at full vector
+# width: each chain iteration is ONE (P, TB) FMA covering all chunks of
+# all lane-trades. Cross-chunk coupling is the SPIKE reduced system —
+# 2P=16 interface unknowns whose (constant!) matrix inverse is
+# precomputed per trade per theta-set, so the per-step reduced solve is a
+# static 16x16 matvec. A chip micro-benchmark measured the marginal cost
+# of dependent (8,128) FMA chains at <7 cycles/iteration (the earlier
+# ~3000-cycle reading was the ~26 ms tunnel dispatch floor), which is
+# what makes the chain approach viable.
+#
+# Memory layout: interior rows live TRANSPOSED, r = ii*P + j (ii =
+# in-chunk row, j = chunk). Then the in-chunk neighbor (ii+-1, j) is a
+# roll by +-P on the row axis, the ii=0 / ii=m-1 bands needing
+# cross-chunk values are single (P, TB) tile fixups, and a chain
+# iteration is the static row-slice [ii*P:(ii+1)*P] — exactly one
+# (8, TB) register. The last chunk carries the pad rows (identity
+# equations, value pinned 0), so the global-last row's in-chunk upper
+# neighbor is always a zero pad and the boundary coupling is folded into
+# the RHS exactly like the scan path.
+
+P_CHUNKS = 8
+
+
+def _per_row_thomas(l, c, u):
+    """(w, af, ab) for per-row tridiagonal chunks; all (m, P, B)."""
+
+    def fwd(carry, inputs):
+        w_prev, u_prev = carry
+        l_i, c_i, u_i = inputs
+        d = c_i - l_i * u_prev * w_prev
+        w_i = 1.0 / d
+        return (w_i, u_i), w_i
+
+    init = (jnp.zeros_like(l[0]), jnp.zeros_like(l[0]))
+    _, w = jax.lax.scan(fwd, init, (l, c, u))
+    return w, -l * w, -u * w
+
+
+def _chunk_solve(w, af, ab, rhs):
+    """Solve the per-chunk tridiagonals for (m, P, B) rhs via two scans."""
+
+    def fwd(d_prev, inputs):
+        w_i, af_i, r_i = inputs
+        d = w_i * r_i + af_i * d_prev
+        return d, d
+
+    _, dp = jax.lax.scan(fwd, jnp.zeros_like(rhs[0]), (w, af, rhs))
+
+    def bwd(x_next, inputs):
+        dp_i, ab_i = inputs
+        x = dp_i + ab_i * x_next
+        return x, x
+
+    _, y = jax.lax.scan(
+        bwd, jnp.zeros_like(rhs[0]), (dp, ab), reverse=True
+    )
+    return y
+
+
+def _kernel_spike(
+    # per-trade rows (1, TB)
+    strike_ref, is_call_ref, r_ref, growth_rate_ref,
+    rebate_ref, rebate_at_hit_ref, rebate_rate_ref,
+    s_min_ref, s_max_ref,
+    omask_lo_ref, omask_hi_ref,
+    # (1, TB) theta scalars — ONE theta set per pallas_call; the host
+    # runs the Rannacher steps as a separate segment call
+    bl_ref, bc_ref, bu_ref, al_ref, au_ref,
+    # (n_pad, TB) solver row tensors (transposed layout)
+    w_ref, af_ref, ab_ref, vsp_ref, wsp_ref,
+    # (2P, 2P, TB) reduced-system inverse
+    rinv_ref,
+    # (n_pad, TB)
+    v0_ref, out_mask_ref,
+    # (2, TB) initial boundary values (payoff edges)
+    edge0_ref,
+    # (n_steps, TB)
+    tau_next_ref, monitor_ref,
+    # outputs
+    v_out_ref,        # (n_pad, TB) final transposed interior
+    edge_out_ref,     # (2, TB) final boundary values
+    # scratch
+    dp_ref,           # (n_pad, TB)
+    *, n_steps: int, m: int, P: int, r_glast: int,
+):
+    n_pad = m * P
+    band = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    padslot = band == P - 1
+    il = r_glast // P  # band holding the global-last interior row
+    sl = lambda ii: slice(ii * P, (ii + 1) * P)
+
+    out_mask = out_mask_ref[:] != 0.0
+    is_call = is_call_ref[:] != 0.0
+    at_hit = rebate_at_hit_ref[:] != 0.0
+    omask_lo = omask_lo_ref[:] != 0.0
+    omask_hi = omask_hi_ref[:] != 0.0
+
+    v_out_ref[:] = v0_ref[:]
+
+    def step(k, carry):
+        # one theta set per call: every solver-tensor access below is a
+        # static slice, so the chain loops compile to pure dependent
+        # (P, TB) FMAs with no per-iteration indexing math
+        v_lo, v_hi = carry
+        bl = bl_ref[:]
+        bc = bc_ref[:]
+        bu = bu_ref[:]
+        al = al_ref[:]
+        au = au_ref[:]
+
+        tau = tau_next_ref[k][None, :]
+        growth = jnp.exp(growth_rate_ref[:] * tau)
+        disc = jnp.exp(-r_ref[:] * tau)
+        v_min_n = jnp.where(
+            is_call, 0.0, strike_ref[:] * disc - s_min_ref[:] * growth
+        )
+        v_max_n = jnp.where(
+            is_call, s_max_ref[:] * growth - strike_ref[:] * disc, 0.0
+        )
+
+        # band-streamed rhs + forward chain: per band, the in-chunk
+        # neighbors (ii +- 1, j) are just the previous/next band tiles,
+        # so the explicit matvec fuses into the Thomas forward sweep with
+        # no full-grid pass. Cross-chunk couplings appear only at the
+        # first/last band (single-tile roll fixups); the global-last
+        # row's boundary terms land in band il at slot j = P-1.
+        first_band = v_out_ref[sl(0)]
+        last_band = v_out_ref[sl(m - 1)]
+        dn_fix = jnp.where(band == 0, v_lo, pltpu.roll(last_band, 1, 0))
+        up_fix = pltpu.roll(first_band, P - 1, 0)
+
+        v_prev = dn_fix
+        v_cur = first_band
+        d = None
+        for ii in range(m):
+            v_next = v_out_ref[sl(ii + 1)] if ii < m - 1 else up_fix
+            rhs = bc * v_cur + bl * v_prev + bu * v_next
+            if ii == 0:
+                # global row 0: implicit lower-boundary coupling
+                rhs = rhs - jnp.where(band == 0, al * v_min_n, 0.0)
+            if ii == il:
+                # global-last row: explicit neighbor was a zero pad, add
+                # the boundary term; implicit coupling moves to the rhs
+                rhs = rhs + jnp.where(
+                    padslot, bu * v_hi - au * v_max_n, 0.0
+                )
+            elif ii > il:
+                rhs = jnp.where(padslot, 0.0, rhs)  # pad rows
+            if ii == 0:
+                d = w_ref[sl(0)] * rhs
+            else:
+                d = w_ref[sl(ii)] * rhs + af_ref[sl(ii)] * d
+            dp_ref[sl(ii)] = d
+            v_prev, v_cur = v_cur, v_next
+        # backward chain: y_ii = d'_ii + ab*y_{ii+1}; dp becomes y
+        y_bot = d                      # (P, TB) tips at ii = m-1
+        x = d
+        for ii in range(m - 2, -1, -1):
+            x = dp_ref[sl(ii)] + ab_ref[sl(ii)] * x
+            dp_ref[sl(ii)] = x
+        y_top = x                      # (P, TB) tips at ii = 0
+
+        # reduced 2P x 2P solve with the precomputed inverse. Block
+        # ordering (u = [t_0..t_{P-1}, b_0..b_{P-1}], same for the rhs
+        # tips) keeps every slice contiguous: P iterations of one
+        # (2P, TB) FMA against a sublane-broadcast tip row.
+        u = rinv_ref[:, 0] * y_top[0][None, :]
+        u = u + rinv_ref[:, P] * y_bot[0][None, :]
+        for j in range(1, P):
+            u = u + rinv_ref[:, j] * y_top[j][None, :]
+            u = u + rinv_ref[:, P + j] * y_bot[j][None, :]
+        # bprev[j] = b_{j-1} (0 for j=0); tnext[j] = t_{j+1} (0 for P-1)
+        bprev = jnp.where(band == 0, 0.0, pltpu.roll(u[P:], 1, 0))
+        tnext = jnp.where(
+            band == P - 1, 0.0, pltpu.roll(u[:P], P - 1, 0)
+        )                              # (P, TB) each
+
+        # correction + KO projection, chunk-row at a time
+        mon = monitor_ref[k][None, :] != 0.0
+        rebate_pv = jnp.where(
+            at_hit,
+            rebate_ref[:],
+            rebate_ref[:] * jnp.exp(-rebate_rate_ref[:] * tau),
+        )
+        for ii in range(m):
+            xr = (
+                dp_ref[sl(ii)]
+                - bprev * vsp_ref[sl(ii)]
+                - tnext * wsp_ref[sl(ii)]
+            )
+            v_out_ref[sl(ii)] = jnp.where(
+                mon & out_mask[sl(ii)], rebate_pv, xr
+            )
+        v_lo_new = jnp.where(mon & omask_lo, rebate_pv, v_min_n)
+        v_hi_new = jnp.where(mon & omask_hi, rebate_pv, v_max_n)
+        return (v_lo_new, v_hi_new)
+
+    carry = (edge0_ref[0][None, :], edge0_ref[1][None, :])
+    v_lo_f, v_hi_f = jax.lax.fori_loop(0, n_steps, step, carry)
+    edge_out_ref[0] = v_lo_f[0]
+    edge_out_ref[1] = v_hi_f[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_nodes", "n_steps", "rannacher_steps", "trade_block",
+        "p_chunks", "interpret",
+    ),
+)
+def cn_barrier_solve_spike(
+    batch,
+    sigma,
+    n_nodes: int,
+    n_steps: int,
+    rannacher_steps: int = 2,
+    trade_block: int = 128,
+    p_chunks: int = P_CHUNKS,
+    interpret: bool = False,
+):
+    """SPIKE-partitioned fused CN solve: returns (V, s_nodes), both (B, N).
+
+    Same restricted schedule family as ``cn_barrier_solve_pallas`` (uniform
+    dt, Rannacher by step index, European, no dividends); same outputs.
+    The implicit solve runs as P parallel Thomas chains on the sublanes
+    plus a precomputed 2P-interface SPIKE correction — O(N) work per step
+    instead of the Hillis-Steele kernel's O(N log N), with chain LATENCY
+    N/P serial FMAs. The Rannacher (theta=1) steps run as a separate
+    pallas segment so each call carries exactly one theta's solver
+    tensors in VMEM.
+    """
+    dtype = jnp.asarray(batch.x_min).dtype
+    B = batch.x_min.shape[0]
+    N = n_nodes
+    P = p_chunks
+    if P % 8 != 0:
+        raise ValueError("p_chunks must be a multiple of the 8 sublanes")
+    n_int = N - 2
+    m = -(-(n_int + 1) // P)   # >=1 pad row after the last interior row
+    n_pad = m * P
+    TB = min(trade_block, B)
+    if B % TB != 0:
+        raise ValueError(f"batch size {B} not divisible by trade block {TB}")
+    if (P - 1) * m >= n_int:
+        raise ValueError(f"grid too small for SPIKE partitioning: N={N}")
+    if n_pad - n_int > m:
+        raise ValueError("pad rows spill outside the last chunk")
+
+    x_min = jnp.asarray(batch.x_min)
+    dx = jnp.asarray(batch.dx)
+    sigma = jnp.asarray(sigma, dtype)
+    r = jnp.asarray(batch.r, dtype)
+    b = jnp.asarray(batch.b, dtype)
+    q = jnp.asarray(batch.q, dtype)
+    dt = jnp.asarray(batch.dt[:, 0], dtype)
+
+    i = jnp.arange(N, dtype=dtype)
+    s = jnp.exp(x_min[:, None] + i[None, :] * dx[:, None])  # (B, N)
+    s_min, s_max = s[:, 0], s[:, -1]
+    strike = jnp.asarray(batch.strike, dtype)
+    is_call = jnp.asarray(batch.is_call)
+
+    payoff = jnp.where(
+        is_call[:, None],
+        jnp.maximum(s - strike[:, None], 0.0),
+        jnp.maximum(strike[:, None] - s, 0.0),
+    )
+
+    sig2 = sigma * sigma
+    mu_x = (b - q) - 0.5 * sig2
+    alpha_c = 0.5 * sig2 / (dx * dx)
+    beta_adv = mu_x / (2.0 * dx)
+    a_coef = alpha_c - beta_adv
+    c_coef = alpha_c + beta_adv
+    b_coef = -2.0 * alpha_c - r
+
+    # chunk layout: global interior row g = j*m + ii lives at transposed
+    # position r = ii*P + j; rows g >= n_int are identity pads (all in
+    # the tail of chunk P-1)
+    ii_np = np.arange(m)[:, None]
+    jj_np = np.arange(P)[None, :]
+    g_np = jj_np * m + ii_np                     # (m, P)
+    real_np = g_np < n_int
+    has_l_np = real_np & (ii_np > 0)
+    has_u_np = real_np & (ii_np < m - 1) & (g_np < n_int - 1)
+    real = jnp.asarray(real_np)[..., None]       # (m, P, 1)
+    has_l = jnp.asarray(has_l_np)[..., None]
+    has_u = jnp.asarray(has_u_np)[..., None]
+
+    sets = {k: [] for k in (
+        "w", "af", "ab", "vsp", "wsp", "rinv", "bl", "bc", "bu", "al", "au"
+    )}
+    e0 = jnp.zeros((m, P, B), dtype).at[0].set(1.0)
+    em = jnp.zeros((m, P, B), dtype).at[m - 1].set(1.0)
+    eye2p = jnp.eye(2 * P, dtype=dtype)
+    for theta in (1.0, 0.5):
+        a_l = -theta * dt * a_coef
+        a_c_diag = 1.0 - theta * dt * b_coef
+        a_u = -theta * dt * c_coef
+        l = jnp.where(has_l, a_l[None, None, :], 0.0)    # (m, P, B)
+        c = jnp.where(real, a_c_diag[None, None, :], 1.0)
+        u = jnp.where(has_u, a_u[None, None, :], 0.0)
+        w, af, ab = _per_row_thomas(l, c, u)
+        # spike vectors: vsp_j = a_l * A_j^{-1} e_0 (coupling to
+        # b_{j-1}), wsp_j = a_u * A_j^{-1} e_{m-1} (coupling to t_{j+1});
+        # chunk 0 has no left coupling, chunk P-1 no right coupling
+        vsp = a_l[None, None, :] * _chunk_solve(w, af, ab, e0)
+        vsp = vsp.at[:, 0, :].set(0.0)
+        wsp = a_u[None, None, :] * _chunk_solve(w, af, ab, em)
+        wsp = wsp.at[:, P - 1, :].set(0.0)
+        # reduced interface system R u = ytips in block ordering
+        # (u = [t_0..t_{P-1}, b_0..b_{P-1}], ytips = [y_j[0], y_j[m-1]]):
+        #   t_j + vsp_j[0]   b_{j-1} + wsp_j[0]   t_{j+1} = y_j[0]
+        #   b_j + vsp_j[m-1] b_{j-1} + wsp_j[m-1] t_{j+1} = y_j[m-1]
+        R = jnp.tile(eye2p[None], (B, 1, 1))
+        for j in range(1, P):
+            R = R.at[:, j, P + j - 1].set(vsp[0, j])
+            R = R.at[:, P + j, P + j - 1].set(vsp[m - 1, j])
+        for j in range(P - 1):
+            R = R.at[:, j, j + 1].set(wsp[0, j])
+            R = R.at[:, P + j, j + 1].set(wsp[m - 1, j])
+        sets["rinv"].append(jnp.linalg.inv(R).transpose(1, 2, 0))
+        for k, arr in (("w", w), ("af", af), ("ab", ab),
+                       ("vsp", vsp), ("wsp", wsp)):
+            sets[k].append(arr.reshape(n_pad, B))
+        sets["bl"].append((1.0 - theta) * dt * a_coef)
+        sets["bc"].append(1.0 + (1.0 - theta) * dt * b_coef)
+        sets["bu"].append((1.0 - theta) * dt * c_coef)
+        sets["al"].append(a_l)
+        sets["au"].append(a_u)
+
+    # interior fields in transposed layout (pads -> 0)
+    g_flat = np.minimum(g_np, n_int - 1).reshape(-1)     # (n_pad,)
+    real_flat = jnp.asarray(real_np.reshape(-1, 1))
+    out_mask_full = (
+        jnp.asarray(batch.has_lower)[:, None]
+        & (s <= jnp.asarray(batch.lower, dtype)[:, None])
+    ) | (
+        jnp.asarray(batch.has_upper)[:, None]
+        & (s >= jnp.asarray(batch.upper, dtype)[:, None])
+    )
+    v0_t = jnp.where(real_flat, payoff.T[1 : N - 1][g_flat], 0.0)
+    omask_t = jnp.where(
+        real_flat, out_mask_full.T[1 : N - 1][g_flat], False
+    ).astype(dtype)
+    edge0 = jnp.stack([payoff[:, 0], payoff[:, -1]])      # (2, B)
+
+    g_last = n_int - 1
+    r_glast = (g_last % m) * P + g_last // m
+
+    row1 = lambda a: jnp.asarray(a, dtype)[None, :]
+    tau_T = jnp.asarray(batch.tau_next, dtype).T       # (n_steps, B)
+    mon_T = jnp.asarray(batch.monitor).astype(dtype).T
+
+    trade_spec = lambda: pl.BlockSpec((1, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    pair_spec = lambda: pl.BlockSpec((2, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    field_spec = lambda: pl.BlockSpec((n_pad, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    rinv_spec = pl.BlockSpec(
+        (2 * P, 2 * P, TB), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+
+    def run_segment(t, v0_seg, edge_seg, k0, k1):
+        ns = k1 - k0
+        kernel = functools.partial(
+            _kernel_spike, n_steps=ns, m=m, P=P, r_glast=r_glast
+        )
+        sched_spec = lambda: pl.BlockSpec(
+            (ns, TB), lambda j: (0, j), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B // TB,),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            in_specs=[
+                trade_spec(),  # strike
+                trade_spec(),  # is_call
+                trade_spec(),  # r
+                trade_spec(),  # growth rate (b - q - r)
+                trade_spec(), trade_spec(), trade_spec(),  # rebate set
+                trade_spec(), trade_spec(),  # s_min, s_max
+                trade_spec(), trade_spec(),  # omask_lo, omask_hi
+                trade_spec(), trade_spec(), trade_spec(),  # bl, bc, bu
+                trade_spec(), trade_spec(),                # al, au
+                field_spec(), field_spec(), field_spec(),  # w, af, ab
+                field_spec(), field_spec(),                # vsp, wsp
+                rinv_spec,
+                field_spec(), field_spec(),  # v0, out_mask
+                pair_spec(),                 # edge0
+                sched_spec(), sched_spec(),  # tau_next, monitor
+            ],
+            out_specs=[field_spec(), pair_spec()],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, B), dtype),
+                jax.ShapeDtypeStruct((2, B), dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((n_pad, TB), dtype)],
+            interpret=interpret,
+        )(
+            row1(strike),
+            row1(is_call.astype(dtype)),
+            row1(r),
+            row1(b - q - r),
+            row1(batch.rebate),
+            row1(jnp.asarray(batch.rebate_at_hit).astype(dtype)),
+            row1(batch.rebate_rate),
+            row1(s_min), row1(s_max),
+            row1(out_mask_full[:, 0].astype(dtype)),
+            row1(out_mask_full[:, -1].astype(dtype)),
+            row1(sets["bl"][t]), row1(sets["bc"][t]), row1(sets["bu"][t]),
+            row1(sets["al"][t]), row1(sets["au"][t]),
+            sets["w"][t], sets["af"][t], sets["ab"][t],
+            sets["vsp"][t], sets["wsp"][t],
+            sets["rinv"][t],
+            v0_seg, omask_t,
+            edge_seg,
+            tau_T[k0:k1], mon_T[k0:k1],
+        )
+
+    n_rann = min(rannacher_steps, n_steps)
+    v_t, edges = v0_t, edge0
+    if n_rann > 0:
+        v_t, edges = run_segment(0, v_t, edges, 0, n_rann)
+    if n_steps > n_rann:
+        v_t, edges = run_segment(1, v_t, edges, n_rann, n_steps)
+
+    # untranspose: v_full[:, 1+g] = v_t[(g % m)*P + g//m]
+    gg = np.arange(n_int)
+    r_of_g = (gg % m) * P + gg // m
+    v_full = jnp.concatenate(
+        [edges[0][:, None], v_t[r_of_g].T, edges[1][:, None]], axis=1
+    )
+    return v_full, s
+
+
 def price_barrier_batch_pallas(
     batch,
     n_nodes: int,

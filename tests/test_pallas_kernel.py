@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from finite_difference_tpu.models.pde.batch import build_trade_batch, price_batch_kernel
 from finite_difference_tpu.models.pde.pallas_kernel import (
     cn_barrier_solve_hoisted,
+    cn_barrier_solve_spike,
     price_barrier_batch_pallas,
 )
 
@@ -79,6 +80,52 @@ class TestPallasCNKernel:
         np.testing.assert_allclose(got["price"], np.asarray(ref["price"]), rtol=1e-9)
         # rebate floor: KO near-certain trades still worth ~PV(rebate)
         assert (np.asarray(got["price"]) > 0).all()
+
+
+class TestPallasSpikeKernel:
+    """SPIKE-partitioned chunk-Thomas kernel (pallas_kernel.py SPIKE
+    section): the on-chip fast path for the batched CN sweep."""
+
+    @pytest.mark.parametrize("p_chunks", [8, 16, 32])
+    def test_interpret_matches_hoisted(self, small_batch, p_chunks):
+        dev = jax.tree.map(jnp.asarray, small_batch)
+        v_ref, _ = cn_barrier_solve_hoisted(dev, dev.sigma, n_nodes=256, n_steps=64)
+        v, _ = cn_barrier_solve_spike(
+            dev, dev.sigma, n_nodes=256, n_steps=64, trade_block=8,
+            p_chunks=p_chunks, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(v_ref), rtol=1e-11, atol=1e-11
+        )
+
+    def test_rebate_and_double_barrier(self):
+        """Rebate projection + both-barrier KO masks agree with the
+        production scan path."""
+        B = 8
+        t = 0.25
+        tb = build_trade_batch(
+            spots=[100.0] * B,
+            strikes=[100.0] * B,
+            sigmas=[0.3] * B,
+            t_expiry=[t] * B,
+            r=[0.05] * B,
+            b=[0.02] * B,
+            is_call=[False] * (B // 2) + [True] * (B // 2),
+            n_time_steps=32,
+            monitor_times=[[t * (k + 1) / 4.0 for k in range(4)]] * B,
+            lower=[80.0] * B,
+            upper=[125.0] * B,
+            rebate=[5.0] * B,
+            num_space_nodes=127,
+        )
+        dev = jax.tree.map(jnp.asarray, tb)
+        ref = price_batch_kernel(dev, n_nodes=128, with_greeks=False)
+        v, s = cn_barrier_solve_spike(
+            dev, dev.sigma, n_nodes=128, n_steps=32, trade_block=8,
+            interpret=True,
+        )
+        price = np.asarray(jax.vmap(jnp.interp)(dev.s_eff, s, v))
+        np.testing.assert_allclose(price, np.asarray(ref["price"]), rtol=1e-9)
 
 
 class TestPallasCRKernel:
