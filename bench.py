@@ -121,69 +121,93 @@ def stage_f32(out_path: str) -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    B = 1024 if on_tpu else 16
-    iters = 20 if on_tpu else 1
-    g_iters = 8 if on_tpu else 1
+    # headline = the production auto-routing: on TPU the f32 path runs
+    # the fused SPIKE pallas kernel (price_barrier_batch solver='auto'
+    # routes there for this uniform-dt batch — 3.5x the XLA scan kernel,
+    # identical math; models/pde/pallas_kernel.py). The whole march is
+    # VMEM-resident, so unlike the scan it has NO HBM working-set cliff:
+    # the headline runs one B=4096 launch. The scan and spectral
+    # diagnostics run at their cliff-bound B=1024; spectral carries its
+    # own accuracy field (TPU f32 matmul accumulation noise ~1e-2,
+    # docs/PERF_NOTES.md).
+    B = 4096 if on_tpu else 16
+    B_diag = 1024 if on_tpu else 16
+    iters = 8 if on_tpu else 1
+    d_iters = 10 if on_tpu else 1
+    g_iters = 4 if on_tpu else 1
+    main_solver = "spike" if on_tpu else "scan"
     tb, spots, sigmas = make_batch(B, np.float32 if on_tpu else np.float64)
     dev = jax.tree.map(jnp.asarray, tb)
 
-    # headline = the production auto-routing: on TPU the f32 path stays on
-    # the CN scan (TPU f32 matmul accumulation noise makes the spectral
-    # transforms ~1e-2 on cheap trades — docs/PERF_NOTES.md); the spectral
-    # f32 number is reported alongside with its own accuracy field.
-    out, elapsed = _timed_kernel(dev, with_greeks=False, iters=iters, solver="scan")
+    out, elapsed = _timed_kernel(
+        dev, with_greeks=False, iters=iters, solver=main_solver
+    )
     p_np = out[0]
     grids_per_sec = B * iters / elapsed
 
-    sp_out, sp_elapsed = _timed_kernel(
-        dev, with_greeks=False, iters=max(1, iters // 2), solver="spectral"
-    )
-    sp_np = sp_out[0]
-    spectral_grids_per_sec = B * max(1, iters // 2) / sp_elapsed
-
     _, g_elapsed = _timed_kernel(
-        dev, with_greeks=True, iters=g_iters, solver="scan"
+        dev, with_greeks=True, iters=g_iters, solver=main_solver
     )
     greeks_grids_per_sec = B * g_iters / g_elapsed
-    if on_tpu and greeks_grids_per_sec < 0.25 * grids_per_sec:
-        # working-set cliff: the greeks program holds two solves; retry at
-        # half batch (the chunked production driver does the same)
-        tb2, _, _ = make_batch(B // 2, np.float32)
-        dev2 = jax.tree.map(jnp.asarray, tb2)
-        _, g_elapsed = _timed_kernel(dev2, with_greeks=True, iters=g_iters)
-        greeks_grids_per_sec = max(
-            greeks_grids_per_sec, (B // 2) * g_iters / g_elapsed
+
+    if on_tpu:
+        tb_d, spots_d, sigmas_d = make_batch(B_diag, np.float32)
+        dev_d = jax.tree.map(jnp.asarray, tb_d)
+    else:
+        tb_d, spots_d, sigmas_d = tb, spots, sigmas
+        dev_d = dev
+    if on_tpu:
+        _, sc_elapsed = _timed_kernel(
+            dev_d, with_greeks=False, iters=d_iters, solver="scan"
         )
+        scan_grids_per_sec = B_diag * d_iters / sc_elapsed
+    else:
+        scan_grids_per_sec = grids_per_sec
+
+    sp_out, sp_elapsed = _timed_kernel(
+        dev_d, with_greeks=False, iters=d_iters, solver="spectral"
+    )
+    sp_np = sp_out[0]
+    spectral_grids_per_sec = B_diag * d_iters / sp_elapsed
 
     # far-barrier European-limit cross-check vs Black-76 closed form
     from finite_difference_tpu.models.analytic import generalized_bs_price
 
-    ref = np.asarray(
-        generalized_bs_price(
-            jnp.asarray(np.asarray(spots, np.float64)),
-            190.0,
-            jnp.asarray(np.asarray(sigmas, np.float64)),
-            T_EXP,
-            0.0705,
-            0.0705,
-            True,
-        ),
-        dtype=np.float64,
-    )
+    def _bs_ref(sp, sg):
+        return np.asarray(
+            generalized_bs_price(
+                jnp.asarray(np.asarray(sp, np.float64)),
+                190.0,
+                jnp.asarray(np.asarray(sg, np.float64)),
+                T_EXP,
+                0.0705,
+                0.0705,
+                True,
+            ),
+            dtype=np.float64,
+        )
+
+    ref = _bs_ref(spots, sigmas)
+    ref_d = _bs_ref(spots_d, sigmas_d)
     rel_err = float(
         np.max(np.abs(p_np.astype(np.float64) - ref) / np.maximum(ref, 1e-8))
     )
     sp_rel_err = float(
-        np.max(np.abs(sp_np.astype(np.float64) - ref) / np.maximum(ref, 1e-8))
+        np.max(
+            np.abs(sp_np.astype(np.float64) - ref_d) / np.maximum(ref_d, 1e-8)
+        )
     )
     with open(out_path, "w") as f:
         json.dump(
             {
                 "grids_per_sec": grids_per_sec,
+                "solver": main_solver,
+                "scan_grids_per_sec": scan_grids_per_sec,
                 "greeks_grids_per_sec": greeks_grids_per_sec,
                 "spectral_grids_per_sec": spectral_grids_per_sec,
                 "spectral_far_barrier_max_rel_err_vs_bs": sp_rel_err,
                 "batch": B,
+                "batch_diag": B_diag,
                 "iters": iters,
                 "platform": "tpu" if on_tpu else "cpu",
                 "device_kind": jax.devices()[0].device_kind,
@@ -572,6 +596,8 @@ def main() -> None:
         "batch": f32["batch"],
         "iters": f32["iters"],
         "dtype": "float32",
+        "solver": f32["solver"],
+        "scan_grids_per_sec": round(f32["scan_grids_per_sec"], 2),
         "platform": f32["platform"],
         "device_kind": f32["device_kind"],
         "far_barrier_max_rel_err_vs_bs": f32["far_barrier_max_rel_err_vs_bs"],

@@ -407,6 +407,10 @@ def price_batch_kernel(
     sp_* interval fields on the batch (price_barrier_batch attaches them).
     ``solver='spectral_x64dst'`` additionally contracts the DSTs in
     emulated f64 (needs x64 enabled) — the f32-on-TPU accuracy rescue.
+    ``solver='spike'`` runs the whole batch in the fused SPIKE pallas
+    kernel (pallas_kernel.cn_barrier_solve_spike) — TPU only, the
+    uniform-dt 2-step-Rannacher schedule family (price_barrier_batch
+    checks eligibility before routing here).
     """
     solve_one = {
         "spectral": _spectral_solve_one,
@@ -414,9 +418,25 @@ def price_batch_kernel(
         "spectral_mixed": _spectral_solve_one_mixed,
     }.get(solver, _solve_one)
 
-    def solve(sig_field):
-        v, s = jax.vmap(lambda bt: solve_one(bt, sig_field(bt), n_nodes))(batch_dev)
-        return v, s
+    if solver in ("spike", "spike_interpret"):
+        if with_greeks and greeks_mode == "ad":
+            raise ValueError(
+                "solver='spike' has no AD rule (pallas custom call); "
+                "use greeks_mode='bump'"
+            )
+        from .pallas_kernel import cn_barrier_solve_spike
+
+        def solve(sig_field):
+            return cn_barrier_solve_spike(
+                batch_dev, sig_field(batch_dev), n_nodes=n_nodes,
+                n_steps=batch_dev.dt.shape[1],
+                trade_block=min(128, batch_dev.dt.shape[0]),
+                interpret=solver == "spike_interpret",
+            )
+    else:
+        def solve(sig_field):
+            v, s = jax.vmap(lambda bt: solve_one(bt, sig_field(bt), n_nodes))(batch_dev)
+            return v, s
 
     if with_greeks and greeks_mode == "ad":
         def price_of_sigma(sig):
@@ -642,9 +662,11 @@ def _run_batch_driver(
     serves all chunks.
 
     ``dtype`` selects the precision ladder (measured, docs/PERF_NOTES.md):
-    f32 ~10k grids/s/chip at ~4e-4 rel vs the f64 oracle; f64 (XLA
-    emulation on TPU) ~1.4k grids/s at ~3e-11 — still above the 1250
-    grids/s/chip v5p-8 baseline share when ≤1e-6 accuracy is required.
+    f32 ~39k grids/s/chip at ~5e-4 rel vs the f64 oracle (SPIKE pallas
+    kernel, VMEM-resident so cliff-free; the XLA scan it replaced does
+    ~10k); f64 (XLA emulation on TPU) rides the spectral propagator at
+    ~6k grids/s at ~1e-11 — far above the 1250 grids/s/chip v5p-8
+    baseline share when <=1e-6 accuracy is required.
     """
     if dtype is not None:
         dtype = jnp.dtype(dtype)
@@ -831,6 +853,34 @@ def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     return k_end, apply_proj, R.astype(np.int32), sp_dt
 
 
+def _spike_eligible(batch: BarrierTradeBatch, n_nodes: int) -> bool:
+    """True when the batch fits the SPIKE pallas kernel's schedule family
+    (pallas_kernel.cn_barrier_solve_spike): globally uniform dt, the
+    shared 2-step Rannacher theta prefix, no dividend jumps, and shapes
+    the P=8 sublane partitioning accepts (including the 128-lane trade
+    blocking)."""
+    if np.asarray(batch.div_amount).any():
+        return False
+    dt = np.asarray(batch.dt, dtype=float)
+    if not np.all(dt == dt[:, :1]):
+        return False
+    th = np.asarray(batch.theta, dtype=float)
+    if th.shape[1] <= 2 or not (
+        np.all(th[:, :2] == 1.0) and np.all(th[:, 2:] == 0.5)
+    ):
+        return False
+    B = th.shape[0]
+    if B > 128 and B % 128 != 0:
+        return False
+    from .pallas_kernel import P_CHUNKS
+
+    n_int = n_nodes - 2
+    m = -(-(n_int + 1) // P_CHUNKS)
+    if (P_CHUNKS - 1) * m >= n_int or (m * P_CHUNKS - n_int) > m:
+        return False
+    return True
+
+
 def price_barrier_batch(
     batch: BarrierTradeBatch,
     n_nodes: int,
@@ -871,9 +921,32 @@ def price_barrier_batch(
         # f64 rung and CPU runs route to the spectral propagator. The
         # rung is 64-bit only if the arrays actually STAY 64-bit on
         # device (x64 enabled) — a host-f64 batch in a non-x64 session
-        # runs in f32 and must take the f32 route.
+        # runs in f32 and must take the f32 route: the fused SPIKE
+        # pallas kernel when the schedule fits it (~2x the XLA scan,
+        # identical math), else the scan.
         if jax.default_backend() != "cpu" and not _effective_is64(batch, dtype):
-            solver = "scan"
+            # mesh runs stay on the scan: a pallas custom call is opaque
+            # to the SPMD partitioner (it would all-gather the batch)
+            solver = (
+                "spike"
+                if mesh is None
+                and _spike_eligible(batch, n_nodes)
+                and (greeks_mode != "ad" or not with_greeks)
+                else "scan"
+            )
+    if solver in ("spike", "spike_interpret"):
+        if not _spike_eligible(batch, n_nodes):
+            raise ValueError(
+                "batch is not spike-eligible (needs globally uniform dt, "
+                "the 2-step Rannacher theta prefix, no dividend jumps, and "
+                "a batch size divisible by the 128-trade block); use "
+                "solver='auto'"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "solver='spike' does not shard over a mesh (opaque pallas "
+                "custom call); use solver='auto' to route per-backend"
+            )
     if solver in ("auto", "spectral", "spectral_x64dst", "spectral_mixed"):
         layout = _spectral_layout(batch, n_nodes, dtype)
         if layout is None:

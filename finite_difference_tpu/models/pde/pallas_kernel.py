@@ -20,18 +20,18 @@ Numerical note: identical math to ``ops.tridiag.thomas_solve_const`` +
 and against the XLA path on TPU (2e-5 rel in f32).
 
 Measured on the single v5e-class chip (1024x512 grids, batch 1024, f32,
-price-only, host-materialized timing):
+price-only). "kernel-only" nets out the ~26 ms tunnel materialization
+floor by repeating 10 sigma-perturbed solves inside one jit:
 
-    XLA cn_solve (default)            ~98 ms  -> 10.3k grids/s
-    Pallas fused (this kernel, TB=128) ~134 ms ->  7.6k grids/s
-    XLA with hoisted solver tensors   ~209 ms  (per-step gathers dominate)
-    2x-stacked vega-fused solve       ~408 ms  (working-set cliff > B=1024)
+    XLA cn_solve (default scan)        76.3 ms kernel-only -> 13.4k grids/s
+    Pallas Hillis-Steele (this, TB=128) ~108 ms             ->  7.6k
+    XLA with hoisted solver tensors    ~183 ms  (per-step gathers dominate)
+    Pallas SPIKE (below, P=8)          22.0 ms kernel-only -> 46.7k grids/s
 
-The default XLA path wins: recomputing the closed-form denominators
-in-register each step fuses better than either VMEM residency (per-core
-program serialization) or memoized tensors (HBM gather traffic). The
-kernel is kept as a tested alternative path and as the starting point for
-a cyclic-reduction variant (O(N) work vs the scans' O(N log N)).
+The Hillis-Steele variant loses to XLA (its O(N log N) roll passes cost
+more than HBM round-trips save) and is kept as a tested stepping stone;
+the SPIKE variant below is the production TPU-f32 path — 3.5x the XLA
+scan (price_barrier_batch routes to it via solver='auto').
 """
 from __future__ import annotations
 

@@ -128,6 +128,63 @@ class TestPallasSpikeKernel:
         np.testing.assert_allclose(price, np.asarray(ref["price"]), rtol=1e-9)
 
 
+class TestSpikeRouting:
+    """price_barrier_batch routing into the SPIKE solver."""
+
+    def _small(self, **kw):
+        rng = np.random.default_rng(1)
+        B = 8
+        t = 0.25
+        args = dict(
+            spots=list(rng.uniform(90.0, 110.0, B)),
+            strikes=[100.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.4, B)),
+            t_expiry=[t] * B,
+            r=[0.05] * B,
+            b=[0.05] * B,
+            is_call=[True] * B,
+            n_time_steps=32,
+            monitor_times=[[t * (k + 1) / 4.0 for k in range(4)]] * B,
+            upper=[130.0] * B,
+            num_space_nodes=127,
+        )
+        args.update(kw)
+        return build_trade_batch(**args)
+
+    def test_driver_spike_interpret_full_greeks_parity(self):
+        from finite_difference_tpu.models.pde.batch import price_barrier_batch
+
+        tb = self._small()
+        ref = price_barrier_batch(tb, n_nodes=128, solver="scan")
+        got = price_barrier_batch(tb, n_nodes=128, solver="spike_interpret")
+        for k in ("price", "delta", "gamma", "vega", "theta"):
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=1e-9, atol=1e-9, err_msg=k
+            )
+
+    def test_eligibility(self):
+        from finite_difference_tpu.models.pde.batch import (
+            _spike_eligible,
+            price_barrier_batch,
+        )
+
+        assert _spike_eligible(self._small(), 128)
+        # monitor-aligned layouts have per-interval dt -> not eligible
+        tb_ma = self._small(
+            monitor_aligned=True, n_time_steps=40,
+            monitor_times=[[0.02, 0.09, 0.13, 0.25]] * 8,
+        )
+        assert not _spike_eligible(tb_ma, 128)
+        with pytest.raises(ValueError, match="spike-eligible"):
+            price_barrier_batch(tb_ma, n_nodes=128, solver="spike_interpret")
+        # ad-vega has no pallas AD rule
+        with pytest.raises(ValueError, match="AD rule"):
+            price_barrier_batch(
+                self._small(), n_nodes=128, solver="spike_interpret",
+                greeks_mode="ad",
+            )
+
+
 class TestPallasCRKernel:
     def test_cr_level_coeffs_solve_matches_thomas(self):
         """The packed scalar-class CR coefficients reproduce
