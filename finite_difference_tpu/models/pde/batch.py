@@ -12,7 +12,7 @@ from __future__ import annotations
 import inspect
 import math
 from dataclasses import dataclass, replace
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -388,6 +388,7 @@ def price_batch_kernel(
     with_greeks: bool = True,
     greeks_mode: str = "bump",
     solver: str = "scan",
+    spike_segments=None,
 ):
     """Device function (jit me): batch pytree of arrays -> dict of (B,) arrays.
 
@@ -409,8 +410,11 @@ def price_batch_kernel(
     emulated f64 (needs x64 enabled) — the f32-on-TPU accuracy rescue.
     ``solver='spike'`` runs the whole batch in the fused SPIKE pallas
     kernel (pallas_kernel.cn_barrier_solve_spike) — TPU only, the
-    uniform-dt 2-step-Rannacher schedule family (price_barrier_batch
-    checks eligibility before routing here).
+    piecewise-constant (theta, dt) schedule family (price_barrier_batch
+    checks eligibility before routing here). ``spike_segments`` is the
+    static ``(segments, set_defs)`` pair from :func:`_spike_schedule`
+    (host-derived — it cannot be computed under a jit trace); None means
+    the globally-uniform-dt 2-step-Rannacher default.
     """
     solve_one = {
         "spectral": _spectral_solve_one,
@@ -426,12 +430,15 @@ def price_batch_kernel(
             )
         from .pallas_kernel import cn_barrier_solve_spike
 
+        seg, sd = spike_segments if spike_segments is not None else (None, None)
+
         def solve(sig_field):
             return cn_barrier_solve_spike(
                 batch_dev, sig_field(batch_dev), n_nodes=n_nodes,
                 n_steps=batch_dev.dt.shape[1],
                 trade_block=min(128, batch_dev.dt.shape[0]),
                 interpret=solver == "spike_interpret",
+                segments=seg, set_defs=sd,
             )
     else:
         def solve(sig_field):
@@ -679,9 +686,17 @@ def _run_batch_driver(
         if max_chunk is not None and dtype.itemsize > 4:
             max_chunk = max(1, max_chunk // 2)  # same working-set budget
     static = ["n_nodes", "with_greeks", "greeks_mode"]
-    takes_solver = "solver" in inspect.signature(kernel).parameters
+    params = inspect.signature(kernel).parameters
+    takes_solver = "solver" in params
     if takes_solver:
         static.append("solver")
+    takes_segments = (
+        takes_solver
+        and solver in ("spike", "spike_interpret")
+        and "spike_segments" in params
+    )
+    if takes_segments:
+        static.append("spike_segments")
     fn = jax.jit(kernel, static_argnames=tuple(static))
     kw = dict(
         n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks,
@@ -689,6 +704,10 @@ def _run_batch_driver(
     )
     if takes_solver:
         kw["solver"] = solver
+    if takes_segments:
+        # host-derived static segmentation (piecewise-constant schedules
+        # ride the kernel as one pallas segment per (theta, dt) run)
+        kw["spike_segments"] = _spike_schedule(batch, n_nodes)
     B = batch.batch_size
 
     def to_device(x):
@@ -853,32 +872,79 @@ def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     return k_end, apply_proj, R.astype(np.int32), sp_dt
 
 
-def _spike_eligible(batch: BarrierTradeBatch, n_nodes: int) -> bool:
-    """True when the batch fits the SPIKE pallas kernel's schedule family
-    (pallas_kernel.cn_barrier_solve_spike): globally uniform dt, the
-    shared 2-step Rannacher theta prefix, no dividend jumps, and shapes
-    the P=8 sublane partitioning accepts (including the 128-lane trade
-    blocking)."""
+def _spike_schedule(
+    batch: BarrierTradeBatch, n_nodes: int, max_segments: int = 64
+):
+    """Static SPIKE segmentation for the batch, or None if ineligible.
+
+    The SPIKE pallas kernel (pallas_kernel.cn_barrier_solve_spike) runs
+    one pallas segment per run of steps sharing a (theta, dt) pair, so
+    any piecewise-constant schedule fits — uniform layouts AND the
+    monitor-aligned per-interval-dt layouts the reference CN auto-grid
+    produces (grid.monitor_aligned_schedule; discrete_barrier_fdm_pricer_
+    cn.py:92-118 semantics). Eligibility:
+
+    - no dividend jumps (the kernel has no spline-jump step),
+    - theta pattern shared across trades with values in {1.0, 0.5}
+      (dt VALUES may differ per trade; only the step indices where any
+      trade's dt changes must be shared, which piecewise layouts built
+      from one monitor grid satisfy),
+    - at most ``max_segments`` (theta-change ∪ dt-change) runs — bounds
+      compile time and the per-segment tensor-set HBM footprint,
+    - shapes the P=8 sublane partitioning accepts (including the
+      128-lane trade blocking).
+
+    Returns ``(segments, set_defs)`` — the static tuples
+    cn_barrier_solve_spike takes: segments ``((k0, k1, set_idx), ...)``,
+    set_defs ``((theta, k_col), ...)`` deduplicated by (theta,
+    dt-column) signature so e.g. the Rannacher prefix and equal-length
+    monitor intervals share one solver-tensor set.
+    """
     if np.asarray(batch.div_amount).any():
-        return False
-    dt = np.asarray(batch.dt, dtype=float)
-    if not np.all(dt == dt[:, :1]):
-        return False
+        return None
     th = np.asarray(batch.theta, dtype=float)
-    if th.shape[1] <= 2 or not (
-        np.all(th[:, :2] == 1.0) and np.all(th[:, 2:] == 0.5)
-    ):
-        return False
+    if not np.all(th == th[:1, :]):
+        return None
+    th0 = th[0]
+    if not np.all((th0 == 1.0) | (th0 == 0.5)):
+        return None
+    dt = np.asarray(batch.dt, dtype=float)
+    n = dt.shape[1]
+    breaks = [0]
+    for k in range(1, n):
+        if th0[k] != th0[k - 1] or not np.array_equal(dt[:, k], dt[:, k - 1]):
+            breaks.append(k)
+    if len(breaks) > max_segments:
+        return None
+    breaks.append(n)
     B = th.shape[0]
     if B > 128 and B % 128 != 0:
-        return False
+        return None
     from .pallas_kernel import P_CHUNKS
 
     n_int = n_nodes - 2
     m = -(-(n_int + 1) // P_CHUNKS)
     if (P_CHUNKS - 1) * m >= n_int or (m * P_CHUNKS - n_int) > m:
-        return False
-    return True
+        return None
+    set_defs: List[Tuple[float, int]] = []
+    segments = []
+    for k0, k1 in zip(breaks[:-1], breaks[1:]):
+        idx = None
+        for i, (t_i, kc_i) in enumerate(set_defs):
+            if t_i == th0[k0] and np.array_equal(dt[:, kc_i], dt[:, k0]):
+                idx = i
+                break
+        if idx is None:
+            set_defs.append((float(th0[k0]), int(k0)))
+            idx = len(set_defs) - 1
+        segments.append((int(k0), int(k1), idx))
+    return tuple(segments), tuple(set_defs)
+
+
+def _spike_eligible(batch: BarrierTradeBatch, n_nodes: int) -> bool:
+    """True when the batch fits the SPIKE pallas kernel's schedule family
+    (see :func:`_spike_schedule`)."""
+    return _spike_schedule(batch, n_nodes) is not None
 
 
 def price_barrier_batch(
@@ -937,9 +1003,10 @@ def price_barrier_batch(
     if solver in ("spike", "spike_interpret"):
         if not _spike_eligible(batch, n_nodes):
             raise ValueError(
-                "batch is not spike-eligible (needs globally uniform dt, "
-                "the 2-step Rannacher theta prefix, no dividend jumps, and "
-                "a batch size divisible by the 128-trade block); use "
+                "batch is not spike-eligible (needs a piecewise-constant "
+                "(theta, dt) schedule shared across trades — uniform or "
+                "monitor-aligned layouts — with no dividend jumps and a "
+                "batch size divisible by the 128-trade block); use "
                 "solver='auto'"
             )
         if mesh is not None:

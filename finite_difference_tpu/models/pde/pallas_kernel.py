@@ -659,7 +659,7 @@ def _kernel_spike(
     jax.jit,
     static_argnames=(
         "n_nodes", "n_steps", "rannacher_steps", "trade_block",
-        "p_chunks", "interpret",
+        "p_chunks", "interpret", "segments", "set_defs",
     ),
 )
 def cn_barrier_solve_spike(
@@ -671,17 +671,30 @@ def cn_barrier_solve_spike(
     trade_block: int = 128,
     p_chunks: int = P_CHUNKS,
     interpret: bool = False,
+    segments=None,
+    set_defs=None,
 ):
     """SPIKE-partitioned fused CN solve: returns (V, s_nodes), both (B, N).
 
-    Same restricted schedule family as ``cn_barrier_solve_pallas`` (uniform
-    dt, Rannacher by step index, European, no dividends); same outputs.
-    The implicit solve runs as P parallel Thomas chains on the sublanes
-    plus a precomputed 2P-interface SPIKE correction — O(N) work per step
-    instead of the Hillis-Steele kernel's O(N log N), with chain LATENCY
-    N/P serial FMAs. The Rannacher (theta=1) steps run as a separate
-    pallas segment so each call carries exactly one theta's solver
-    tensors in VMEM.
+    Piecewise-constant schedule family (European, no dividends); same
+    outputs as ``cn_barrier_solve_pallas``. The implicit solve runs as P
+    parallel Thomas chains on the sublanes plus a precomputed
+    2P-interface SPIKE correction — O(N) work per step instead of the
+    Hillis-Steele kernel's O(N log N), with chain LATENCY N/P serial
+    FMAs. Each run of steps sharing one (theta, dt) pair runs as its own
+    pallas segment so a call carries exactly one solver-tensor set in
+    VMEM:
+
+    - default (``segments=None``): globally uniform dt with the
+      ``rannacher_steps``-step theta=1 prefix — two segments, the
+      original schedule family.
+    - ``segments``/``set_defs`` (static tuples, host-derived — see
+      ``batch._spike_schedule``): ``set_defs`` is ``((theta, k_col),
+      ...)`` — one solver-tensor set per unique (theta, dt-column)
+      signature, dt read from ``batch.dt[:, k_col]``; ``segments`` is
+      ``((k0, k1, set_idx), ...)`` step ranges covering [0, n_steps).
+      This admits monitor-aligned layouts (per-interval dt,
+      grid.monitor_aligned_schedule) without leaving the kernel.
     """
     dtype = jnp.asarray(batch.x_min).dtype
     B = batch.x_min.shape[0]
@@ -700,13 +713,27 @@ def cn_barrier_solve_spike(
     if n_pad - n_int > m:
         raise ValueError("pad rows spill outside the last chunk")
 
+    if segments is None or set_defs is None:
+        n_rann = min(rannacher_steps, n_steps)
+        set_defs, segments = [], []
+        if n_rann > 0:
+            set_defs.append((1.0, 0))
+            segments.append((0, n_rann, 0))
+        if n_steps > n_rann:
+            set_defs.append((0.5, 0))
+            segments.append((n_rann, n_steps, len(set_defs) - 1))
+        set_defs, segments = tuple(set_defs), tuple(segments)
+    if segments[0][0] != 0 or segments[-1][1] != n_steps or any(
+        s1[1] != s2[0] for s1, s2 in zip(segments[:-1], segments[1:])
+    ):
+        raise ValueError(f"segments must tile [0, {n_steps}): {segments}")
+
     x_min = jnp.asarray(batch.x_min)
     dx = jnp.asarray(batch.dx)
     sigma = jnp.asarray(sigma, dtype)
     r = jnp.asarray(batch.r, dtype)
     b = jnp.asarray(batch.b, dtype)
     q = jnp.asarray(batch.q, dtype)
-    dt = jnp.asarray(batch.dt[:, 0], dtype)
 
     i = jnp.arange(N, dtype=dtype)
     s = jnp.exp(x_min[:, None] + i[None, :] * dx[:, None])  # (B, N)
@@ -747,7 +774,8 @@ def cn_barrier_solve_spike(
     e0 = jnp.zeros((m, P, B), dtype).at[0].set(1.0)
     em = jnp.zeros((m, P, B), dtype).at[m - 1].set(1.0)
     eye2p = jnp.eye(2 * P, dtype=dtype)
-    for theta in (1.0, 0.5):
+    for theta, k_col in set_defs:
+        dt = jnp.asarray(batch.dt[:, k_col], dtype)
         a_l = -theta * dt * a_coef
         a_c_diag = 1.0 - theta * dt * b_coef
         a_u = -theta * dt * c_coef
@@ -872,12 +900,9 @@ def cn_barrier_solve_spike(
             tau_T[k0:k1], mon_T[k0:k1],
         )
 
-    n_rann = min(rannacher_steps, n_steps)
     v_t, edges = v0_t, edge0
-    if n_rann > 0:
-        v_t, edges = run_segment(0, v_t, edges, 0, n_rann)
-    if n_steps > n_rann:
-        v_t, edges = run_segment(1, v_t, edges, n_rann, n_steps)
+    for k0, k1, t in segments:
+        v_t, edges = run_segment(t, v_t, edges, k0, k1)
 
     # untranspose: v_full[:, 1+g] = v_t[(g % m)*P + g//m]
     gg = np.arange(n_int)

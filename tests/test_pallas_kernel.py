@@ -162,6 +162,47 @@ class TestSpikeRouting:
                 got[k], ref[k], rtol=1e-9, atol=1e-9, err_msg=k
             )
 
+    def test_monitor_aligned_segmented_parity(self):
+        """Per-interval-dt (monitor-aligned) schedules ride the SPIKE
+        kernel as one pallas segment per (theta, dt) run and must agree
+        with the scan to machine precision (f64 interpret)."""
+        from finite_difference_tpu.models.pde.batch import (
+            _spike_schedule,
+            price_barrier_batch,
+        )
+
+        tb_ma = self._small(
+            monitor_aligned=True, n_time_steps=40,
+            monitor_times=[[0.02, 0.09, 0.13, 0.25]] * 8,
+        )
+        segments, set_defs = _spike_schedule(tb_ma, 128)
+        # 4 unequal intervals (monitor at expiry) + the 2-step Rannacher
+        # split -> >2 segments; Rannacher shares interval 1's dt but not
+        # its theta, so it needs its own tensor set
+        assert len(segments) >= 4
+        assert len(set_defs) >= 4
+        assert segments[0][0] == 0 and segments[-1][1] == tb_ma.dt.shape[1]
+        ref = price_barrier_batch(tb_ma, n_nodes=128, solver="scan")
+        got = price_barrier_batch(tb_ma, n_nodes=128, solver="spike_interpret")
+        for k in ("price", "delta", "gamma", "vega", "theta"):
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=1e-9, atol=1e-9, err_msg=k
+            )
+
+    def test_segment_set_dedup(self):
+        """Equal-length monitor intervals share one solver-tensor set."""
+        from finite_difference_tpu.models.pde.batch import _spike_schedule
+
+        t = 0.25
+        tb = self._small(
+            monitor_aligned=True, n_time_steps=40,
+            monitor_times=[[t / 4, t / 2, 3 * t / 4]] * 8,
+        )
+        segments, set_defs = _spike_schedule(tb, 128)
+        # equal intervals -> one dt value; sets = {theta=1, theta=0.5}
+        assert len(set_defs) == 2
+        assert {s[2] for s in segments} == {0, 1}
+
     def test_eligibility(self):
         from finite_difference_tpu.models.pde.batch import (
             _spike_eligible,
@@ -169,14 +210,16 @@ class TestSpikeRouting:
         )
 
         assert _spike_eligible(self._small(), 128)
-        # monitor-aligned layouts have per-interval dt -> not eligible
-        tb_ma = self._small(
-            monitor_aligned=True, n_time_steps=40,
-            monitor_times=[[0.02, 0.09, 0.13, 0.25]] * 8,
-        )
-        assert not _spike_eligible(tb_ma, 128)
+        # dividend jumps have no kernel step -> not eligible
+        from dataclasses import replace
+
+        tb_div = self._small()
+        div = np.asarray(tb_div.div_amount).copy()
+        div[:, 5] = 1.0
+        tb_div = replace(tb_div, div_amount=div)
+        assert not _spike_eligible(tb_div, 128)
         with pytest.raises(ValueError, match="spike-eligible"):
-            price_barrier_batch(tb_ma, n_nodes=128, solver="spike_interpret")
+            price_barrier_batch(tb_div, n_nodes=128, solver="spike_interpret")
         # ad-vega has no pallas AD rule
         with pytest.raises(ValueError, match="AD rule"):
             price_barrier_batch(
