@@ -299,6 +299,120 @@ def stage_oracle(prices_path: str, greeks_path: str) -> None:
     np.save(greeks_path, g_out.astype(np.float64))
 
 
+def make_american_batch(B: int, dtype):
+    """The American bench trade set (seeded): 1y puts around the money —
+    the reference's production American workload shape
+    (run_american_scenarios.py / fd_american_equity.py), dividend-free so
+    it rides the fused SPIKE+Ikonen-Toivanen pallas kernel on TPU f32."""
+    from finite_difference_tpu.models.pde.batch import build_american_batch
+
+    # draw at the full bench size then slice so any B is a prefix of the
+    # same trade set (the oracle stage re-derives the first 256 trades)
+    rng = np.random.default_rng(7)
+    spots_all = rng.uniform(80.0, 120.0, 4096)
+    sigmas_all = rng.uniform(0.15, 0.4, 4096)
+    return build_american_batch(
+        spots=list(spots_all[:B]),
+        strikes=[100.0] * B,
+        sigmas=list(sigmas_all[:B]),
+        t_expiry=[1.0] * B,
+        r=[0.06] * B,
+        b=[0.02] * B,
+        is_call=[False] * B,
+        n_time_steps=N_STEPS,
+        num_space_nodes=N_SPACE_NODES - 1,
+        dtype=dtype,
+    )
+
+
+def _timed_american(dev, with_greeks, iters, solver, spike_segments=None):
+    import jax
+    import jax.numpy as jnp
+
+    from finite_difference_tpu.models.pde.batch import american_batch_kernel
+
+    kw = dict(
+        n_nodes=N_SPACE_NODES + 1, with_greeks=with_greeks, solver=solver,
+        with_dividends=False,
+    )
+    if solver == "spike":
+        kw["spike_segments"] = spike_segments
+    fn = jax.jit(
+        lambda b: jnp.stack(list(american_batch_kernel(b, **kw).values()))
+    )
+    out = np.asarray(fn(dev))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(fn(dev))
+    return out, time.perf_counter() - t0
+
+
+def stage_american(out_path: str, prices_path: str) -> None:
+    """The batched American sweep (price and price+greeks) — the fused
+    SPIKE + Ikonen-Toivanen pallas kernel on TPU f32 (price_american_batch
+    solver='auto' routing), XLA scan elsewhere. Saves the first
+    BENCH_AM_ORACLE_B f32 prices for the f64 CPU oracle stage."""
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from finite_difference_tpu.models.pde.batch import _spike_schedule
+
+    B = 4096 if on_tpu else 16
+    iters = 8 if on_tpu else 1
+    g_iters = 4 if on_tpu else 1
+    solver = "spike" if on_tpu else "scan"
+    tb = make_american_batch(B, np.float32 if on_tpu else np.float64)
+    dev = jax.tree.map(jnp.asarray, tb)
+    seg = _spike_schedule(tb, N_SPACE_NODES + 1)
+    assert seg is not None, "bench American batch must be spike-eligible"
+
+    out, elapsed = _timed_american(
+        dev, with_greeks=False, iters=iters, solver=solver,
+        spike_segments=seg,
+    )
+    np.save(
+        prices_path,
+        out[0][: int(os.environ.get("BENCH_AM_ORACLE_B", "256"))].astype(
+            np.float64
+        ),
+    )
+    _, g_elapsed = _timed_american(
+        dev, with_greeks=True, iters=g_iters, solver=solver,
+        spike_segments=seg,
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "grids_per_sec": B * iters / elapsed,
+                "greeks_grids_per_sec": B * g_iters / g_elapsed,
+                "batch": B,
+                "solver": solver,
+                "platform": "tpu" if on_tpu else "cpu",
+            },
+            f,
+        )
+
+
+def stage_american_oracle(prices_path: str) -> None:
+    """f64 CPU oracle (scan solver) of the first BENCH_AM_ORACLE_B
+    American bench trades."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    B = int(os.environ.get("BENCH_AM_ORACLE_B", "256"))
+    tb = make_american_batch(B, np.float64)
+    dev = jax.tree.map(jnp.asarray, tb)
+    out, _ = _timed_american(dev, with_greeks=False, iters=0, solver="scan")
+    np.save(prices_path, out[0].astype(np.float64))
+
+
 def stage_analytic(out_path: str) -> None:
     """Batched analytic sweep: B=2^20 MIXED barrier table (singles up/down,
     Ikeda-Kunitomo doubles, vanillas; random in/out) through
@@ -515,7 +629,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--stage",
-        choices=["f32", "f64", "oracle", "analytic", "exposure", "hw1f"],
+        choices=[
+            "f32", "f64", "oracle", "american", "american_oracle",
+            "analytic", "exposure", "hw1f",
+        ],
     )
     parser.add_argument("--out")
     parser.add_argument("--prices")
@@ -527,6 +644,10 @@ def main() -> None:
         return stage_f64(a.out, a.prices, a.greeks)
     if a.stage == "oracle":
         return stage_oracle(a.prices, a.greeks)
+    if a.stage == "american":
+        return stage_american(a.out, a.prices)
+    if a.stage == "american_oracle":
+        return stage_american_oracle(a.prices)
     if a.stage == "analytic":
         return stage_analytic(a.out)
     if a.stage == "exposure":
@@ -575,6 +696,24 @@ def main() -> None:
                     / np.max(np.abs(g_or[row]))
                 ),
             )
+
+        # the American production workload (fd_american_equity.py) on the
+        # fused SPIKE+IT kernel, with its own f64 CPU oracle
+        am_json = os.path.join(td, "american.json")
+        am_npy = os.path.join(td, "american.npy")
+        am_oracle_npy = os.path.join(td, "american_oracle.npy")
+        _run_stage(["--stage", "american", "--out", am_json, "--prices", am_npy])
+        _run_stage(["--stage", "american_oracle", "--prices", am_oracle_npy])
+        am = json.load(open(am_json))
+        am32 = np.load(am_npy)
+        am_or = np.load(am_oracle_npy)
+        n_cmp = min(len(am32), len(am_or))
+        am_rel = float(
+            np.max(
+                np.abs(am32[:n_cmp] - am_or[:n_cmp])
+                / np.maximum(np.abs(am_or[:n_cmp]), 1e-8)
+            )
+        )
 
         # subsystem rungs (each subprocess-isolated like the CN stages)
         sub = {}
@@ -627,6 +766,15 @@ def main() -> None:
         "f64_greeks_batch": f64["greeks_batch"],
         "f64_greeks_max_rel_err_vs_cpu_oracle": g_rel,
         "f64_greeks_meets_1e-6": bool(g_rel <= 1e-6),
+        # the American production workload (fd_american_equity.py /
+        # run_american_scenarios.py) on the fused SPIKE+Ikonen-Toivanen
+        # pallas kernel (f32 rung; the f64 American rung is the scan)
+        "f32_american_solver": am["solver"],
+        "f32_american_grids_per_sec": round(am["grids_per_sec"], 2),
+        "f32_american_greeks_grids_per_sec": round(
+            am["greeks_grids_per_sec"], 2
+        ),
+        "f32_american_max_rel_err_vs_cpu_oracle": am_rel,
         **sub,
     }
     print(json.dumps(result))

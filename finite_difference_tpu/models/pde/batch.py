@@ -505,27 +505,39 @@ def build_american_batch(
     num_space_nodes: int = 400,
     s_max_mult: float = 4.5,
     dtype=np.float64,
+    snap_to_grid: bool = False,
 ) -> BarrierTradeBatch:
     """Struct-of-arrays batch of American trades on the shared stepper.
 
     Same container as the barrier batch (barriers disabled); grids use the
     American policy (american_log_grid) and schedules the segmented layout
     with dividend jumps + IT resets. ``dividends_tau``: per trade, a list of
-    (tau_from_expiry, amount).
+    (tau_from_expiry, amount). ``snap_to_grid`` applies the scalar pricer's
+    spot/strike node snapping (fd_american_equity.py:386 — the payoff kink
+    and the price readout land exactly on grid nodes; the runner path uses
+    it to match AmericanFDMPricer's defaults).
     """
     from .grid import american_log_grid, segmented_schedule
 
     B = len(spots)
     dividends_tau = dividends_tau or [[] for _ in range(B)]
+    spots = [float(s) for s in spots]
+    strikes = [float(k) for k in strikes]
     cols: Dict[str, List] = {k: [] for k in (
         "x_min", "dx", "dt", "theta", "tau_next", "monitor", "div_amount",
         "reset_lambda",
     )}
     for i in range(B):
         g = american_log_grid(
-            float(spots[i]), float(strikes[i]), float(sigmas[i]),
+            spots[i], strikes[i], float(sigmas[i]),
             float(t_expiry[i]), num_space_nodes, s_max_mult,
         )
+        if snap_to_grid:
+            snap = lambda lvl: math.exp(
+                g.x_min + round((math.log(lvl) - g.x_min) / g.dx) * g.dx
+            )
+            spots[i] = snap(spots[i])
+            strikes[i] = snap(strikes[i])
         cols["x_min"].append(g.x_min)
         cols["dx"].append(g.dx)
         sch = segmented_schedule(
@@ -575,7 +587,10 @@ def build_american_batch(
     )
 
 
-def _solve_one_american(batch: BarrierTradeBatch, sigma, n_nodes: int):
+def _solve_one_american(
+    batch: BarrierTradeBatch, sigma, n_nodes: int,
+    with_dividends: bool = True,
+):
     grid = CNGrid(batch.x_min, batch.dx)
     dyn = CNDynamics(
         strike=batch.strike, is_call=batch.is_call, sigma=sigma,
@@ -588,7 +603,7 @@ def _solve_one_american(batch: BarrierTradeBatch, sigma, n_nodes: int):
     )
     return cn_solve(
         grid, dyn, sch, n_nodes, barrier=None, american=True,
-        with_dividends=True, euro_put_lower_boundary=False,
+        with_dividends=with_dividends, euro_put_lower_boundary=False,
     )
 
 
@@ -598,6 +613,9 @@ def american_batch_kernel(
     dv_sigma: float = 0.0001,
     with_greeks: bool = True,
     greeks_mode: str = "bump",
+    solver: str = "scan",
+    spike_segments=None,
+    with_dividends: bool = True,
 ):
     """Device function (jit with static n_nodes/with_greeks): batched
     American price/greeks — the vmapped twin of AmericanFDMPricer's
@@ -605,18 +623,48 @@ def american_batch_kernel(
     instead — the sweep use case). ``greeks_mode='ad'`` computes vega by
     jvp through the scan (incl. the Ikonen-Toivanen projection, whose
     jnp.where carries the correct subgradient) instead of the sigma bump.
+    ``solver='spike'`` runs the batch in the fused SPIKE pallas kernel
+    with the Ikonen-Toivanen projection fused into the step (TPU only,
+    no dividends; price_american_batch checks eligibility).
+    ``with_dividends`` is static: the driver sets it False for
+    dividend-free batches so the scan never compiles the per-step
+    spline-jump machinery (a large cost — and a TPU-f32 worker crash at
+    the 1024x512 production shape — for a no-op).
     """
 
-    def solve(sig_field):
-        v, s = jax.vmap(
-            lambda bt: _solve_one_american(bt, sig_field(bt), n_nodes)
-        )(batch_dev)
-        return v, s
+    if solver in ("spike", "spike_interpret"):
+        if with_greeks and greeks_mode == "ad":
+            raise ValueError(
+                "solver='spike' has no AD rule (pallas custom call); "
+                "use greeks_mode='bump'"
+            )
+        from .pallas_kernel import cn_barrier_solve_spike
+
+        seg, sd = spike_segments if spike_segments is not None else (None, None)
+
+        def solve(sig_field):
+            return cn_barrier_solve_spike(
+                batch_dev, sig_field(batch_dev), n_nodes=n_nodes,
+                n_steps=batch_dev.dt.shape[1],
+                trade_block=min(128, batch_dev.dt.shape[0]),
+                interpret=solver == "spike_interpret",
+                segments=seg, set_defs=sd, american=True,
+            )
+    else:
+        def solve(sig_field):
+            v, s = jax.vmap(
+                lambda bt: _solve_one_american(
+                    bt, sig_field(bt), n_nodes, with_dividends
+                )
+            )(batch_dev)
+            return v, s
 
     if with_greeks and greeks_mode == "ad":
         def price_of_sigma(sig):
             v_, s_ = jax.vmap(
-                lambda bt, sg: _solve_one_american(bt, sg, n_nodes)
+                lambda bt, sg: _solve_one_american(
+                    bt, sg, n_nodes, with_dividends
+                )
             )(batch_dev, sig)
             return jax.vmap(jnp.interp)(batch_dev.s_eff, s_, v_), (v_, s_)
 
@@ -697,6 +745,8 @@ def _run_batch_driver(
     )
     if takes_segments:
         static.append("spike_segments")
+    if "with_dividends" in params:
+        static.append("with_dividends")
     fn = jax.jit(kernel, static_argnames=tuple(static))
     kw = dict(
         n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks,
@@ -708,6 +758,10 @@ def _run_batch_driver(
         # host-derived static segmentation (piecewise-constant schedules
         # ride the kernel as one pallas segment per (theta, dt) run)
         kw["spike_segments"] = _spike_schedule(batch, n_nodes)
+    if "with_dividends" in params:
+        # static: dividend-free batches skip the per-step spline-jump
+        # machinery entirely (host batch inspected before jit)
+        kw["with_dividends"] = bool(np.asarray(batch.div_amount).any())
     B = batch.batch_size
 
     def to_device(x):
@@ -776,6 +830,7 @@ def price_american_batch(
     max_chunk: Optional[int] = 1024,
     dtype=None,
     greeks_mode: str = "bump",
+    solver: str = "auto",
 ) -> Dict[str, np.ndarray]:
     """Batched American sweep; optionally shard the trade axis over a mesh.
 
@@ -783,10 +838,42 @@ def price_american_batch(
     below the single-chip working-set cliff (pass ``max_chunk=None`` to
     force one launch). ``dtype=jnp.float64`` selects the high-accuracy
     (emulated on TPU) precision rung.
+
+    ``solver='auto'`` routes TPU-f32 runs to the fused SPIKE pallas
+    kernel with the Ikonen-Toivanen projection fused into the step when
+    the batch fits its schedule family (piecewise-constant (theta, dt),
+    no dividends — the dividend-free sweep case); everything else — CPU,
+    the f64 rung, dividend-bearing or mesh-sharded batches — runs the
+    XLA scan. The spectral propagator is European-only (the IT
+    projection is nonlinear in the state), so unlike the barrier sweep
+    there is no spectral rung here.
     """
+    if solver == "auto":
+        solver = (
+            "spike"
+            if jax.default_backend() != "cpu"
+            and not _effective_is64(batch, dtype)
+            and mesh is None
+            and _spike_eligible(batch, n_nodes)
+            and (greeks_mode != "ad" or not with_greeks)
+            else "scan"
+        )
+    if solver in ("spike", "spike_interpret"):
+        if not _spike_eligible(batch, n_nodes):
+            raise ValueError(
+                "batch is not spike-eligible (needs a piecewise-constant "
+                "(theta, dt) schedule shared across trades with no "
+                "dividend jumps and a batch size divisible by the "
+                "128-trade block); use solver='auto'"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "solver='spike' does not shard over a mesh (opaque pallas "
+                "custom call); use solver='auto' to route per-backend"
+            )
     return _run_batch_driver(
         american_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
-        mesh, axis_name, max_chunk, dtype, greeks_mode,
+        mesh, axis_name, max_chunk, dtype, greeks_mode, solver,
     )
 
 
@@ -901,6 +988,11 @@ def _spike_schedule(
     monitor intervals share one solver-tensor set.
     """
     if np.asarray(batch.div_amount).any():
+        return None
+    rl = np.asarray(batch.reset_lambda)
+    if rl.ndim == 2 and rl[:, 1:].any():
+        # a mid-schedule IT-multiplier reset only arises from dividend
+        # segments; the kernel has no reset step (k=0 resets are no-ops)
         return None
     th = np.asarray(batch.theta, dtype=float)
     if not np.all(th == th[:1, :]):

@@ -530,13 +530,18 @@ def _kernel_spike(
     edge0_ref,
     # (n_steps, TB)
     tau_next_ref, monitor_ref,
-    # outputs
-    v_out_ref,        # (n_pad, TB) final transposed interior
-    edge_out_ref,     # (2, TB) final boundary values
-    # scratch
-    dp_ref,           # (n_pad, TB)
-    *, n_steps: int, m: int, P: int, r_glast: int,
+    # american=True only: dt_ref (1, TB), payoff_ref/lam0_ref (n_pad, TB)
+    # inputs, then outputs v_out/edge_out/lam_out, then dp scratch;
+    # american=False: outputs v_out/edge_out, then dp scratch
+    *rest,
+    n_steps: int, m: int, P: int, r_glast: int,
+    american: bool = False, euro_put_lower: bool = True,
 ):
+    if american:
+        (dt_ref, payoff_ref, lam0_ref,
+         v_out_ref, edge_out_ref, lam_out_ref, dp_ref) = rest
+    else:
+        v_out_ref, edge_out_ref, dp_ref = rest
     n_pad = m * P
     band = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     padslot = band == P - 1
@@ -550,6 +555,8 @@ def _kernel_spike(
     omask_hi = omask_hi_ref[:] != 0.0
 
     v_out_ref[:] = v0_ref[:]
+    if american:
+        lam_out_ref[:] = lam0_ref[:]
 
     def step(k, carry):
         # one theta set per call: every solver-tensor access below is a
@@ -565,9 +572,12 @@ def _kernel_spike(
         tau = tau_next_ref[k][None, :]
         growth = jnp.exp(growth_rate_ref[:] * tau)
         disc = jnp.exp(-r_ref[:] * tau)
-        v_min_n = jnp.where(
-            is_call, 0.0, strike_ref[:] * disc - s_min_ref[:] * growth
-        )
+        # American pricer convention (fd_american_equity.py:474-478):
+        # put lower boundary K e^{-r tau} without the S_min asymptote
+        v_min_put = strike_ref[:] * disc
+        if euro_put_lower:
+            v_min_put = v_min_put - s_min_ref[:] * growth
+        v_min_n = jnp.where(is_call, 0.0, v_min_put)
         v_max_n = jnp.where(
             is_call, s_max_ref[:] * growth - strike_ref[:] * disc, 0.0
         )
@@ -589,6 +599,10 @@ def _kernel_spike(
         for ii in range(m):
             v_next = v_out_ref[sl(ii + 1)] if ii < m - 1 else up_fix
             rhs = bc * v_cur + bl * v_prev + bu * v_next
+            if american:
+                # Ikonen-Toivanen source term (stepper.py:176); lam is 0
+                # on pad rows so the pad equations stay untouched
+                rhs = rhs + dt_ref[:] * lam_out_ref[sl(ii)]
             if ii == 0:
                 # global row 0: implicit lower-boundary coupling
                 rhs = rhs - jnp.where(band == 0, al * v_min_n, 0.0)
@@ -642,6 +656,18 @@ def _kernel_spike(
                 - bprev * vsp_ref[sl(ii)]
                 - tnext * wsp_ref[sl(ii)]
             )
+            if american:
+                # v = max(payoff, tilde - dt*lam_old);
+                # lam_new = max(0, lam_old + (payoff - tilde)/dt)
+                # (stepper.py:182-187; pads: payoff=lam=tilde=0 -> 0)
+                lam_old = lam_out_ref[sl(ii)]
+                pay = payoff_ref[sl(ii)]
+                dt_row = dt_ref[:]
+                v_am = jnp.maximum(pay, xr - dt_row * lam_old)
+                lam_out_ref[sl(ii)] = jnp.maximum(
+                    lam_old + (pay - xr) / dt_row, 0.0
+                )
+                xr = v_am
             v_out_ref[sl(ii)] = jnp.where(
                 mon & out_mask[sl(ii)], rebate_pv, xr
             )
@@ -659,7 +685,7 @@ def _kernel_spike(
     jax.jit,
     static_argnames=(
         "n_nodes", "n_steps", "rannacher_steps", "trade_block",
-        "p_chunks", "interpret", "segments", "set_defs",
+        "p_chunks", "interpret", "segments", "set_defs", "american",
     ),
 )
 def cn_barrier_solve_spike(
@@ -673,11 +699,17 @@ def cn_barrier_solve_spike(
     interpret: bool = False,
     segments=None,
     set_defs=None,
+    american: bool = False,
 ):
     """SPIKE-partitioned fused CN solve: returns (V, s_nodes), both (B, N).
 
-    Piecewise-constant schedule family (European, no dividends); same
-    outputs as ``cn_barrier_solve_pallas``. The implicit solve runs as P
+    Piecewise-constant schedule family (no dividends); same
+    outputs as ``cn_barrier_solve_pallas``. ``american=True`` fuses the
+    Ikonen-Toivanen early-exercise projection into the step (the lambda
+    multiplier rides VMEM alongside the value grid and threads across
+    pallas segments; lower put boundary switches to the American pricer's
+    K e^{-r tau} convention, stepper.py:174-187 semantics). The implicit
+    solve runs as P
     parallel Thomas chains on the sublanes plus a precomputed
     2P-interface SPIKE correction — O(N) work per step instead of the
     Hillis-Steele kernel's O(N log N), with chain LATENCY N/P serial
@@ -769,7 +801,8 @@ def cn_barrier_solve_spike(
     has_u = jnp.asarray(has_u_np)[..., None]
 
     sets = {k: [] for k in (
-        "w", "af", "ab", "vsp", "wsp", "rinv", "bl", "bc", "bu", "al", "au"
+        "w", "af", "ab", "vsp", "wsp", "rinv", "bl", "bc", "bu", "al",
+        "au", "dt"
     )}
     e0 = jnp.zeros((m, P, B), dtype).at[0].set(1.0)
     em = jnp.zeros((m, P, B), dtype).at[m - 1].set(1.0)
@@ -810,6 +843,7 @@ def cn_barrier_solve_spike(
         sets["bu"].append((1.0 - theta) * dt * c_coef)
         sets["al"].append(a_l)
         sets["au"].append(a_u)
+        sets["dt"].append(dt)
 
     # interior fields in transposed layout (pads -> 0)
     g_flat = np.minimum(g_np, n_int - 1).reshape(-1)     # (n_pad,)
@@ -841,45 +875,33 @@ def cn_barrier_solve_spike(
         (2 * P, 2 * P, TB), lambda j: (0, 0, j), memory_space=pltpu.VMEM
     )
 
-    def run_segment(t, v0_seg, edge_seg, k0, k1):
+    def run_segment(t, v0_seg, edge_seg, lam_seg, k0, k1):
         ns = k1 - k0
         kernel = functools.partial(
-            _kernel_spike, n_steps=ns, m=m, P=P, r_glast=r_glast
+            _kernel_spike, n_steps=ns, m=m, P=P, r_glast=r_glast,
+            american=american, euro_put_lower=not american,
         )
         sched_spec = lambda: pl.BlockSpec(
             (ns, TB), lambda j: (0, j), memory_space=pltpu.VMEM
         )
-        return pl.pallas_call(
-            kernel,
-            grid=(B // TB,),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)
-            ),
-            in_specs=[
-                trade_spec(),  # strike
-                trade_spec(),  # is_call
-                trade_spec(),  # r
-                trade_spec(),  # growth rate (b - q - r)
-                trade_spec(), trade_spec(), trade_spec(),  # rebate set
-                trade_spec(), trade_spec(),  # s_min, s_max
-                trade_spec(), trade_spec(),  # omask_lo, omask_hi
-                trade_spec(), trade_spec(), trade_spec(),  # bl, bc, bu
-                trade_spec(), trade_spec(),                # al, au
-                field_spec(), field_spec(), field_spec(),  # w, af, ab
-                field_spec(), field_spec(),                # vsp, wsp
-                rinv_spec,
-                field_spec(), field_spec(),  # v0, out_mask
-                pair_spec(),                 # edge0
-                sched_spec(), sched_spec(),  # tau_next, monitor
-            ],
-            out_specs=[field_spec(), pair_spec()],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_pad, B), dtype),
-                jax.ShapeDtypeStruct((2, B), dtype),
-            ],
-            scratch_shapes=[pltpu.VMEM((n_pad, TB), dtype)],
-            interpret=interpret,
-        )(
+        in_specs = [
+            trade_spec(),  # strike
+            trade_spec(),  # is_call
+            trade_spec(),  # r
+            trade_spec(),  # growth rate (b - q - r)
+            trade_spec(), trade_spec(), trade_spec(),  # rebate set
+            trade_spec(), trade_spec(),  # s_min, s_max
+            trade_spec(), trade_spec(),  # omask_lo, omask_hi
+            trade_spec(), trade_spec(), trade_spec(),  # bl, bc, bu
+            trade_spec(), trade_spec(),                # al, au
+            field_spec(), field_spec(), field_spec(),  # w, af, ab
+            field_spec(), field_spec(),                # vsp, wsp
+            rinv_spec,
+            field_spec(), field_spec(),  # v0, out_mask
+            pair_spec(),                 # edge0
+            sched_spec(), sched_spec(),  # tau_next, monitor
+        ]
+        operands = [
             row1(strike),
             row1(is_call.astype(dtype)),
             row1(r),
@@ -898,11 +920,36 @@ def cn_barrier_solve_spike(
             v0_seg, omask_t,
             edge_seg,
             tau_T[k0:k1], mon_T[k0:k1],
-        )
+        ]
+        out_specs = [field_spec(), pair_spec()]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad, B), dtype),
+            jax.ShapeDtypeStruct((2, B), dtype),
+        ]
+        if american:
+            in_specs += [trade_spec(), field_spec(), field_spec()]
+            operands += [row1(sets["dt"][t]), payoff_t, lam_seg]
+            out_specs.append(field_spec())
+            out_shape.append(jax.ShapeDtypeStruct((n_pad, B), dtype))
+        res = pl.pallas_call(
+            kernel,
+            grid=(B // TB,),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((n_pad, TB), dtype)],
+            interpret=interpret,
+        )(*operands)
+        return res if american else (*res, None)
 
+    payoff_t = v0_t  # terminal values ARE the payoff (exercise target)
+    lam_t = jnp.zeros((n_pad, B), dtype) if american else None
     v_t, edges = v0_t, edge0
     for k0, k1, t in segments:
-        v_t, edges = run_segment(t, v_t, edges, k0, k1)
+        v_t, edges, lam_t = run_segment(t, v_t, edges, lam_t, k0, k1)
 
     # untranspose: v_full[:, 1+g] = v_t[(g % m)*P + g//m]
     gg = np.arange(n_int)

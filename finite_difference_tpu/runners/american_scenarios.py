@@ -14,6 +14,7 @@ import pandas as pd
 
 from ..models.pde.american import AmericanFDMPricer
 from ..utils.curves import flat_curve
+from ..utils.rates import naca_to_nacc
 from .barrier_scenarios import _diff_block
 
 
@@ -114,6 +115,91 @@ def run_all_american_scenarios(
     return results_df
 
 
+def run_all_american_scenarios_batched(
+    config_csv_path: str,
+    output_csv_path: Optional[str],
+    base_params: Dict[str, Any],
+    mesh=None,
+    num_space_nodes: Optional[int] = None,
+    dtype=np.float64,
+    richardson: bool = True,
+) -> pd.DataFrame:
+    """TPU path: the whole American scenario table as one batched device
+    program (the reference's per-scenario loop, run_american_scenarios.py:
+    209-316, collapsed into one vmapped solve).
+
+    Prices with ``price_american_batch_richardson`` (the batched twin of
+    the scalar pricer's ``price_log2`` Richardson pair) or the flat
+    ``price_american_batch`` when ``richardson=False``. On TPU-f32 runs
+    the batch auto-routes to the fused SPIKE pallas kernel with the
+    Ikonen-Toivanen projection fused into the step (models/pde/
+    pallas_kernel.py); the f64 rung runs the XLA scan.
+    """
+    from ..models.pde.batch import (
+        build_american_batch,
+        price_american_batch,
+        price_american_batch_richardson,
+    )
+    from ..utils.daycount import year_fraction
+
+    config_df = pd.read_csv(config_csv_path)
+    valuation = base_params["valuation"]
+    maturity = base_params["maturity"]
+    opt_type = base_params.get("opt_type", "call")
+    n_time = base_params.get("num_time_steps", 500)
+    n_space = num_space_nodes or base_params.get("num_space_nodes", 500)
+    day_count = base_params.get("day_count", "ACT/365")
+
+    t_exp = year_fraction(valuation, maturity, day_count)
+    rows = list(config_df.iterrows())
+    B = len(rows)
+    nacc = [naca_to_nacc(float(row["rate"])) for _, row in rows]
+    build_kwargs = dict(
+        spots=[float(row["S0"]) for _, row in rows],
+        strikes=[float(row["K"]) for _, row in rows],
+        sigmas=[float(row["sigma"]) for _, row in rows],
+        t_expiry=[t_exp] * B,
+        r=nacc,
+        b=nacc,
+        is_call=[opt_type == "call"] * B,
+        num_space_nodes=n_space,
+        dtype=dtype,
+        snap_to_grid=True,  # match AmericanFDMPricer's runner defaults
+    )
+    if richardson:
+        out = price_american_batch_richardson(
+            n_nodes=n_space + 1, n_time_steps=n_time,
+            # the scalar price_log2's reference quirk: the refined run
+            # steps 2*num_space_nodes times (fd_american_equity.py:944-952)
+            n_time_steps_fine=2 * n_space,
+            mesh=mesh,
+            **build_kwargs,
+        )
+    else:
+        tb = build_american_batch(n_time_steps=n_time, **build_kwargs)
+        out = price_american_batch(tb, n_nodes=n_space + 1, mesh=mesh)
+
+    all_results = []
+    for i, (_, row) in enumerate(rows):
+        nan_to_none = lambda k: row[k] if k in row and pd.notna(row[k]) else None
+        res: Dict[str, Any] = {
+            "scenario_name": row["scenario_name"],
+            "S0": row["S0"],
+            "K": row["K"],
+            "sigma": row["sigma"],
+            "rate": row["rate"],
+        }
+        res.update(_diff_block("price", float(out["price"][i]), nan_to_none("FA_price")))
+        res.update(_diff_block("delta", float(out["delta"][i]), nan_to_none("FA_delta")))
+        res.update(_diff_block("gamma", float(out["gamma"][i]), nan_to_none("FA_gamma")))
+        res.update(_diff_block("vega", float(out["vega"][i]), nan_to_none("FA_vega")))
+        all_results.append(res)
+    results_df = pd.DataFrame(all_results)
+    if output_csv_path:
+        results_df.to_csv(output_csv_path, index=False)
+    return results_df
+
+
 def build_parser():
     """CLI mirroring the reference's run_american_scenarios.py __main__."""
     import argparse
@@ -127,6 +213,11 @@ def build_parser():
     p.add_argument("--valuation", default="2025-07-28")
     p.add_argument("--maturity", default="2025-08-28")
     p.add_argument("--opt-type", default="put", choices=["call", "put"])
+    p.add_argument(
+        "--batched", action="store_true",
+        help="price the whole table as one batched device program "
+        "(Richardson pair; TPU-f32 rides the SPIKE pallas kernel)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -140,9 +231,14 @@ def main(argv=None):
         maturity=_dt.date.fromisoformat(args.maturity),
         opt_type=args.opt_type,
     )
-    df = run_all_american_scenarios(
-        args.config_csv, args.output_csv, base, verbose=args.verbose
-    )
+    if args.batched:
+        df = run_all_american_scenarios_batched(
+            args.config_csv, args.output_csv, base
+        )
+    else:
+        df = run_all_american_scenarios(
+            args.config_csv, args.output_csv, base, verbose=args.verbose
+        )
     cols = [c for c in df.columns
             if c in ("scenario_name", "model_price", "FA_price", "price_pct_diff")]
     print(df[cols].to_string(index=False))

@@ -228,6 +228,72 @@ class TestSpikeRouting:
             )
 
 
+class TestAmericanSpike:
+    """price_american_batch routing into the SPIKE solver (fused
+    Ikonen-Toivanen projection, pallas_kernel.py american=True)."""
+
+    def _batch(self, dividends_tau=None, **kw):
+        B = 8
+        args = dict(
+            spots=[90.0 + 2 * i for i in range(B)],
+            strikes=[100.0] * B,
+            sigmas=[0.15 + 0.02 * i for i in range(B)],
+            t_expiry=[0.25, 0.5, 1.0, 1.5, 0.75, 1.0, 2.0, 0.3],
+            r=[0.06] * B,
+            b=[0.06, 0.04, 0.06, 0.02, 0.06, 0.05, 0.06, 0.03],
+            is_call=[True, False] * 4,
+            n_time_steps=64,
+            num_space_nodes=202,
+            dividends_tau=dividends_tau,
+        )
+        args.update(kw)
+        from finite_difference_tpu.models.pde.batch import build_american_batch
+
+        return build_american_batch(**args)
+
+    def test_interpret_parity_vs_scan(self):
+        """Mixed calls/puts, per-trade maturities and carries: the fused
+        IT projection must agree with the scan path (f64 interpret)."""
+        from finite_difference_tpu.models.pde.batch import price_american_batch
+
+        tb = self._batch()
+        ref = price_american_batch(tb, n_nodes=202, solver="scan")
+        got = price_american_batch(tb, n_nodes=202, solver="spike_interpret")
+        for k in ("price", "delta", "gamma", "vega"):
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=1e-9, atol=1e-9, err_msg=k
+            )
+        # early-exercise premium is real: deep ITM put >= intrinsic
+        put_itm = np.asarray(got["price"])[1]  # spot 92, strike 100
+        assert put_itm >= 100.0 - 92.0
+
+    def test_dividends_not_eligible(self):
+        """Dividend jumps (and their IT resets) have no kernel step."""
+        from finite_difference_tpu.models.pde.batch import (
+            _spike_eligible,
+            price_american_batch,
+        )
+
+        assert _spike_eligible(self._batch(), 202)
+        tb_div = self._batch(
+            dividends_tau=[[(0.1, 1.5)]] * 8,
+            t_expiry=[1.0] * 8,
+        )
+        assert not _spike_eligible(tb_div, 202)
+        with pytest.raises(ValueError, match="spike-eligible"):
+            price_american_batch(tb_div, n_nodes=202, solver="spike_interpret")
+
+    def test_auto_on_cpu_is_scan(self):
+        """solver='auto' off-TPU must take the scan (and match it)."""
+        from finite_difference_tpu.models.pde.batch import price_american_batch
+
+        tb = self._batch()
+        ref = price_american_batch(tb, n_nodes=202, solver="scan")
+        got = price_american_batch(tb, n_nodes=202)  # default auto
+        for k in ("price", "delta", "gamma", "vega"):
+            np.testing.assert_allclose(got[k], ref[k], rtol=0, err_msg=k)
+
+
 class TestPallasCRKernel:
     def test_cr_level_coeffs_solve_matches_thomas(self):
         """The packed scalar-class CR coefficients reproduce

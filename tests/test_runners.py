@@ -170,6 +170,47 @@ class TestAmericanRunner:
         )
         assert df["price_pct_diff"].iloc[0] < 2.0
 
+    def test_batched_matches_scalar(self, tmp_path):
+        """--batched (one device program, Richardson pair) agrees with the
+        per-scenario AmericanFDMPricer loop."""
+        from finite_difference_tpu.runners.american_scenarios import (
+            run_all_american_scenarios_batched,
+        )
+
+        cfg = pd.DataFrame(
+            [
+                {
+                    "scenario_name": "am1", "S0": 176.39, "K": 170.0,
+                    "sigma": 0.2968, "rate": np.exp(0.0705) - 1.0,
+                    "FA_price": 2.9847, "FA_delta": np.nan,
+                    "FA_gamma": np.nan, "FA_vega": np.nan,
+                },
+                {
+                    "scenario_name": "am2", "S0": 160.0, "K": 170.0,
+                    "sigma": 0.25, "rate": np.exp(0.0705) - 1.0,
+                    "FA_price": np.nan, "FA_delta": np.nan,
+                    "FA_gamma": np.nan, "FA_vega": np.nan,
+                },
+            ]
+        )
+        p = tmp_path / "am.csv"
+        cfg.to_csv(p, index=False)
+        base = dict(valuation=VAL, maturity=MAT, opt_type="put",
+                    num_space_nodes=300, num_time_steps=300)
+        scalar = run_all_american_scenarios(str(p), None, base)
+        batched = run_all_american_scenarios_batched(str(p), None, base)
+        # same snapped grid + the same Richardson quirk -> exact prices;
+        # greeks use a central stencil vs the scalar local-cubic (~1e-4)
+        np.testing.assert_allclose(
+            batched["model_price"], scalar["model_price"], rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            batched["model_delta"], scalar["model_delta"], atol=1e-3
+        )
+        np.testing.assert_allclose(
+            batched["model_vega"], scalar["model_vega"], atol=1e-3
+        )
+
 
 class TestBSRunner:
     def test_simple_path(self):
