@@ -325,7 +325,10 @@ def make_american_batch(B: int, dtype):
     )
 
 
-def _timed_american(dev, with_greeks, iters, solver, spike_segments=None):
+def _timed_american(
+    dev, with_greeks, iters, solver, spike_segments=None,
+    greeks_mode="bump",
+):
     import jax
     import jax.numpy as jnp
 
@@ -333,7 +336,7 @@ def _timed_american(dev, with_greeks, iters, solver, spike_segments=None):
 
     kw = dict(
         n_nodes=N_SPACE_NODES + 1, with_greeks=with_greeks, solver=solver,
-        with_dividends=False,
+        with_dividends=False, greeks_mode=greeks_mode,
     )
     if solver == "spike":
         kw["spike_segments"] = spike_segments
@@ -397,9 +400,44 @@ def stage_american(out_path: str, prices_path: str) -> None:
         )
 
 
+def stage_american64(out_path: str, prices_path: str) -> None:
+    """The American production workload AT THE ACCURACY RUNG: f64
+    (x64-emulated on TPU) price+delta+gamma+vega through the CN scan —
+    the cell that matches run_american_scenarios.py's per-scenario
+    greeks_log2 at the <=1e-6 bar. Vega via forward-mode AD (jvp through
+    the scan incl. the IT projection — no bump-h noise to amplify the
+    x64-emulation error). Saves the full (4, B) output stack for the
+    oracle comparison."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    B = int(os.environ.get("BENCH_AM_ORACLE_B", "256"))
+    iters = 2 if on_tpu else 1
+    tb = make_american_batch(B, np.float64)
+    dev = jax.tree.map(jnp.asarray, tb)
+    out, elapsed = _timed_american(
+        dev, with_greeks=True, iters=iters, solver="scan", greeks_mode="ad"
+    )
+    np.save(prices_path, out.astype(np.float64))
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "greeks_grids_per_sec": B * iters / elapsed,
+                "batch": B,
+                "platform": "tpu" if on_tpu else "cpu",
+            },
+            f,
+        )
+
+
 def stage_american_oracle(prices_path: str) -> None:
-    """f64 CPU oracle (scan solver) of the first BENCH_AM_ORACLE_B
-    American bench trades."""
+    """f64 CPU oracle (scan solver, price+greeks stack) of the first
+    BENCH_AM_ORACLE_B American bench trades."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -409,8 +447,10 @@ def stage_american_oracle(prices_path: str) -> None:
     B = int(os.environ.get("BENCH_AM_ORACLE_B", "256"))
     tb = make_american_batch(B, np.float64)
     dev = jax.tree.map(jnp.asarray, tb)
-    out, _ = _timed_american(dev, with_greeks=False, iters=0, solver="scan")
-    np.save(prices_path, out[0].astype(np.float64))
+    out, _ = _timed_american(
+        dev, with_greeks=True, iters=0, solver="scan", greeks_mode="ad"
+    )
+    np.save(prices_path, out.astype(np.float64))
 
 
 def stage_analytic(out_path: str) -> None:
@@ -630,8 +670,8 @@ def main() -> None:
     parser.add_argument(
         "--stage",
         choices=[
-            "f32", "f64", "oracle", "american", "american_oracle",
-            "analytic", "exposure", "hw1f",
+            "f32", "f64", "oracle", "american", "american64",
+            "american_oracle", "analytic", "exposure", "hw1f",
         ],
     )
     parser.add_argument("--out")
@@ -646,6 +686,8 @@ def main() -> None:
         return stage_oracle(a.prices, a.greeks)
     if a.stage == "american":
         return stage_american(a.out, a.prices)
+    if a.stage == "american64":
+        return stage_american64(a.out, a.prices)
     if a.stage == "american_oracle":
         return stage_american_oracle(a.prices)
     if a.stage == "analytic":
@@ -698,15 +740,22 @@ def main() -> None:
             )
 
         # the American production workload (fd_american_equity.py) on the
-        # fused SPIKE+IT kernel, with its own f64 CPU oracle
+        # fused SPIKE+IT kernel (f32 throughput rung) and the f64 scan
+        # (accuracy rung, price+greeks), each vs the f64 CPU oracle
         am_json = os.path.join(td, "american.json")
         am_npy = os.path.join(td, "american.npy")
+        am64_json = os.path.join(td, "american64.json")
+        am64_npy = os.path.join(td, "american64.npy")
         am_oracle_npy = os.path.join(td, "american_oracle.npy")
         _run_stage(["--stage", "american", "--out", am_json, "--prices", am_npy])
+        _run_stage([
+            "--stage", "american64", "--out", am64_json, "--prices", am64_npy,
+        ])
         _run_stage(["--stage", "american_oracle", "--prices", am_oracle_npy])
         am = json.load(open(am_json))
         am32 = np.load(am_npy)
-        am_or = np.load(am_oracle_npy)
+        am_stack_or = np.load(am_oracle_npy)  # (5, B): price + greeks rows
+        am_or = am_stack_or[0]
         n_cmp = min(len(am32), len(am_or))
         am_rel = float(
             np.max(
@@ -714,6 +763,23 @@ def main() -> None:
                 / np.maximum(np.abs(am_or[:n_cmp]), 1e-8)
             )
         )
+        am64 = json.load(open(am64_json))
+        am64_stack = np.load(am64_npy)
+        # same row policy as the barrier greeks rung above
+        am64_rel = float(
+            np.max(
+                np.abs(am64_stack[0] - am_stack_or[0])
+                / np.maximum(np.abs(am_stack_or[0]), 1e-8)
+            )
+        )
+        for row in range(1, am_stack_or.shape[0]):
+            am64_rel = max(
+                am64_rel,
+                float(
+                    np.max(np.abs(am64_stack[row] - am_stack_or[row]))
+                    / np.max(np.abs(am_stack_or[row]))
+                ),
+            )
 
         # subsystem rungs (each subprocess-isolated like the CN stages)
         sub = {}
@@ -775,6 +841,14 @@ def main() -> None:
             am["greeks_grids_per_sec"], 2
         ),
         "f32_american_max_rel_err_vs_cpu_oracle": am_rel,
+        # the American workload at the accuracy rung: f64 scan,
+        # price+delta+gamma+AD-vega vs the f64 CPU oracle
+        "f64_american_greeks_grids_per_sec": round(
+            am64["greeks_grids_per_sec"], 2
+        ),
+        "f64_american_greeks_batch": am64["batch"],
+        "f64_american_max_rel_err_vs_cpu_oracle": am64_rel,
+        "f64_american_meets_1e-6": bool(am64_rel <= 1e-6),
         **sub,
     }
     print(json.dumps(result))
