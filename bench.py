@@ -650,19 +650,30 @@ def stage_hw1f(out_path: str) -> None:
         )
 
 
-def _run_stage(args, timeout=3600):
-    proc = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py")] + args,
-        cwd=HERE,
-        timeout=timeout,
-        capture_output=True,
-        text=True,
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"bench stage {args} failed:\n{proc.stdout[-2000:]}\n"
-            f"{proc.stderr[-2000:]}"
+def _run_stage(args, timeout=3600, retries=1):
+    """Run one stage subprocess; retry once on failure (the TPU tunnel
+    backend occasionally fails to initialize transiently — a one-shot
+    stage error must not zero the whole bench artifact)."""
+    for attempt in range(retries + 1):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")] + args,
+            cwd=HERE,
+            timeout=timeout,
+            capture_output=True,
+            text=True,
         )
+        if proc.returncode == 0:
+            return
+        if attempt < retries:
+            print(
+                f"# stage {args} failed (attempt {attempt + 1}), retrying",
+                file=sys.stderr,
+            )
+            time.sleep(10)
+    raise RuntimeError(
+        f"bench stage {args} failed:\n{proc.stdout[-2000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
 
 
 def main() -> None:
