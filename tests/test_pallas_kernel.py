@@ -293,6 +293,41 @@ class TestAmericanSpike:
         for k in ("price", "delta", "gamma", "vega"):
             np.testing.assert_allclose(got[k], ref[k], rtol=0, err_msg=k)
 
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_fuzz_random_batches(self, seed):
+        """Randomized spike-vs-scan parity: random moneyness/vol/carry/
+        maturity mixes, random step counts, calls and puts."""
+        from finite_difference_tpu.models.pde.batch import (
+            build_american_batch,
+            price_american_batch,
+        )
+
+        rng = np.random.default_rng(seed)
+        B = 8
+        n_steps = int(rng.integers(16, 96))
+        tb = build_american_batch(
+            spots=list(rng.uniform(60.0, 160.0, B)),
+            strikes=list(rng.uniform(80.0, 120.0, B)),
+            sigmas=list(rng.uniform(0.1, 0.6, B)),
+            t_expiry=list(rng.uniform(0.1, 2.5, B)),
+            r=list(rng.uniform(0.0, 0.12, B)),
+            b=list(rng.uniform(-0.05, 0.12, B)),
+            is_call=list(rng.integers(0, 2, B) == 1),
+            n_time_steps=n_steps,
+            num_space_nodes=int(rng.choice([150, 202, 254])),
+        )
+        # solve width drawn independently so the kernel pad path
+        # (n_int % P != 0) and the exact-fit path both get exercised
+        n_nodes = int(rng.choice([152, 202, 256]))
+        ref = price_american_batch(tb, n_nodes=n_nodes, solver="scan")
+        got = price_american_batch(
+            tb, n_nodes=n_nodes, solver="spike_interpret"
+        )
+        for k in ("price", "delta", "gamma", "vega"):
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=1e-8, atol=1e-8, err_msg=k
+            )
+
 
 class TestPallasCRKernel:
     def test_cr_level_coeffs_solve_matches_thomas(self):
