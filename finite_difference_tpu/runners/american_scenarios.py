@@ -154,6 +154,19 @@ def run_all_american_scenarios_batched(
     rows = list(config_df.iterrows())
     B = len(rows)
     nacc = [naca_to_nacc(float(row["rate"])) for _, row in rows]
+    # discrete dividends (base_params 'divs': [(ex_date, amount), ...])
+    # become per-trade (tau_from_expiry, amount) pairs for the segmented
+    # schedule — dividend-bearing batches run the scan (spline jumps)
+    divs_tau = sorted(
+        (
+            (t_exp - year_fraction(valuation, d, day_count), float(a))
+            for d, a in base_params.get("divs") or []
+            # same strict window as AmericanFDMPricer._div_times_tau
+            if valuation < d < maturity
+            and 0.0 < year_fraction(valuation, d, day_count) < t_exp
+        ),
+        key=lambda x: x[0],
+    )
     build_kwargs = dict(
         spots=[float(row["S0"]) for _, row in rows],
         strikes=[float(row["K"]) for _, row in rows],
@@ -162,6 +175,7 @@ def run_all_american_scenarios_batched(
         r=nacc,
         b=nacc,
         is_call=[opt_type == "call"] * B,
+        dividends_tau=[list(divs_tau)] * B,
         num_space_nodes=n_space,
         dtype=dtype,
         snap_to_grid=True,  # match AmericanFDMPricer's runner defaults

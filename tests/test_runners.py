@@ -211,6 +211,40 @@ class TestAmericanRunner:
             batched["model_vega"], scalar["model_vega"], atol=1e-3
         )
 
+    def test_batched_with_dividends_matches_scalar(self, tmp_path):
+        """Discrete dividends in base_params ride the batched path
+        (segmented schedule + spline jumps) and still match the scalar
+        per-scenario loop."""
+        import datetime as _dt
+
+        from finite_difference_tpu.runners.american_scenarios import (
+            run_all_american_scenarios_batched,
+        )
+
+        cfg = pd.DataFrame(
+            [
+                {
+                    "scenario_name": "amdiv", "S0": 100.0, "K": 100.0,
+                    "sigma": 0.3, "rate": 0.07, "FA_price": np.nan,
+                    "FA_delta": np.nan, "FA_gamma": np.nan,
+                    "FA_vega": np.nan,
+                },
+            ]
+        )
+        p = tmp_path / "amdiv.csv"
+        cfg.to_csv(p, index=False)
+        mat = _dt.date(2026, 1, 28)
+        base = dict(
+            valuation=VAL, maturity=mat, opt_type="put",
+            divs=[(_dt.date(2025, 10, 15), 4.0)],
+            num_space_nodes=200, num_time_steps=200,
+        )
+        scalar = run_all_american_scenarios(str(p), None, base)
+        batched = run_all_american_scenarios_batched(str(p), None, base)
+        np.testing.assert_allclose(
+            batched["model_price"], scalar["model_price"], rtol=1e-10
+        )
+
 
 class TestBSRunner:
     def test_simple_path(self):
