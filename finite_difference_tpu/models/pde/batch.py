@@ -796,6 +796,13 @@ def _run_batch_driver(
     else:
         run = lambda piece: fn(piece, **kw)
         chunk = max_chunk
+        if takes_solver and solver in ("spike", "spike_interpret"):
+            # the SPIKE kernel's march is VMEM-resident — the scan's HBM
+            # working-set cliff (max_chunk's reason to exist) does not
+            # apply, and one B=4096 launch measures ~2x the chunked
+            # B=1024 launches (docs/PERF_NOTES.md); grid blocks already
+            # stream through the core sequentially inside the kernel
+            chunk = None
 
     if chunk is None or B <= chunk:
         out = run(dev)

@@ -293,6 +293,22 @@ class TestAmericanSpike:
         for k in ("price", "delta", "gamma", "vega"):
             np.testing.assert_allclose(got[k], ref[k], rtol=0, err_msg=k)
 
+    def test_spike_ignores_max_chunk(self):
+        """SPIKE has no HBM working-set cliff: the driver must run one
+        launch even when B > max_chunk (chunking measured ~2x slower),
+        and still match the (chunked) scan."""
+        from finite_difference_tpu.models.pde.batch import price_american_batch
+
+        tb = self._batch()
+        ref = price_american_batch(tb, n_nodes=202, solver="scan")
+        got = price_american_batch(
+            tb, n_nodes=202, solver="spike_interpret", max_chunk=3
+        )
+        for k in ("price", "delta", "gamma", "vega"):
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=1e-9, atol=1e-9, err_msg=k
+            )
+
     @pytest.mark.parametrize("seed", [1, 2, 3])
     def test_fuzz_random_batches(self, seed):
         """Randomized spike-vs-scan parity: random moneyness/vol/carry/
