@@ -228,6 +228,52 @@ class TestSpikeRouting:
             )
 
 
+class TestSpikeFuzz:
+    """Randomized barrier fuzz through the driver: random barrier side
+    mixes (up/down/double/none), rebates (at-hit and at-expiry), calls
+    and puts, random monitor counts — spike_interpret vs scan."""
+
+    @pytest.mark.parametrize("seed", [11, 12, 13])
+    def test_fuzz_random_barrier_batches(self, seed):
+        from finite_difference_tpu.models.pde.batch import (
+            build_trade_batch,
+            price_barrier_batch,
+        )
+
+        rng = np.random.default_rng(seed)
+        B = 8
+        t = float(rng.uniform(0.1, 1.5))
+        n_mon = int(rng.integers(2, 9))
+        lower, upper = [], []
+        for _ in range(B):
+            kind = rng.integers(0, 4)
+            lower.append(float(rng.uniform(60.0, 80.0)) if kind in (1, 3) else None)
+            upper.append(float(rng.uniform(125.0, 160.0)) if kind in (2, 3) else None)
+        tb = build_trade_batch(
+            spots=list(rng.uniform(85.0, 115.0, B)),
+            strikes=list(rng.uniform(90.0, 110.0, B)),
+            sigmas=list(rng.uniform(0.15, 0.5, B)),
+            t_expiry=[t] * B,
+            r=list(rng.uniform(0.0, 0.1, B)),
+            b=list(rng.uniform(-0.02, 0.1, B)),
+            is_call=list(rng.integers(0, 2, B) == 1),
+            n_time_steps=int(rng.integers(24, 80)),
+            monitor_times=[[t * (k + 1) / n_mon for k in range(n_mon)]] * B,
+            lower=lower,
+            upper=upper,
+            rebate=list(rng.uniform(0.0, 3.0, B)),
+            rebate_at_hit=list(rng.integers(0, 2, B) == 1),
+            num_space_nodes=int(rng.choice([127, 150, 202])),
+        )
+        n_nodes = int(rng.choice([128, 152, 204]))
+        ref = price_barrier_batch(tb, n_nodes=n_nodes, solver="scan")
+        got = price_barrier_batch(tb, n_nodes=n_nodes, solver="spike_interpret")
+        for k in ("price", "delta", "gamma", "vega"):
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=1e-8, atol=1e-8, err_msg=k
+            )
+
+
 class TestAmericanSpike:
     """price_american_batch routing into the SPIKE solver (fused
     Ikonen-Toivanen projection, pallas_kernel.py american=True)."""
