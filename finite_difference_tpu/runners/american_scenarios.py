@@ -149,6 +149,16 @@ def run_all_american_scenarios_batched(
     n_time = base_params.get("num_time_steps", 500)
     n_space = num_space_nodes or base_params.get("num_space_nodes", 500)
     day_count = base_params.get("day_count", "ACT/365")
+    for lag in (
+        "underlying_spot_days", "option_days", "option_settlement_days"
+    ):
+        if base_params.get(lag):
+            # the batch container carries one time measure; non-zero FA
+            # settlement lags need the scalar per-scenario path
+            raise ValueError(
+                f"batched American runner does not support {lag}; use "
+                "run_all_american_scenarios"
+            )
 
     t_exp = year_fraction(valuation, maturity, day_count)
     rows = list(config_df.iterrows())
