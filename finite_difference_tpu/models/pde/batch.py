@@ -12,7 +12,7 @@ from __future__ import annotations
 import inspect
 import math
 from dataclasses import dataclass, replace
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -327,7 +327,12 @@ def _effective_is64(batch: BarrierTradeBatch, dtype) -> bool:
         return False
     if dtype is not None:
         return jnp.dtype(dtype).itemsize > 4
-    return np.asarray(batch.sigma).dtype.itemsize > 4
+    # dtype inspection only — np.asarray on a device array would pull the
+    # data back to host just to read .dtype
+    sig_dtype = getattr(batch.sigma, "dtype", None)
+    if sig_dtype is None:
+        return np.asarray(batch.sigma).dtype.itemsize > 4
+    return np.dtype(sig_dtype).itemsize > 4
 
 
 def solve_value_surfaces(
@@ -694,6 +699,22 @@ def american_batch_kernel(
     return out
 
 
+_JIT_CACHE: Dict[tuple, Any] = {}
+
+
+def _jitted_kernel(kernel, static_argnames: tuple):
+    """Module-level jit-wrapper cache. Building a fresh ``jax.jit`` object
+    per driver call makes every call re-trace (the wrapper's cache dies
+    with it) — ~50-100 ms of pure Python tracing per launch in a serving
+    loop even though the XLA executable is cached. One wrapper per
+    (kernel, statics) keeps repeat calls on the C++ fast path."""
+    key = (kernel, static_argnames)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = jax.jit(kernel, static_argnames=static_argnames)
+    return fn
+
+
 def _run_batch_driver(
     kernel,
     batch: BarrierTradeBatch,
@@ -747,7 +768,7 @@ def _run_batch_driver(
         static.append("spike_segments")
     if "with_dividends" in params:
         static.append("with_dividends")
-    fn = jax.jit(kernel, static_argnames=tuple(static))
+    fn = _jitted_kernel(kernel, tuple(static))
     kw = dict(
         n_nodes=n_nodes, dv_sigma=dv_sigma, with_greeks=with_greeks,
         greeks_mode=greeks_mode,
@@ -760,8 +781,12 @@ def _run_batch_driver(
         kw["spike_segments"] = _spike_schedule(batch, n_nodes)
     if "with_dividends" in params:
         # static: dividend-free batches skip the per-step spline-jump
-        # machinery entirely (host batch inspected before jit)
-        kw["with_dividends"] = bool(np.asarray(batch.div_amount).any())
+        # machinery entirely. Spike eligibility already guarantees
+        # dividend-free, so skip the (device-pulling) inspection there.
+        if takes_solver and solver in ("spike", "spike_interpret"):
+            kw["with_dividends"] = False
+        else:
+            kw["with_dividends"] = bool(np.asarray(batch.div_amount).any())
     B = batch.batch_size
 
     def to_device(x):
@@ -966,10 +991,19 @@ def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     return k_end, apply_proj, R.astype(np.int32), sp_dt
 
 
+_SPIKE_SCHED_CACHE: Dict[tuple, tuple] = {}
+
+
 def _spike_schedule(
     batch: BarrierTradeBatch, n_nodes: int, max_segments: int = 64
 ):
     """Static SPIKE segmentation for the batch, or None if ineligible.
+
+    Memoized by array identity: the schedule inspection pulls the
+    (B, n_steps) schedule fields to host, which for a DEVICE-resident
+    batch is tens of MB back through the tunnel per call — and the
+    driver consults it twice per launch (auto-routing + kernel kwargs).
+    A serving loop re-pricing the same batch object pays it once.
 
     The SPIKE pallas kernel (pallas_kernel.cn_barrier_solve_spike) runs
     one pallas segment per run of steps sharing a (theta, dt) pair, so
@@ -994,6 +1028,26 @@ def _spike_schedule(
     dt-column) signature so e.g. the Rannacher prefix and equal-length
     monitor intervals share one solver-tensor set.
     """
+    fields = (batch.div_amount, batch.reset_lambda, batch.theta, batch.dt)
+    # identity-keyed memo for immutable (jax) arrays only — host numpy
+    # batches are mutable and cost nothing to re-inspect
+    cacheable = all(isinstance(a, jax.Array) for a in fields)
+    if cacheable:
+        key = (n_nodes, max_segments) + tuple(id(a) for a in fields)
+        hit = _SPIKE_SCHED_CACHE.get(key)
+        if hit is not None and all(a is b for a, b in zip(hit[0], fields)):
+            return hit[1]
+    out = _spike_schedule_impl(batch, n_nodes, max_segments)
+    if cacheable:
+        if len(_SPIKE_SCHED_CACHE) > 32:
+            _SPIKE_SCHED_CACHE.clear()
+        _SPIKE_SCHED_CACHE[key] = (fields, out)
+    return out
+
+
+def _spike_schedule_impl(
+    batch: BarrierTradeBatch, n_nodes: int, max_segments: int
+):
     if np.asarray(batch.div_amount).any():
         return None
     rl = np.asarray(batch.reset_lambda)
