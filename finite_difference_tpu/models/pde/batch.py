@@ -909,6 +909,9 @@ def price_american_batch(
     )
 
 
+_SPECTRAL_LAYOUT_CACHE: Dict[tuple, tuple] = {}
+
+
 def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     """(sp_k_end, sp_apply, sp_rann, sp_dt) if the batch is
     spectral-eligible, else None. Eligibility = the schedule shape the
@@ -918,7 +921,34 @@ def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     discrete_barrier_fdm_pricer_cn.py:92-118 — Rannacher-prefix thetas,
     no dividend jumps) plus a bounded symmetrizer exponent for the
     working dtype. ``sp_dt`` is None for globally-uniform dt (the hoisted
-    fast path) and (B, n_intervals) otherwise."""
+    fast path) and (B, n_intervals) otherwise.
+
+    Memoized by array identity (immutable jax inputs only), like
+    :func:`_spike_schedule`: the inspection pulls the (B, n_steps)
+    schedule fields to host, which a device-resident f64 serving loop
+    would otherwise pay through the tunnel on every call.
+    """
+    fields = (
+        batch.div_amount, batch.dt, batch.theta, batch.monitor,
+        batch.sigma, batch.b, batch.q, batch.dx,
+    )
+    cacheable = all(isinstance(a, jax.Array) for a in fields)
+    if cacheable:
+        key = (n_nodes, _effective_is64(batch, dtype)) + tuple(
+            id(a) for a in fields
+        )
+        hit = _SPECTRAL_LAYOUT_CACHE.get(key)
+        if hit is not None and all(a is b for a, b in zip(hit[0], fields)):
+            return hit[1]
+    out = _spectral_layout_impl(batch, n_nodes, dtype)
+    if cacheable:
+        if len(_SPECTRAL_LAYOUT_CACHE) > 32:
+            _SPECTRAL_LAYOUT_CACHE.clear()
+        _SPECTRAL_LAYOUT_CACHE[key] = (fields, out)
+    return out
+
+
+def _spectral_layout_impl(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     from .spectral import spectral_intervals, symmetrizer_exponent
 
     if np.asarray(batch.div_amount).any():
