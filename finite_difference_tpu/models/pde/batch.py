@@ -354,10 +354,15 @@ def solve_value_surfaces(
     only — the per-step projection is inherently sequential).
     """
     if american:
+        # static dividend flag: dividend-free ladders skip compiling the
+        # per-step spline-jump machinery (same gating as the price driver)
+        with_div = bool(np.asarray(batch.div_amount).any())
         dev = jax.tree.map(jnp.asarray, batch)
         fn = jax.jit(
             lambda b: jax.vmap(
-                lambda bt: _solve_one_american(bt, bt.sigma, n_nodes)
+                lambda bt: _solve_one_american(
+                    bt, bt.sigma, n_nodes, with_div
+                )
             )(b)
         )
         v, s = fn(dev)
