@@ -251,8 +251,13 @@ def stage_f64(out_path: str, prices_path: str, greeks_path: str) -> None:
             g_dev, with_greeks=True, iters=iters, solver="spectral",
             greeks_mode="ad",
         )
-    except Exception:
-        # greeks working set is ~2x price-only; fall back past the cliff
+    except jax.errors.JaxRuntimeError as e:
+        # greeks working set is ~2x price-only; retry past the cliff on
+        # genuine memory exhaustion ONLY — anything else must surface
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        print(f"# f64 greeks at B={B} OOM, retrying at B={B // 2}: {e}",
+              file=sys.stderr)
         g_B = B // 2
         tb2, _, _ = make_batch(g_B, np.float64)
         g_dev = jax.tree.map(jnp.asarray, tb2)

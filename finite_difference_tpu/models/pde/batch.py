@@ -356,7 +356,7 @@ def solve_value_surfaces(
     if american:
         # static dividend flag: dividend-free ladders skip compiling the
         # per-step spline-jump machinery (same gating as the price driver)
-        with_div = bool(np.asarray(batch.div_amount).any())
+        with_div = _has_dividends(batch)
         dev = jax.tree.map(jnp.asarray, batch)
         fn = jax.jit(
             lambda b: jax.vmap(
@@ -433,23 +433,10 @@ def price_batch_kernel(
     }.get(solver, _solve_one)
 
     if solver in ("spike", "spike_interpret"):
-        if with_greeks and greeks_mode == "ad":
-            raise ValueError(
-                "solver='spike' has no AD rule (pallas custom call); "
-                "use greeks_mode='bump'"
-            )
-        from .pallas_kernel import cn_barrier_solve_spike
-
-        seg, sd = spike_segments if spike_segments is not None else (None, None)
-
-        def solve(sig_field):
-            return cn_barrier_solve_spike(
-                batch_dev, sig_field(batch_dev), n_nodes=n_nodes,
-                n_steps=batch_dev.dt.shape[1],
-                trade_block=min(128, batch_dev.dt.shape[0]),
-                interpret=solver == "spike_interpret",
-                segments=seg, set_defs=sd,
-            )
+        solve = _spike_solve_fn(
+            batch_dev, n_nodes, solver, spike_segments, with_greeks,
+            greeks_mode, american=False,
+        )
     else:
         def solve(sig_field):
             v, s = jax.vmap(lambda bt: solve_one(bt, sig_field(bt), n_nodes))(batch_dev)
@@ -643,23 +630,10 @@ def american_batch_kernel(
     """
 
     if solver in ("spike", "spike_interpret"):
-        if with_greeks and greeks_mode == "ad":
-            raise ValueError(
-                "solver='spike' has no AD rule (pallas custom call); "
-                "use greeks_mode='bump'"
-            )
-        from .pallas_kernel import cn_barrier_solve_spike
-
-        seg, sd = spike_segments if spike_segments is not None else (None, None)
-
-        def solve(sig_field):
-            return cn_barrier_solve_spike(
-                batch_dev, sig_field(batch_dev), n_nodes=n_nodes,
-                n_steps=batch_dev.dt.shape[1],
-                trade_block=min(128, batch_dev.dt.shape[0]),
-                interpret=solver == "spike_interpret",
-                segments=seg, set_defs=sd, american=True,
-            )
+        solve = _spike_solve_fn(
+            batch_dev, n_nodes, solver, spike_segments, with_greeks,
+            greeks_mode, american=True,
+        )
     else:
         def solve(sig_field):
             v, s = jax.vmap(
@@ -705,6 +679,69 @@ def american_batch_kernel(
 
 
 _JIT_CACHE: Dict[tuple, Any] = {}
+
+
+def _identity_memo(cache: Dict[tuple, tuple], fields: tuple, extra_key: tuple,
+                   compute):
+    """Memoize ``compute()`` by the IDENTITY of the arrays in ``fields``.
+
+    Host-side batch inspection pulls device arrays back through the
+    tunnel (tens of MB for (B, n_steps) schedules); a serving loop
+    re-pricing the same device-resident batch should pay it once. Only
+    immutable ``jax.Array`` inputs are cached — host numpy arrays are
+    mutable and cost nothing to re-inspect. The cached entry pins the
+    field arrays so their ids cannot be recycled; ``fields`` MUST list
+    every batch array the computation reads (a missing field means stale
+    results when only that field changes)."""
+    if not all(isinstance(a, jax.Array) for a in fields):
+        return compute()
+    key = extra_key + tuple(id(a) for a in fields)
+    hit = cache.get(key)
+    if hit is not None and all(a is b for a, b in zip(hit[0], fields)):
+        return hit[1]
+    out = compute()
+    if len(cache) > 32:
+        cache.clear()
+    cache[key] = (fields, out)
+    return out
+
+
+_DIV_ANY_CACHE: Dict[tuple, tuple] = {}
+
+
+def _has_dividends(batch: "BarrierTradeBatch") -> bool:
+    """Host bool for the static with_dividends flag (identity-memoized —
+    the (B, n_div) pull is per-call tunnel cost on device batches)."""
+    return _identity_memo(
+        _DIV_ANY_CACHE, (batch.div_amount,), (),
+        lambda: bool(np.asarray(batch.div_amount).any()),
+    )
+
+
+def _spike_solve_fn(batch_dev, n_nodes: int, solver: str, spike_segments,
+                    with_greeks: bool, greeks_mode: str, american: bool):
+    """The (shared) SPIKE branch of the batch kernels: one pallas solve
+    closure over the device batch. Raises on greeks_mode='ad' (a pallas
+    custom call has no AD rule)."""
+    if with_greeks and greeks_mode == "ad":
+        raise ValueError(
+            "solver='spike' has no AD rule (pallas custom call); "
+            "use greeks_mode='bump'"
+        )
+    from .pallas_kernel import cn_barrier_solve_spike
+
+    seg, sd = spike_segments if spike_segments is not None else (None, None)
+
+    def solve(sig_field):
+        return cn_barrier_solve_spike(
+            batch_dev, sig_field(batch_dev), n_nodes=n_nodes,
+            n_steps=batch_dev.dt.shape[1],
+            trade_block=min(128, batch_dev.dt.shape[0]),
+            interpret=solver == "spike_interpret",
+            segments=seg, set_defs=sd, american=american,
+        )
+
+    return solve
 
 
 def _jitted_kernel(kernel, static_argnames: tuple):
@@ -791,7 +828,7 @@ def _run_batch_driver(
         if takes_solver and solver in ("spike", "spike_interpret"):
             kw["with_dividends"] = False
         else:
-            kw["with_dividends"] = bool(np.asarray(batch.div_amount).any())
+            kw["with_dividends"] = _has_dividends(batch)
     B = batch.batch_size
 
     def to_device(x):
@@ -933,30 +970,23 @@ def _spectral_layout(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     schedule fields to host, which a device-resident f64 serving loop
     would otherwise pay through the tunnel on every call.
     """
+    # EVERY batch field _spectral_layout_impl reads, incl. r
+    # (channel_conditioning) — a missing field means stale eligibility
     fields = (
         batch.div_amount, batch.dt, batch.theta, batch.monitor,
-        batch.sigma, batch.b, batch.q, batch.dx,
+        batch.sigma, batch.b, batch.q, batch.r, batch.dx,
     )
-    cacheable = all(isinstance(a, jax.Array) for a in fields)
-    if cacheable:
-        key = (n_nodes, _effective_is64(batch, dtype)) + tuple(
-            id(a) for a in fields
-        )
-        hit = _SPECTRAL_LAYOUT_CACHE.get(key)
-        if hit is not None and all(a is b for a, b in zip(hit[0], fields)):
-            return hit[1]
-    out = _spectral_layout_impl(batch, n_nodes, dtype)
-    if cacheable:
-        if len(_SPECTRAL_LAYOUT_CACHE) > 32:
-            _SPECTRAL_LAYOUT_CACHE.clear()
-        _SPECTRAL_LAYOUT_CACHE[key] = (fields, out)
-    return out
+    return _identity_memo(
+        _SPECTRAL_LAYOUT_CACHE, fields,
+        (n_nodes, _effective_is64(batch, dtype)),
+        lambda: _spectral_layout_impl(batch, n_nodes, dtype),
+    )
 
 
 def _spectral_layout_impl(batch: BarrierTradeBatch, n_nodes: int, dtype=None):
     from .spectral import spectral_intervals, symmetrizer_exponent
 
-    if np.asarray(batch.div_amount).any():
+    if _has_dividends(batch):
         return None
     dt = np.asarray(batch.dt, dtype=float)
     uniform = bool(np.all(dt == dt[:, :1]))
@@ -1063,27 +1093,18 @@ def _spike_schedule(
     dt-column) signature so e.g. the Rannacher prefix and equal-length
     monitor intervals share one solver-tensor set.
     """
+    # EVERY batch field _spike_schedule_impl reads
     fields = (batch.div_amount, batch.reset_lambda, batch.theta, batch.dt)
-    # identity-keyed memo for immutable (jax) arrays only — host numpy
-    # batches are mutable and cost nothing to re-inspect
-    cacheable = all(isinstance(a, jax.Array) for a in fields)
-    if cacheable:
-        key = (n_nodes, max_segments) + tuple(id(a) for a in fields)
-        hit = _SPIKE_SCHED_CACHE.get(key)
-        if hit is not None and all(a is b for a, b in zip(hit[0], fields)):
-            return hit[1]
-    out = _spike_schedule_impl(batch, n_nodes, max_segments)
-    if cacheable:
-        if len(_SPIKE_SCHED_CACHE) > 32:
-            _SPIKE_SCHED_CACHE.clear()
-        _SPIKE_SCHED_CACHE[key] = (fields, out)
-    return out
+    return _identity_memo(
+        _SPIKE_SCHED_CACHE, fields, (n_nodes, max_segments),
+        lambda: _spike_schedule_impl(batch, n_nodes, max_segments),
+    )
 
 
 def _spike_schedule_impl(
     batch: BarrierTradeBatch, n_nodes: int, max_segments: int
 ):
-    if np.asarray(batch.div_amount).any():
+    if _has_dividends(batch):
         return None
     rl = np.asarray(batch.reset_lambda)
     if rl.ndim == 2 and rl[:, 1:].any():

@@ -681,6 +681,52 @@ def _kernel_spike(
     edge_out_ref[1] = v_hi_f[0]
 
 
+def cn_barrier_solve_spike(
+    batch,
+    sigma,
+    n_nodes: int,
+    n_steps: int,
+    rannacher_steps: int = 2,
+    trade_block: int = 128,
+    p_chunks: int = P_CHUNKS,
+    interpret: bool = False,
+    segments=None,
+    set_defs=None,
+    american: bool = False,
+):
+    """Public entry: validates the segments=None contract on concrete
+    schedules (inside the jit everything is traced and unverifiable),
+    then runs :func:`_cn_barrier_solve_spike_jit`. See that function for
+    the solver description."""
+    if (
+        (segments is None or set_defs is None)
+        and not isinstance(batch.dt, jax.core.Tracer)
+    ):
+        # the default layout assumes globally-uniform dt with an
+        # n_rann-step theta=1 prefix; silently applying it to a
+        # monitor-aligned batch would price with dt[:, 0] everywhere
+        n_rann = min(rannacher_steps, n_steps)
+        dt_np = np.asarray(batch.dt, dtype=float)
+        th_np = np.asarray(batch.theta, dtype=float)
+        expect_th = np.where(np.arange(n_steps) < n_rann, 1.0, 0.5)
+        if not (
+            np.all(dt_np[:, :n_steps] == dt_np[:, :1])
+            and np.all(th_np[:, :n_steps] == expect_th[None, :])
+        ):
+            raise ValueError(
+                "segments=None assumes globally-uniform dt with a "
+                f"{n_rann}-step Rannacher prefix; pass the host-derived "
+                "(segments, set_defs) pair (models.pde.batch."
+                "_spike_schedule) for piecewise-constant schedules"
+            )
+    return _cn_barrier_solve_spike_jit(
+        batch, sigma, n_nodes=n_nodes, n_steps=n_steps,
+        rannacher_steps=rannacher_steps, trade_block=trade_block,
+        p_chunks=p_chunks, interpret=interpret, segments=segments,
+        set_defs=set_defs, american=american,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -688,7 +734,7 @@ def _kernel_spike(
         "p_chunks", "interpret", "segments", "set_defs", "american",
     ),
 )
-def cn_barrier_solve_spike(
+def _cn_barrier_solve_spike_jit(
     batch,
     sigma,
     n_nodes: int,

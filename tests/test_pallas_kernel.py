@@ -228,6 +228,82 @@ class TestSpikeRouting:
             )
 
 
+class TestInspectionMemos:
+    """Identity-keyed host-inspection memos must not serve stale results
+    when any consulted batch field changes (review finding: the spectral
+    memo key originally omitted batch.r)."""
+
+    def test_spectral_memo_keys_on_r(self):
+        from dataclasses import replace
+
+        from finite_difference_tpu.models.pde.batch import (
+            _spectral_layout,
+            _spectral_layout_impl,
+        )
+
+        B = 4
+        t = 0.5
+        tb = build_trade_batch(
+            spots=[100.0] * B, strikes=[100.0] * B, sigmas=[0.3] * B,
+            t_expiry=[t] * B, r=[0.05] * B, b=[0.05] * B,
+            is_call=[True] * B, n_time_steps=32,
+            monitor_times=[[t * (k + 1) / 4.0 for k in range(4)]] * B,
+            upper=[130.0] * B, num_space_nodes=127,
+        )
+        dev = jax.tree.map(jnp.asarray, tb)
+        assert _spectral_layout(dev, 128) is not None
+        # same schedule arrays, different r: the memo must re-inspect and
+        # agree with the uncached impl (eligible or not)
+        dev_r = replace(dev, r=dev.r * 0.0 + 40.0)
+        cached = _spectral_layout(dev_r, 128)
+        fresh = _spectral_layout_impl(dev_r, 128, None)
+        assert (cached is None) == (fresh is None)
+
+    def test_spike_memo_hits_and_misses(self):
+        from dataclasses import replace
+
+        from finite_difference_tpu.models.pde.batch import _spike_schedule
+
+        B = 4
+        t = 0.5
+        tb = build_trade_batch(
+            spots=[100.0] * B, strikes=[100.0] * B, sigmas=[0.3] * B,
+            t_expiry=[t] * B, r=[0.05] * B, b=[0.05] * B,
+            is_call=[True] * B, n_time_steps=32,
+            monitor_times=[[t * (k + 1) / 4.0 for k in range(4)]] * B,
+            upper=[130.0] * B, num_space_nodes=127,
+        )
+        dev = jax.tree.map(jnp.asarray, tb)
+        s1 = _spike_schedule(dev, 128)
+        assert s1 is not None and _spike_schedule(dev, 128) is s1
+        # a changed theta array must invalidate (here: ineligible values)
+        dev_t = replace(dev, theta=dev.theta * 0.0 + 0.7)
+        assert _spike_schedule(dev_t, 128) is None
+
+    def test_spike_default_segments_rejects_nonuniform_dt(self):
+        """cn_barrier_solve_spike(segments=None) must refuse concrete
+        monitor-aligned (piecewise-dt) schedules instead of silently
+        pricing every step with dt[:, 0]."""
+        B = 4
+        t = 0.5
+        tb = build_trade_batch(
+            spots=[100.0] * B, strikes=[100.0] * B, sigmas=[0.3] * B,
+            t_expiry=[t] * B, r=[0.05] * B, b=[0.05] * B,
+            is_call=[True] * B,
+            n_time_steps=24,
+            monitor_times=[[0.13 * t, 0.55 * t, t]] * B,
+            upper=[130.0] * B, num_space_nodes=127,
+            monitor_aligned=True,
+        )
+        dt = np.asarray(tb.dt)
+        assert not np.all(dt == dt[:, :1]), "fixture must be non-uniform"
+        with pytest.raises(ValueError, match="globally-uniform"):
+            cn_barrier_solve_spike(
+                tb, jnp.asarray(tb.sigma), n_nodes=128,
+                n_steps=dt.shape[1], trade_block=4, interpret=True,
+            )
+
+
 class TestSpikeFuzz:
     """Randomized barrier fuzz through the driver: random barrier side
     mixes (up/down/double/none), rebates (at-hit and at-expiry), calls
