@@ -135,6 +135,12 @@ def simm_im(
     for cls, ws_list in (scalar_ws or {}).items():
         if cls not in k:
             raise ValueError(f"Unknown SIMM risk class: {cls}")
+        if cls == "interest_rate":
+            # would silently clobber the curve-bump margin above
+            raise ValueError(
+                "interest_rate margin comes from ir_ws (bucketed curve "
+                "sensitivities), not scalar_ws"
+            )
         k[cls] = scalar_delta_margin(ws_list, params.scalar_intra_corr[cls])
 
     psi = np.asarray(params.cross_class_corr)
@@ -158,12 +164,25 @@ def weight_ir_sensitivities(
     return np.asarray(bucket_sens, dtype=np.float64) * np.asarray(params.ir_risk_weights)
 
 
+# ISO-4217 codes for currency-pair factor-name recognition ("USDZAR")
+_ISO_CCYS = frozenset(
+    "USD EUR GBP JPY CHF ZAR AUD NZD CAD SEK NOK DKK CNY CNH HKD SGD INR "
+    "BRL MXN RUB TRY PLN HUF CZK ILS KRW TWD THB MYR IDR PHP COP CLP PEN "
+    "ARS EGP NGN KES GHS SAR AED QAR KWD".split()
+)
+
+
 def infer_scalar_class(factor_name: str) -> RiskClass:
     """Heuristic risk-class for a ScalarSlice factor by name; equity wins
     ties (also the fallback). Override per factor via
     ``SimmConfig.factor_classes`` when names are not self-describing."""
     low = factor_name.lower()
     if "fx" in low or "ccy" in low:
+        return "fx"
+    # the repo's canonical FX naming is the bare currency pair ("USDZAR",
+    # Trade.fx_rate_factor) — recognize XXXYYY of two ISO codes
+    up = factor_name.upper()
+    if len(up) == 6 and up[:3] in _ISO_CCYS and up[3:] in _ISO_CCYS:
         return "fx"
     if "commod" in low or "oil" in low or "power" in low or "gold" in low:
         return "commodity"
@@ -181,4 +200,12 @@ class SimmConfig:
     factors: Optional[Tuple[str, ...]] = None
 
     def scalar_class(self, name: str) -> RiskClass:
-        return self.factor_classes.get(name) or infer_scalar_class(name)
+        cls = self.factor_classes.get(name) or infer_scalar_class(name)
+        if cls not in self.params.scalar_risk_weights:
+            raise ValueError(
+                f"scalar factor {name!r} mapped to risk class {cls!r}, "
+                "which has no scalar risk weight (scalar classes: "
+                f"{sorted(self.params.scalar_risk_weights)}); "
+                "interest-rate sensitivities come from CurveSlice bumps"
+            )
+        return cls

@@ -27,7 +27,7 @@ from __future__ import annotations
 import datetime as dt
 from bisect import bisect_left, bisect_right
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -1654,6 +1654,12 @@ class DeviceExposureEngine:
             risky_list = [risky_curve] * len(instruments)
         else:
             risky_list = list(risky_curve)
+            if len(risky_list) != len(instruments):
+                # zip truncation below would silently drop instruments
+                raise ValueError(
+                    f"risky_curve has {len(risky_list)} entries for "
+                    f"{len(instruments)} instruments"
+                )
         if any(r is not None for r in risky_list):
             # FORWARD close-out: the generic engine rebinds the market
             # state entry under each trade's discount-curve NAME to the
@@ -1696,6 +1702,14 @@ class DeviceExposureEngine:
             legs = tuple(swapped)
         notional_scales = notional_scales or [1.0] * len(instruments)
         fx_factors = fx_factors or [None] * len(instruments)
+        if len(notional_scales) != len(instruments) or len(fx_factors) != len(
+            instruments
+        ):
+            raise ValueError(
+                f"notional_scales ({len(notional_scales)}) and fx_factors "
+                f"({len(fx_factors)}) must match {len(instruments)} "
+                "instruments"
+            )
         scales = jnp.asarray(
             [float(s) for s, c in zip(notional_scales, counts)
              for _ in range(c)]
@@ -1764,36 +1778,74 @@ class DeviceExposureEngine:
                         if currencies is not None
                         else [None] * len(instruments)
                     )
+                    if len(ccys) != len(instruments):
+                        raise ValueError(
+                            f"currencies has {len(ccys)} entries for "
+                            f"{len(instruments)} instruments"
+                        )
                     risky = [
                         r if r in self.curves else None
                         for r in (rn.get(c or currency) for c in ccys)
                     ]
+                    missing = sorted(
+                        {
+                            r
+                            for r in (rn.get(c or currency) for c in ccys)
+                            if r is not None and r not in self.curves
+                        }
+                    )
                     if all(r is None for r in risky):
                         risky = None
                 else:
                     risky = rn if rn in self.curves else None
-        mtm = np.asarray(
-            self.mtm(instruments, notional_scales, fx_factors, risky_curve=risky)
+                    missing = [] if risky is not None else [rn]
+                if missing:
+                    # generic-engine semantics (absent curve -> riskless),
+                    # but a typo'd name on a close-out path deserves noise
+                    import warnings
+
+                    warnings.warn(
+                        f"FORWARD close-out risky curve(s) {missing} not in "
+                        "engine curves; affected trades price on the "
+                        "riskless curve",
+                        stacklevel=2,
+                    )
+        from ..portfolio.csa import InitialMarginMethod
+
+        is_simm = (
+            csa is not None
+            and csa.im_method is InitialMarginMethod.SIMM
         )
         im_fn = None
-        if csa is not None and csa.im_method is not None:
-            from ..portfolio.csa import InitialMarginMethod
-
-            if csa.im_method is InitialMarginMethod.SIMM:
-                im_paths = self._simm_im_paths(
-                    instruments, notional_scales, fx_factors, csa, risky
+        if is_simm:
+            # one kernel trace: the SIMM base run IS the profile MTM (the
+            # '#base' aliases bind the same arrays), so skip self.mtm()
+            im_paths, mtm = self._simm_im_paths(
+                instruments, notional_scales, fx_factors, csa, risky
+            )
+            date_idx = {d: i for i, d in enumerate(self.dates)}
+            im_fn = lambda n, d: im_paths[:, date_idx[d]]
+        else:
+            mtm = np.asarray(
+                self.mtm(
+                    instruments, notional_scales, fx_factors,
+                    risky_curve=risky,
                 )
-                date_idx = {d: i for i, d in enumerate(self.dates)}
-                im_fn = lambda n, d: im_paths[:, date_idx[d]]
-            elif csa.im_method is not InitialMarginMethod.NONE:
-                scales = notional_scales or [1.0] * len(instruments)
-                ns_shim = SimpleNamespace(
-                    trades=[
-                        SimpleNamespace(instrument=i, notional_scale=s)
-                        for i, s in zip(instruments, scales)
-                    ]
-                )
-                im_fn = lambda n, d: compute_im(n, csa, d, ns_shim)
+            )
+        if (
+            csa is not None
+            and not is_simm
+            and csa.im_method is not None
+            and csa.im_method is not InitialMarginMethod.NONE
+        ):
+            scales = notional_scales or [1.0] * len(instruments)
+            ns_shim = SimpleNamespace(
+                trades=[
+                    SimpleNamespace(instrument=i, notional_scale=s)
+                    for i, s in zip(instruments, scales)
+                ]
+            )
+            im_fn = lambda n, d: compute_im(n, csa, d, ns_shim)
         collateral = (
             simulate_collateral(mtm, self.dates, csa, im_fn=im_fn)
             if csa is not None
@@ -1812,8 +1864,12 @@ class DeviceExposureEngine:
 
     def _simm_im_paths(
         self, instruments, notional_scales, fx_factors, csa, risky_curve,
-    ) -> np.ndarray:
-        """(n_paths, n_times) pathwise SIMM delta margin on device.
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """((n_paths, n_times) pathwise SIMM delta margin, base MTM).
+
+        The base netting MTM comes back too: it is bitwise the profile
+        MTM (the '#base' aliases hold the same arrays), so compute()
+        under a SIMM CSA reuses it instead of a second kernel trace.
 
         Mirrors ``ExposureEngine._simm_im_paths`` (itself beyond the
         reference, which stubs SIMM at exposure_engine.py:640-644): every
@@ -1858,12 +1914,27 @@ class DeviceExposureEngine:
 
         base = run()                                  # (n_paths, n_times)
         n_paths, n_times = base.shape
+
+        # only bump factors some leg actually reads LIVE (plain-name
+        # string fields after pinning; '#base' aliases are frozen reads a
+        # bump cannot move) plus FX conversion factors — an engine
+        # holding extra cubes (risky close-out curves, unused
+        # currencies) would otherwise pay ~12 kernel launches per
+        # unreferenced curve for provably-zero sensitivities
+        referenced = {f for f in fx_names if f}
+        for leg_t in legs:
+            for v in vars(leg_t).values():
+                if isinstance(v, str) and not v.endswith("#base"):
+                    referenced.add(v)
+
         buckets = assign_ir_buckets(self.tenors)
         shift = p.bump_bp * 1e-4
         ir_s = np.zeros((n_paths, n_times, len(IR_TENORS)))
         has_ir = False
         for name in self.curves:
             if cfg.factors is not None and name not in cfg.factors:
+                continue
+            if name not in referenced:
                 continue
             has_ir = True
             cube0 = curve_dev[name]
@@ -1876,6 +1947,8 @@ class DeviceExposureEngine:
         for name in self.scalars:
             if cfg.factors is not None and name not in cfg.factors:
                 continue
+            if name not in referenced:
+                continue
             s0 = scalar_dev[name]
             scalar_dev[name] = s0 * (1.0 + p.bump_rel)
             s = (run() - base) * (0.01 / p.bump_rel)
@@ -1885,6 +1958,7 @@ class DeviceExposureEngine:
             cls = cfg.scalar_class(name)
             scalar_ws.setdefault(cls, []).append(p.scalar_risk_weights[cls] * s)
         ws_ir = weight_ir_sensitivities(ir_s, p) if has_ir else None
-        return np.broadcast_to(
+        im = np.broadcast_to(
             simm_im(ws_ir, scalar_ws or None, p), (n_paths, n_times)
         ).copy()
+        return im, base

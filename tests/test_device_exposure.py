@@ -1060,3 +1060,75 @@ class TestDeviceFuzz:
                 mtm, generic.mtm, rtol=1e-9, atol=1e-4,
                 err_msg=f"trial {trial}",
             )
+
+
+class TestSimmReviewHardening:
+    """Regression tests for review findings: length validation, FX pair
+    classification, scalar-class override validation, risky-name noise."""
+
+    def _engine_and_swap(self):
+        rng = np.random.default_rng(5)
+        n_times, n_paths = 6, 8
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        arr = 0.07 + rng.normal(0, 0.002, (n_times, n_paths, TENORS.size)).cumsum(axis=0)
+        eng = DeviceExposureEngine(dates, {"C": arr}, TENORS)
+        swap = IRSwap(
+            name="s1", effective_date=VAL,
+            maturity_date=VAL + dt.timedelta(days=150), notional=1e6,
+            receive_leg=SwapLeg(LegType.FLOATING, frequency=3, curve_name="C"),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=3, fixed_rate=0.075),
+            discount_curve_name="C",
+        )
+        return eng, swap
+
+    def test_short_risky_curve_list_raises(self):
+        eng, swap = self._engine_and_swap()
+        with pytest.raises(ValueError, match="risky_curve has 1 entries"):
+            eng.mtm([swap, swap, swap], risky_curve=["C"])
+
+    def test_short_currencies_raises(self):
+        from finite_difference_tpu.portfolio.csa import CSA, CloseOutMethod
+
+        eng, swap = self._engine_and_swap()
+        csa = CSA(close_out_method=CloseOutMethod.FORWARD,
+                  risky_curve_name={"ZAR": "C"})
+        with pytest.raises(ValueError, match="currencies has 1 entries"):
+            eng.compute([swap, swap], csa=csa, currencies=["ZAR"])
+
+    def test_short_notional_scales_raises(self):
+        eng, swap = self._engine_and_swap()
+        with pytest.raises(ValueError, match="notional_scales"):
+            eng.mtm([swap, swap], notional_scales=[1.0])
+
+    def test_missing_risky_curve_warns(self):
+        from finite_difference_tpu.portfolio.csa import CSA, CloseOutMethod
+
+        eng, swap = self._engine_and_swap()
+        csa = CSA(close_out_method=CloseOutMethod.FORWARD,
+                  risky_curve_name="RISKY-TYPO")
+        with pytest.warns(UserWarning, match="RISKY-TYPO"):
+            out = eng.compute([swap], csa=csa)
+        # silently priced riskless (generic-engine semantics), but loud
+        base = eng.compute([swap])
+        np.testing.assert_allclose(out.mtm, base.mtm, rtol=0)
+
+    def test_fx_pair_names_classify_as_fx(self):
+        from finite_difference_tpu.portfolio.simm import infer_scalar_class
+
+        assert infer_scalar_class("USDZAR") == "fx"
+        assert infer_scalar_class("eurusd") == "fx"
+        assert infer_scalar_class("EQ.SPOT") == "equity"
+        assert infer_scalar_class("COPPER") == "equity"  # not a ccy pair
+
+    def test_scalar_class_override_to_ir_raises(self):
+        from finite_difference_tpu.portfolio.simm import SimmConfig
+
+        cfg = SimmConfig(factor_classes={"EQ.SPOT": "interest_rate"})
+        with pytest.raises(ValueError, match="no scalar risk weight"):
+            cfg.scalar_class("EQ.SPOT")
+
+    def test_simm_im_rejects_scalar_interest_rate(self):
+        from finite_difference_tpu.portfolio.simm import simm_im
+
+        with pytest.raises(ValueError, match="ir_ws"):
+            simm_im(None, {"interest_rate": [np.ones(3)]})
