@@ -181,15 +181,26 @@ def monitor_aligned_schedule(
     (models.pde.spectral, per-interval-dt branch).
     """
     T = float(t_expiry)
+    tol = 1e-12 * max(T, 1.0)
+    if T <= tol:
+        raise ValueError(
+            f"t_expiry={t_expiry} too small for a monitor-aligned "
+            "schedule (below the boundary-merge tolerance)"
+        )
     taus = sorted({T - float(t) for t in monitor_times if 0.0 < t <= T})
-    at_expiry = bool(taus) and taus[0] <= 1e-12 * max(T, 1.0)
+    at_expiry = bool(taus) and taus[0] <= tol
     bounds = [0.0]
     for t in taus:
-        if t > bounds[-1] + 1e-12 * max(T, 1.0):
+        if t > bounds[-1] + tol:
             bounds.append(t)
-    if T > bounds[-1] + 1e-12 * max(T, 1.0):
+    final_is_monitor = False
+    if T > bounds[-1] + tol:
         bounds.append(T)
     else:
+        # a monitor tau within tolerance of T merges into the expiry
+        # boundary — keep its projection (uniform_schedule flags the
+        # final step for the same input)
+        final_is_monitor = len(bounds) > 1
         bounds[-1] = T
 
     dt_l: List[float] = []
@@ -202,8 +213,10 @@ def monitor_aligned_schedule(
         dt_l.extend([seg / n_seg] * n_seg)
         mon_l.extend([False] * (n_seg - 1))
         # every interior boundary IS a monitor tau by construction; the
-        # final boundary (tau = T) never is (t_mon = 0 is excluded)
-        mon_l.append(hi < T - 1e-12 * max(T, 1.0))
+        # final boundary (tau = T) only when a monitor merged into it
+        mon_l.append(hi < T - tol)
+    if final_is_monitor:
+        mon_l[-1] = True
     if at_expiry:
         # monitor AT expiry: mirror uniform_schedule's k >= 1 clamp
         # (projection after the first step)
@@ -236,7 +249,17 @@ def segmented_schedule(
     jump fires on the last step of each non-final segment, and the IT
     multiplier resets at each segment start.
     """
-    divs = sorted([(float(t), float(a)) for t, a in dividends_tau], key=lambda p: p[0])
+    # same open-interval filter as AmericanFDMPricer._div_times_tau: a
+    # tau=0 dividend would make seg_len=0 -> dt=0 (NaN in the IT update
+    # lam += (payoff - tilde)/dt), and tau>=T a negative final segment
+    divs = sorted(
+        [
+            (float(t), float(a))
+            for t, a in dividends_tau
+            if 0.0 < float(t) < float(t_expiry)
+        ],
+        key=lambda p: p[0],
+    )
     tau_pts = [0.0] + [t for t, _ in divs] + [float(t_expiry)]
     n_segments = len(tau_pts) - 1
     seg_lengths = [tau_pts[i + 1] - tau_pts[i] for i in range(n_segments)]

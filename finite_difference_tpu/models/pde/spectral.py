@@ -115,15 +115,6 @@ def symmetrizer_exponent(
 # --------------------------------------------------------------------------- #
 # Device-side closed-form pieces                                               #
 # --------------------------------------------------------------------------- #
-def _pow_signed(rho, m):
-    """rho**m for integer m >= 0 with possibly negative rho (CN high modes)."""
-    m = m.astype(rho.dtype)
-    mag = jnp.exp(m * jnp.log(jnp.maximum(jnp.abs(rho), 1e-300)))
-    odd = jnp.mod(m, 2.0) > 0.5
-    sign = jnp.where(odd & (rho < 0.0), -1.0, 1.0)
-    return jnp.where(m > 0.5, sign * mag, jnp.ones_like(mag))
-
-
 # The CN amplification rho = (1 + (1-th) z)/(1 - th z), z = dt*lambda, and
 # the boundary ratio q = e^{lq} both sit within one ulp of 1 for the low
 # (physically dominant) modes — in f32 the textbook (rho^m - q^m)/(rho - q)
@@ -162,10 +153,33 @@ def _pow_from_log(log_mag, negative, m):
     return jnp.where(m > 0.5, out, jnp.ones_like(out))
 
 
-def _stable_pow(z, theta, m):
-    """rho^m with rho = (1 + (1-theta) z)/(1 - theta z), m >= 0 integer."""
-    log_mag, neg = _log_rho(z, theta)
-    return _pow_from_log(log_mag, neg, m)
+def _stage_switch_fns(rho_cache, P, Q, ud_bar, alphas):
+    """(stage, switch) closures shared by the uniform-dt and
+    per-interval-dt propagator branches — identical math, different
+    closed-over per-(interval|schedule) constants.
+
+    ``stage(w, m, theta, d_lo, d_hi)``: m homogeneous theta-steps on a
+    channel-residual state; (d_lo, d_hi) are the j=0 deviations of the
+    actual previous-boundary values from the asymptotics (nonzero right
+    after a projection).
+    ``switch(w, tau, sign)``: re-base the residual between CN and
+    implicit channel profiles (+1 = CN-residual -> implicit-residual,
+    -1 = back)."""
+
+    def stage(w, m, theta, d_lo, d_hi):
+        log_mag, neg, denom = rho_cache[theta]
+        w_new = _pow_from_log(log_mag, neg, m) * w
+        corr = (1.0 - theta) * (P * d_lo + Q * d_hi) / denom
+        return w_new + _pow_from_log(
+            log_mag, neg, jnp.maximum(m - 1, 0)
+        ) * jnp.where(m > 0.5, corr, jnp.zeros_like(corr))
+
+    def switch(w, tau, sign):
+        for a_r, ud in zip(alphas, ud_bar):
+            w = w + sign * jnp.exp(a_r * tau) * ud
+        return w
+
+    return stage, switch
 
 
 def channel_conditioning(
@@ -385,18 +399,9 @@ def spectral_solve(
                 th: (*_log_rho(z, th), 1.0 - th * z) for th in (1.0, 0.5)
             }
 
-            def stage(w, m_steps, theta, d_lo, d_hi):
-                log_mag, neg, denom = rho_c[theta]
-                w_new = _pow_from_log(log_mag, neg, m_steps) * w
-                corr = (1.0 - theta) * (P_iv * d_lo + Q_iv * d_hi) / denom
-                return w_new + _pow_from_log(
-                    log_mag, neg, jnp.maximum(m_steps - 1, 0)
-                ) * jnp.where(m_steps > 0.5, corr, jnp.zeros_like(corr))
-
-            def switch(w, tau, sign):
-                for a_r, ud in zip(alphas, ud_bar_iv):
-                    w = w + sign * jnp.exp(a_r * tau) * ud
-                return w
+            stage, switch = _stage_switch_fns(
+                rho_c, P_iv, Q_iv, ud_bar_iv, alphas
+            )
 
             v_lo_asym, v_hi_asym = _boundary_values(
                 tau_s, s_min, s_max, dyn, euro_put_lower_boundary
@@ -475,24 +480,9 @@ def spectral_solve(
         th: (*_log_rho(z_modes, th), 1.0 - th * z_modes) for th in (1.0, 0.5)
     }
 
-    def stage_h(w, m, theta, d_lo, d_hi):
-        """m homogeneous theta-steps on a channel-residual state; (d_lo,
-        d_hi) are the j=0 deviations of the actual previous-boundary values
-        from the asymptotics (nonzero right after a projection)."""
-        log_mag, neg, denom = rho_cache[theta]
-        w_new = _pow_from_log(log_mag, neg, m) * w
-        corr = (1.0 - theta) * (P * d_lo + Q * d_hi) / denom
-        w_new = w_new + _pow_from_log(
-            log_mag, neg, jnp.maximum(m - 1, 0)
-        ) * jnp.where(m > 0.5, corr, jnp.zeros_like(corr))
-        return w_new
-
-    def switch_profiles(w, tau, sign):
-        """Re-base the residual between CN and implicit channel profiles:
-        +1 = CN-residual -> implicit-residual, -1 = back."""
-        for a_r, ud in zip(alphas, ud_bar):
-            w = w + sign * jnp.exp(a_r * tau) * ud
-        return w
+    stage_h, switch_profiles = _stage_switch_fns(
+        rho_cache, P, Q, ud_bar, alphas
+    )
 
     def interval(carry, iv):
         w, k_start, v_lo_act, v_hi_act = carry  # w: residual wrt CN profiles

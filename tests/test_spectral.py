@@ -478,3 +478,45 @@ class TestSymmetrizerGuard:
         assert np.isclose(
             e[0], 128 * abs(mu) * 0.01 / 0.25**2, rtol=1e-3
         )
+
+
+class TestScheduleEdgeCases:
+    """Review findings: schedule builders must reject or normalize
+    degenerate inputs instead of emitting dt<=0 steps or dropping
+    near-expiry monitors."""
+
+    def test_segmented_schedule_filters_out_of_window_dividends(self):
+        from finite_difference_tpu.models.pde.grid import segmented_schedule
+
+        # tau=0 (ex-div at expiry) and tau>=T must be dropped, exactly
+        # like AmericanFDMPricer._div_times_tau's open-interval filter —
+        # a tau=0 dividend produced a dt=0 step (NaN in the IT update)
+        sch = segmented_schedule(1.0, 32, [(0.0, 2.0), (1.0, 3.0), (1.5, 4.0)])
+        assert (sch.dt > 0).all()
+        assert sch.div_amount.sum() == 0.0
+        sch2 = segmented_schedule(1.0, 32, [(0.0, 2.0), (0.4, 3.0)])
+        assert (sch2.dt > 0).all()
+        assert sch2.div_amount.sum() == 3.0
+
+    def test_monitor_aligned_keeps_near_expiry_monitor(self):
+        from finite_difference_tpu.models.pde.grid import (
+            monitor_aligned_schedule,
+            uniform_schedule,
+        )
+
+        # a monitor a hair after valuation (tau ~ T) merges into the
+        # expiry boundary but must KEEP its projection, matching
+        # uniform_schedule's final-step flag for the same input
+        T = 1.0
+        mal = monitor_aligned_schedule(T, [1e-13], steps_per_interval=8)
+        uni = uniform_schedule(T, 8, monitor_times=[1e-13])
+        assert mal.monitor[-1]
+        assert uni.monitor[-1]
+
+    def test_monitor_aligned_rejects_degenerate_expiry(self):
+        from finite_difference_tpu.models.pde.grid import (
+            monitor_aligned_schedule,
+        )
+
+        with pytest.raises(ValueError, match="too small"):
+            monitor_aligned_schedule(1e-13, [1e-13])
