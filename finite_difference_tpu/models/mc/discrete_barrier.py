@@ -185,8 +185,11 @@ def price_discrete_barrier_mc(
 ) -> Dict[str, object]:
     """Price a discretely-monitored barrier option by MC on device.
 
-    Returns {"price", "stderr", "ci95", "n_obs", "antithetic", "grid_points"}
-    exactly like the reference (mc_discrete_barrier_option.py:407-425).
+    Returns {"price", "stderr", "ci95"/"ci_95", "n_obs"/"n_observations",
+    "steps", "barrier_type", "barrier_band", "antithetic", "grid_points"}
+    — a superset of the reference's result dict
+    (mc_discrete_barrier_option.py:407-425), with both its key spellings
+    and this module's shorter aliases.
     """
     if not isinstance(discount_curve, DailyNacaCurve):
         discount_curve = DailyNacaCurve(discount_curve, valuation)
@@ -237,11 +240,17 @@ def price_discrete_barrier_mc(
         cfg.dividend_before_monitor, rebate.rebate_at_hit,
     )
     price, se = float(mean), float(stderr)
+    ci = (price - 1.96 * se, price + 1.96 * se)
     return {
         "price": price,
         "stderr": se,
-        "ci95": (price - 1.96 * se, price + 1.96 * se),
+        "ci95": ci,
+        "ci_95": ci,  # the reference's key (mc_discrete_barrier_option.py)
         "n_obs": int(n_obs),
+        "n_observations": int(n_obs),  # reference key
+        "steps": int(n_steps),  # reference key (event-grid steps)
+        "barrier_type": bt,
+        "barrier_band": float(band),
         "antithetic": cfg.antithetic,
         "grid_points": len(grid),
     }

@@ -37,6 +37,10 @@ class GBMSimulator:
 
     def simulate(self, s0: float, scen_days: np.ndarray, z):
         scen_days = np.asarray(scen_days, dtype=float)
+        if np.any(np.diff(scen_days) < 0.0):
+            # the kernel clamps negative dt in the diffusion but not the
+            # drift — a non-ascending grid would be silently wrong
+            raise ValueError("scen_days must be ascending")
         z = jnp.asarray(np.asarray(z))
         if z.ndim != 2 or z.shape[0] != scen_days.size:
             raise ValueError("z must be (n_steps, n_sims) aligned to scen_days.")

@@ -109,6 +109,17 @@ class HW1FParams:
     sigma_tenors: np.ndarray
     sigma_values: np.ndarray
 
+    def __post_init__(self):
+        # the simulator's var/drift/B closed forms divide by alpha; the
+        # alpha -> 0 limit is not implemented, so reject it loudly
+        # instead of returning an all-NaN cube (the reference calibrator
+        # clips alpha to [0.001, 4], calibrate_hw1f_interest_rate)
+        if not self.alpha > 0.0:
+            raise ValueError(
+                f"HW1F alpha must be positive, got {self.alpha} "
+                "(the calibrator clips to [0.001, 4])"
+            )
+
     @classmethod
     def flat(cls, alpha: float, sigma: float) -> "HW1FParams":
         return cls(alpha=alpha, sigma_tenors=np.array([0.0]),

@@ -135,7 +135,10 @@ def sobol_uniforms(
     for j in range(n_bits):
         bit = ((gray >> j) & jnp.uint32(1)).astype(jnp.uint32)
         acc = acc ^ (bit[:, None] * sv[None, :, j])
-    return acc.astype(jnp.float64) * (0.5 ** 30)
+    # scipy scales points by 2^-bits with bits == sv.shape[1] (30 today,
+    # but the constructor accepts other widths) — keep the scale tied to
+    # the actual matrix width
+    return acc.astype(jnp.float64) * (0.5 ** int(n_bits))
 
 
 def sobol_normals(n: int, dimension: int, fast_forward: int = 0) -> "jnp.ndarray":

@@ -376,8 +376,15 @@ def convergence_analysis(
     n = sim_F.shape[0]
     theo = float(f0 * np.exp(params["Drift"] * min(t, T)))
     if sample_sizes is None:
-        sample_sizes = [int(x) for x in 2 ** np.arange(6, int(np.log2(n)) + 1)]
-        if sample_sizes[-1] != n:
+        # reference semantics (cs_diagnostics.py:1093-1097): power-of-two
+        # candidates filtered by n, ALWAYS ending at n — never empty, so
+        # small smoke runs (n < 64) get a single-point ladder instead of
+        # an IndexError
+        sample_sizes = [
+            int(x) for x in 2 ** np.arange(6, max(int(np.log2(n)), 6) + 1)
+            if int(x) <= n
+        ]
+        if not sample_sizes or sample_sizes[-1] != n:
             sample_sizes.append(n)
     records = []
     for size in sample_sizes:

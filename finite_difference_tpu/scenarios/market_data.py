@@ -119,6 +119,17 @@ def load_market_data(json_path: str) -> dict:
                 if "MarketData" in base_data:
                     base_params = base_data["MarketData"]
                     _flatten_correlations(base_params)
+            else:
+                # reference prints "WARNING: Base market data file not
+                # found" (cs_simulation.py merge path) — proceeding with
+                # only the deal's explicit overrides is rarely intended
+                import warnings
+
+                warnings.warn(
+                    f"Base market data file not found: {base_path}; "
+                    "proceeding with ExplicitMarketData overrides only",
+                    stacklevel=2,
+                )
 
         for section, section_data in merge.get("ExplicitMarketData", {}).items():
             if isinstance(section_data, dict) and isinstance(

@@ -106,6 +106,7 @@ def generate_random_numbers(
     rng_backend: str = "threefry",
     key: Optional[jax.Array] = None,
     seed: int = 42,
+    sobol_offset: int = 0,
     dtype=np.float64,
 ) -> np.ndarray:
     """Correlated normals (n_factors, n_steps, batch) — CMC_State.reset().
@@ -138,9 +139,13 @@ def generate_random_numbers(
         # one point per path — the standard RiskFlow dimension layout
         from ..models.mc.rng import sobol_normals
 
-        # +1 skips the all-zeros origin point (an ~-8 sigma draw everywhere)
+        # +1 skips the all-zeros origin point (an ~-8 sigma draw
+        # everywhere); ``sobol_offset`` advances past earlier batches'
+        # points (a deterministic stream, unlike the keyed backends —
+        # without it every simulation batch would be a bit-identical copy)
         z = sobol_normals(
-            half, n_factors * num_timesteps, fast_forward=seed + 1
+            half, n_factors * num_timesteps,
+            fast_forward=seed + 1 + sobol_offset,
         )
         z = z.T.reshape(n_factors, num_timesteps, half).reshape(
             n_factors, num_timesteps * half
@@ -154,7 +159,10 @@ def generate_random_numbers(
     correlated = (jnp.asarray(cholesky_L) @ z).reshape(n_factors, num_timesteps, half)
     if use_antithetic:
         correlated = jnp.concatenate([correlated, -correlated], axis=-1)
-    return np.asarray(correlated, dtype=np.float64)
+    # stays device-resident: generate_paths consumes it on device, so a
+    # np.asarray here would round-trip the whole block through the host
+    # (tunnel) once per batch; numpy callers still interop via __array__
+    return correlated
 
 
 @jax.jit
@@ -208,14 +216,20 @@ def _theoretical_moments(prices, tenors_excel, base_date_excel, params, t_final)
     sigma, alpha, mu = params["Sigma"], params["Alpha"], params["Drift"]
     out = []
     for F0, t_ex in zip(prices, tenors_excel):
-        Tmt = max((t_ex - base_date_excel) / DAYS_IN_YEAR - t_final, 0.0)
+        T_del = max((t_ex - base_date_excel) / DAYS_IN_YEAR, 0.0)
+        # variance (and drift) accumulation stops at delivery — the
+        # simulation's tenor-clipped dt matrix does exactly this, so the
+        # printed theoretical Std must clip too (cs_log_variance
+        # semantics; the unclipped form overstated Std for every tenor
+        # already delivered by the horizon)
+        t_eff = min(t_final, T_del)
         ln_var = (
             sigma**2
-            * np.exp(-2.0 * alpha * Tmt)
-            * (1.0 - np.exp(-2.0 * alpha * t_final))
+            * np.exp(-2.0 * alpha * (T_del - t_eff))
+            * (1.0 - np.exp(-2.0 * alpha * t_eff))
             / (2.0 * alpha)
         )
-        mean = F0 * np.exp(mu * t_final)
+        mean = F0 * np.exp(mu * t_eff)
         std = mean * np.sqrt(max(np.exp(ln_var) - 1.0, 0.0))
         out.append((mean, std))
     return out
@@ -318,11 +332,17 @@ def run_multi_factor_simulation_from_json(
     batch_results: Dict[str, list] = {fname: [] for fname in factor_names}
     base_key = jax.random.PRNGKey(random_seed)
     for batch in range(simulation_batches):
+        half = batch_size // 2 if use_antithetic else batch_size
         random_numbers = generate_random_numbers(
             L, num_timesteps, batch_size,
             use_antithetic=use_antithetic,
             rng_backend=rng_backend,
             key=jax.random.fold_in(base_key, batch),
+            # the Sobol stream is deterministic: honor random_seed and
+            # advance past earlier batches' points (review finding: all
+            # batches were bit-identical copies before)
+            seed=random_seed,
+            sobol_offset=batch * half,
         )
         for idx, fname in enumerate(factor_names):
             batch_results[fname].append(

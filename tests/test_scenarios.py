@@ -344,3 +344,76 @@ class TestComparator:
         # same distribution, different seeds: KS should mostly pass
         frac = np.mean([v["match"] for v in res["ks_results"].values()])
         assert frac > 0.5
+
+
+class TestReviewHardening:
+    """Regression tests for review findings in the MC/scenario stack."""
+
+    def test_sobol_batches_are_distinct(self, tmp_path):
+        """rng_backend='sobol_device' must advance the stream per batch
+        (all batches were bit-identical copies) and honor random_seed."""
+        sim2, _, _ = run_simulation_from_json(
+            _market_json(tmp_path), "ForwardPrice.GOLD",
+            batch_size=128, simulation_batches=2, random_seed=1,
+            rng_backend="sobol_device",
+        )
+        b0, b1 = sim2[..., :128], sim2[..., 128:]
+        assert not np.allclose(b0, b1), "batches must differ"
+        sim_seed9, _, _ = run_simulation_from_json(
+            _market_json(tmp_path), "ForwardPrice.GOLD",
+            batch_size=128, simulation_batches=1, random_seed=9,
+            rng_backend="sobol_device",
+        )
+        assert not np.allclose(sim2[..., :128], sim_seed9), \
+            "random_seed must offset the stream"
+        # batch 2 continues the stream at offset half=64 (antithetic):
+        # a single-batch run whose seed starts there is bit-identical
+        sim_cont, _, _ = run_simulation_from_json(
+            _market_json(tmp_path), "ForwardPrice.GOLD",
+            batch_size=128, simulation_batches=1, random_seed=1 + 64,
+            rng_backend="sobol_device",
+        )
+        np.testing.assert_allclose(b1, sim_cont, rtol=0)
+
+    def test_convergence_analysis_small_run(self, tmp_path):
+        """n < 64 scenarios: a single-point ladder, not IndexError."""
+        from finite_difference_tpu.scenarios.diagnostics import (
+            convergence_analysis,
+        )
+
+        sim, _, meta = run_simulation_from_json(
+            _market_json(tmp_path), "ForwardPrice.GOLD",
+            batch_size=32, simulation_batches=1, random_seed=1,
+        )
+        df = convergence_analysis(sim, meta)
+        assert list(df["n"])[-1] == 32
+
+    def test_hw1f_rejects_nonpositive_alpha(self):
+        from finite_difference_tpu.models.mc.hw1f import HW1FParams
+
+        with pytest.raises(ValueError, match="alpha must be positive"):
+            HW1FParams.flat(0.0, 0.01)
+
+    def test_gbm_rejects_nonascending_grid(self):
+        from finite_difference_tpu.models.mc.gbm import GBMParams, GBMSimulator
+
+        sim = GBMSimulator(GBMParams(mu=0.05, sigma=0.2))
+        z = np.zeros((4, 8))
+        with pytest.raises(ValueError, match="ascending"):
+            sim.simulate(100.0, np.array([0.0, 30.0, 20.0, 60.0]), z)
+
+    def test_theoretical_moments_clip_at_delivery(self):
+        from finite_difference_tpu.scenarios.simulation import (
+            _theoretical_moments,
+        )
+
+        params = {"Sigma": 0.3, "Alpha": 1.2, "Drift": 0.04}
+        base = 45000.0
+        # tenor delivering at 0.5y, horizon 2y: moments freeze at delivery
+        out = _theoretical_moments(
+            [100.0], [base + 0.5 * 365.25], base, params, 2.0
+        )
+        out_at_delivery = _theoretical_moments(
+            [100.0], [base + 0.5 * 365.25], base, params, 0.5
+        )
+        np.testing.assert_allclose(out, out_at_delivery, rtol=1e-12)
