@@ -503,6 +503,7 @@ def build_american_batch(
     s_max_mult: float = 4.5,
     dtype=np.float64,
     snap_to_grid: bool = False,
+    use_native: bool = True,
 ) -> BarrierTradeBatch:
     """Struct-of-arrays batch of American trades on the shared stepper.
 
@@ -512,7 +513,11 @@ def build_american_batch(
     (tau_from_expiry, amount). ``snap_to_grid`` applies the scalar pricer's
     spot/strike node snapping (fd_american_equity.py:386 — the payoff kink
     and the price readout land exactly on grid nodes; the runner path uses
-    it to match AmericanFDMPricer's defaults).
+    it to match AmericanFDMPricer's defaults). ``use_native`` routes the
+    dividend-schedule construction through the C++ batch builder
+    (finite_difference_tpu.native.american_batches, bit-identical) when it
+    is available; dividend-free batches take the vectorized numpy fast path
+    either way.
     """
     from .grid import american_log_grid, segmented_schedule
 
@@ -581,6 +586,37 @@ def build_american_batch(
             div_amount=np.zeros((B, n), dtype=dtype),
             reset_lambda=reset,
         )
+
+    if use_native:
+        from ... import native as _native
+
+        if _native.available():
+            out = _native.american_batches(
+                spots, strikes, sigmas, t_expiry,
+                [bool(c) for c in is_call], dividends_tau,
+                n_time_steps, rannacher_steps, num_space_nodes,
+                s_max_mult, snap_to_grid,
+            )
+            if out is not None:
+                f = lambda v: np.asarray(v, dtype=dtype)
+                zB = np.zeros(B, dtype=dtype)
+                fB = np.zeros(B, dtype=bool)
+                n = int(n_time_steps)
+                return BarrierTradeBatch(
+                    x_min=f(out["x_min"]), dx=f(out["dx"]),
+                    strike=f(out["strike"]),
+                    is_call=np.asarray(is_call, dtype=bool),
+                    sigma=f(sigmas), r=f(r), b=f(b), q=zB,
+                    lower=zB, upper=zB, has_lower=fB, has_upper=fB,
+                    rebate=zB, rebate_at_hit=fB, rebate_rate=f(b),
+                    s_eff=f(out["spot"]), spot=f(out["spot"]),
+                    dt=out["dt"].astype(dtype),
+                    theta=out["theta"].astype(dtype),
+                    tau_next=out["tau_next"].astype(dtype),
+                    monitor=np.zeros((B, n), dtype=bool),
+                    div_amount=out["div_amount"].astype(dtype),
+                    reset_lambda=out["reset_lambda"],
+                )
 
     cols: Dict[str, List] = {k: [] for k in (
         "x_min", "dx", "dt", "theta", "tau_next", "monitor", "div_amount",

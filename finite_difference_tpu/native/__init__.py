@@ -69,6 +69,15 @@ def _load() -> Optional[ctypes.CDLL]:
         dptr, i64ptr, dptr, dptr, dptr, u8ptr,
     ]
     lib.uniform_schedules.restype = None
+    lib.american_batch.argtypes = [
+        dptr, dptr, dptr, dptr, u8ptr,
+        dptr, dptr, i64ptr,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_uint8,
+        dptr, dptr, dptr, dptr,
+        dptr, dptr, dptr, dptr, u8ptr, i64ptr,
+    ]
+    lib.american_batch.restype = None
     _LIB = lib
     return _LIB
 
@@ -127,3 +136,68 @@ def uniform_schedules(
         dt, theta, tau_next, monitor,
     )
     return dt, theta, tau_next, monitor
+
+
+def american_batches(
+    spot, strike, sigma, t_expiry, restart_at_div, dividends_ragged,
+    n_steps: int, rannacher: int, num_space_nodes: int, s_max_mult: float,
+    snap: bool,
+):
+    """Vectorised native American grids + segmented dividend schedules;
+    None when the native lib is absent.
+
+    ``dividends_ragged``: per trade, a sequence of (tau_from_expiry, amount)
+    pairs. ``restart_at_div``: per-trade bool — Rannacher restarts after each
+    dividend (the American pricer's call-leg policy). Returns a dict of
+    arrays bit-identical to the per-trade Python loop in
+    models.pde.batch.build_american_batch (grids via american_log_grid,
+    schedules via segmented_schedule, optional spot/strike node snapping).
+    Raises ValueError when a trade's segment steps exceed ``n_steps`` —
+    the same condition the Python loop raises on.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    c = lambda a: np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+    spot = c(spot)
+    B = spot.shape[0]
+    offsets = np.zeros(B + 1, dtype=np.int64)
+    for i, divs in enumerate(dividends_ragged):
+        offsets[i + 1] = offsets[i] + len(divs)
+    div_tau = np.empty(int(offsets[-1]), dtype=np.float64)
+    div_amt = np.empty(int(offsets[-1]), dtype=np.float64)
+    for i, divs in enumerate(dividends_ragged):
+        for j, (t, a) in enumerate(divs):
+            div_tau[offsets[i] + j] = float(t)
+            div_amt[offsets[i] + j] = float(a)
+
+    x_min = np.empty(B)
+    dx = np.empty(B)
+    spot_out = np.empty(B)
+    strike_out = np.empty(B)
+    n = int(n_steps)
+    dt = np.empty((B, n))
+    theta = np.empty((B, n))
+    tau_next = np.empty((B, n))
+    div_amount = np.empty((B, n))
+    reset = np.empty((B, n), dtype=np.uint8)
+    status = np.empty(B, dtype=np.int64)
+    lib.american_batch(
+        spot, c(strike), c(sigma), c(t_expiry),
+        np.ascontiguousarray(np.asarray(restart_at_div, dtype=np.uint8)),
+        div_tau, div_amt, offsets,
+        B, n, int(rannacher), int(num_space_nodes), float(s_max_mult),
+        ctypes.c_uint8(1 if snap else 0),
+        x_min, dx, spot_out, strike_out,
+        dt, theta, tau_next, div_amount, reset, status,
+    )
+    bad = np.nonzero(status)[0]
+    if bad.size:
+        raise ValueError(
+            f"segment steps exceeded n_time_steps (trade {int(bad[0])})"
+        )
+    return {
+        "x_min": x_min, "dx": dx, "spot": spot_out, "strike": strike_out,
+        "dt": dt, "theta": theta, "tau_next": tau_next,
+        "div_amount": div_amount, "reset_lambda": reset.astype(bool),
+    }
