@@ -1062,6 +1062,201 @@ class TestDeviceFuzz:
             )
 
 
+    def test_random_csa_space_matches_generic(self):
+        """Fuzz the CSA parameter space: random MPOR / VM thresholds /
+        IM methods (NONE, FIXED, SCHEDULE, SIMM) / close-out conventions
+        (STANDARD, FORWARD with string or per-currency-dict risky curves)
+        over netting sets mixing swaps, TRS, and index-linked swaps with
+        varying window/maturity overlap — device compute() == generic
+        compute() (mtm, collateral, exposure) on every draw.
+
+        The window/maturity variation is deliberate: the round-3 device
+        TRS initial-price bug only showed when an in-progress period's
+        start predated the cube window."""
+        from finite_difference_tpu.instruments.equity_trs import EquityTRS
+        from finite_difference_tpu.instruments.index_linked_swap import (
+            IndexLinkedSwap,
+        )
+        from finite_difference_tpu.instruments.inflation_pv import InflationLeg
+        from finite_difference_tpu.market_data.cpi import (
+            first_of_month,
+            shift_months,
+        )
+        from finite_difference_tpu.portfolio.csa import (
+            CSA, CloseOutMethod, InitialMarginMethod,
+        )
+
+        rng = np.random.default_rng(53)
+        n_times, n_paths = 16, 6
+        dates = [VAL + dt.timedelta(days=30 * i) for i in range(n_times)]
+        swap_arr = 0.073 + rng.normal(
+            0, 0.002, (n_times, n_paths, TENORS.size)
+        ).cumsum(axis=0)
+        risky_arr = swap_arr + 0.015
+        usd_risky = swap_arr + 0.025
+        infl = 0.05 + rng.normal(
+            0, 0.001, (n_times, n_paths, TENORS.size)
+        ).cumsum(axis=0)
+        div = np.full((n_times, n_paths, TENORS.size), 0.02)
+        eq = 100.0 * np.exp(
+            rng.normal(0.001, 0.04, (n_times, n_paths)).cumsum(axis=0)
+        )
+        cpi = 102.4 * np.exp(
+            0.004 * np.arange(n_times)[:, None]
+            + rng.normal(0, 0.002, (n_times, n_paths)).cumsum(axis=0)
+        )
+        curves = {
+            "ZAR-SWAP": swap_arr, "ZAR-RISKY": risky_arr,
+            "USD-RISKY": usd_risky, "INFL.ZA": infl, "EQ.DIV": div,
+        }
+        scalars = {"EQ.SPOT": eq, "CPI.ZA": cpi}
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", swap_arr, TENORS),
+                "ZAR-RISKY": ("curve", risky_arr, TENORS),
+                "USD-RISKY": ("curve", usd_risky, TENORS),
+                "INFL.ZA": ("curve", infl, TENORS),
+                "EQ.DIV": ("curve", div, TENORS),
+                "EQ.SPOT": ("scalar", eq),
+                "CPI.ZA": ("scalar", cpi),
+            },
+        )
+        dev = DeviceExposureEngine(dates, curves, TENORS, scalars=scalars)
+        hist = {
+            shift_months(first_of_month(VAL), -k): 100.0 + 0.3 * (8 - k)
+            for k in range(0, 9)
+        }
+
+        for trial in range(10):
+            # instruments with randomized window overlap
+            swap_eff = VAL + dt.timedelta(days=int(rng.integers(-300, 60)))
+            swap_mat = min(
+                swap_eff + dt.timedelta(days=int(rng.integers(180, 700))),
+                dates[-1],
+            )
+            if swap_mat <= max(swap_eff, dates[0]):
+                continue
+            trades = [
+                IRSwap(
+                    name=f"s{trial}", effective_date=swap_eff,
+                    maturity_date=swap_mat,
+                    notional=float(rng.uniform(2e5, 2e6)),
+                    receive_leg=SwapLeg(
+                        LegType.FLOATING, frequency=int(rng.choice([3, 6])),
+                        curve_name="ZAR-SWAP",
+                        spread=float(rng.uniform(-0.005, 0.01)),
+                    ),
+                    pay_leg=SwapLeg(
+                        LegType.FIXED, frequency=3,
+                        fixed_rate=float(rng.uniform(0.06, 0.09)),
+                    ),
+                    discount_curve_name="ZAR-SWAP",
+                )
+            ]
+            ccys = ["ZAR"]
+            if rng.integers(0, 2):
+                trades.append(
+                    EquityTRS(
+                        name=f"t{trial}",
+                        effective_date=VAL
+                        + dt.timedelta(days=int(rng.integers(-200, 30))),
+                        maturity_date=dates[int(rng.integers(6, n_times))],
+                        quantity=float(rng.uniform(100, 1500)),
+                        notional=100_000.0,
+                        interest_leg=SwapLeg(
+                            LegType.FLOATING, frequency=3,
+                            curve_name="ZAR-SWAP", spread=0.01,
+                        ),
+                        spot_name="EQ.SPOT", carry_curve_name="ZAR-SWAP",
+                        dividend_curve_name="EQ.DIV",
+                        discount_curve_name="ZAR-SWAP",
+                        initial_price=100.0,
+                        return_nominal_scaling=str(
+                            rng.choice(["Price", "Initial Price"])
+                        ),
+                    )
+                )
+                # trade currency stays the reporting currency (cross-ccy
+                # FX factors are covered elsewhere); the USD key of the
+                # dict-form risky curve is exercised via rn.get fallback
+                ccys.append("ZAR")
+            if rng.integers(0, 2):
+                trades.append(
+                    IndexLinkedSwap(
+                        name=f"i{trial}", effective_date=VAL,
+                        maturity_date=dt.date(
+                            VAL.year + 1, VAL.month, VAL.day,
+                        ),
+                        notional=500_000.0,
+                        inflation_leg=InflationLeg(
+                            real_rate=0.025, base_cpi=100.0,
+                            cpi_curve_name="CPI.ZA", frequency=6,
+                            inflation_rate_curve_name="INFL.ZA",
+                            pay_notional_at_maturity=bool(rng.integers(0, 2)),
+                        ),
+                        nominal_leg=SwapLeg(
+                            LegType.FIXED, frequency=6, fixed_rate=0.08
+                        ),
+                        discount_curve_name="ZAR-SWAP",
+                        inflation_index=hist,
+                        inflation_receiver=bool(rng.integers(0, 2)),
+                    )
+                )
+                ccys.append("ZAR")
+
+            im = InitialMarginMethod(
+                str(rng.choice(["none", "fixed", "schedule", "simm"]))
+            )
+            close_out = CloseOutMethod(
+                str(rng.choice(["standard", "forward"]))
+            )
+            risky = None
+            if close_out is CloseOutMethod.FORWARD:
+                risky = (
+                    {"ZAR": "ZAR-RISKY", "USD": "USD-RISKY"}
+                    if rng.integers(0, 2)
+                    else "ZAR-RISKY"
+                )
+            csa = CSA(
+                mpor_days=int(rng.choice([0, 5, 10, 22])),
+                vm_threshold=float(rng.choice([0.0, 5e3, 5e4])),
+                vm_threshold_post=float(rng.choice([0.0, 1e4])),
+                im_method=im,
+                im_amount=float(rng.uniform(0, 2e4)) if im
+                is InitialMarginMethod.FIXED else 0.0,
+                close_out_method=close_out,
+                risky_curve_name=risky,
+            )
+            generic = ExposureEngine(cube).compute(
+                NettingSet(
+                    "NS",
+                    [
+                        Trade(x, f"T{i}", currency=ccys[i])
+                        for i, x in enumerate(trades)
+                    ],
+                    csa=csa,
+                )
+            )
+            prof = dev.compute(trades, csa=csa, currencies=ccys)
+            tol = dict(rtol=1e-7, atol=1e-5) if im is (
+                InitialMarginMethod.SIMM
+            ) else dict(rtol=1e-9, atol=1e-6)
+            msg = (
+                f"trial {trial}: im={im.value} close={close_out.value} "
+                f"risky={risky!r} n_trades={len(trades)}"
+            )
+            np.testing.assert_allclose(
+                prof.mtm, generic.mtm, err_msg=msg, **tol
+            )
+            np.testing.assert_allclose(
+                prof.collateral, generic.collateral, err_msg=msg, **tol
+            )
+            np.testing.assert_allclose(
+                prof.exposure, generic.exposure, err_msg=msg, **tol
+            )
+
+
 class TestSimmReviewHardening:
     """Regression tests for review findings: length validation, FX pair
     classification, scalar-class override validation, risky-name noise."""
