@@ -10,7 +10,8 @@ cashflow_leg`` (SwapLeg/LegType) and ``models.cashflow_pv.leg_pv``
   forward from the scenario curve;
 - OIS legs (overnight_compounding): rate = (CF_realized * CF_future - 1) /
   accrual, CF_realized from the engine's incremental cache, CF_future =
-  DF(t_now)/DF(p_end) on the pathwise curve;
+  DF(max(p_start, val_date))/DF(p_end) on the pathwise curve (forward
+  periods compound over the period only);
 - compounded reset legs (reset_frequency_months > 0): the period coupon
   compounds sub-period rates, each sub-period resolved fixing-or-forward;
 - payments strictly after the valuation date (or on it when
@@ -70,7 +71,12 @@ def _period_rate(
         cf_realized = np.ones(n_paths)
         if fixings is not None and (leg.curve_name, p_start) in fixings:
             cf_realized = np.asarray(fixings[(leg.curve_name, p_start)], dtype=float)
-        t_now = 0.0
+        # future compounding runs from the LATER of the period start and
+        # the valuation date: an in-progress period's realized part is the
+        # stamped cache (from p_start to val_date), a forward-starting
+        # period compounds only over [p_start, p_end] — NOT from val_date,
+        # which would wrongly include growth over [val_date, p_start]
+        t_now = sc.curve_year_fraction(val_date, max(p_start, val_date))
         t_end = sc.curve_year_fraction(val_date, p_end)
         if t_end > t_now and fwd_curve is not None:
             df = fwd_curve.discount_factor(np.array([t_now, t_end]))

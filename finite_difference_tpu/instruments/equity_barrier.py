@@ -163,7 +163,10 @@ class EquityBarrierOption(Instrument):
             lower=[self.lower_barrier if has_lower else None] * B,
             upper=[self.upper_barrier if has_upper else None] * B,
             rebate=[self.rebate] * B,
-            rebate_at_hit=[self.rebate_at_hit] * B,
+            # the IN option's rebate pays at expiry iff never knocked in,
+            # so its parity complement is the at-EXPIRY-rebate KO leg:
+            # rebate_at_hit must not leak into the KI surfaces
+            rebate_at_hit=[self.rebate_at_hit and not is_in] * B,
             **common,
         )
         n_nodes = self.num_space_nodes + 1
@@ -184,16 +187,6 @@ class EquityBarrierOption(Instrument):
                 van_batch, x_min=ko_batch.x_min, dx=ko_batch.dx
             )
             self._v_van, _ = solve_value_surfaces(van_batch, n_nodes)
-            if self.rebate != 0.0:
-                ko0 = build_trade_batch(
-                    monitor_times=monitors,
-                    lower=[self.lower_barrier if has_lower else None] * B,
-                    upper=[self.upper_barrier if has_upper else None] * B,
-                    **common,
-                )
-                self._v_ko_nr, _ = solve_value_surfaces(ko0, n_nodes)
-            else:
-                self._v_ko_nr = v_ko
         self._surfaces = {d: i for i, d in enumerate(live)}
 
     # ------------------------------------------------------------------
@@ -257,18 +250,14 @@ class EquityBarrierOption(Instrument):
                 dead_val = self.rebate * np.exp(-self.rate * tau)
             return self.quantity * np.where(hit, dead_val, alive_val)
 
-        # knock-IN: alive = vanilla - KO(no-rebate) + rebate-if-never-in
-        # leg; once hit, the holder owns the vanilla
+        # knock-IN via parity: KI(R) = vanilla - KO(R at expiry) + R*DF.
+        # The KI rebate pays at expiry iff the barrier is never touched
+        # (the Reiner-Rubinstein convention, term E): the at-expiry-rebate
+        # KO surface carries the touch-contingent leg R*DF*P(touch), so
+        # subtracting it and adding the unconditional R*DF leaves exactly
+        # R*DF*P(never touched). Once hit, the holder owns the vanilla.
         van = np.interp(spot, s, self._v_van[idx])
-        ko_nr = np.interp(spot, s, self._v_ko_nr[idx])
-        alive_val = van - ko_nr
+        alive_val = van - np.interp(spot, s, self._v_ko[idx])
         if self.rebate != 0.0:
-            # pays the rebate at expiry iff the barrier is never touched:
-            # that survival-contingent leg is the no-rebate KO minus the
-            # rebate-carrying KO of a zero-strike... simpler and exact:
-            # KO(rebate at expiry) = KO(no rebate) + rebate-leg, so the
-            # rebate leg = self._v_ko - self._v_ko_nr
-            alive_val = alive_val + (
-                np.interp(spot, s, self._v_ko[idx]) - ko_nr
-            )
+            alive_val = alive_val + self.rebate * np.exp(-self.rate * tau)
         return self.quantity * np.where(hit, van, alive_val)

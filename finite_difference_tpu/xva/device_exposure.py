@@ -82,6 +82,10 @@ class DeviceLegTensors:
     ois_stamped: Optional[np.ndarray] = None  # (n_times, m) reset < sim
     W_end: Optional[np.ndarray] = None      # (n_times, n_tenors, m)
     t_end: Optional[np.ndarray] = None      # (n_times, m) cyf(d, p_end)
+    # forward-starting periods compound over [p_start, p_end] only:
+    # cf_future = DF(t_ois_start)/DF(t_end), t_ois_start = cyf(d, max(p_start, d))
+    W_ois_start: Optional[np.ndarray] = None  # (n_times, n_tenors, m)
+    t_ois_start: Optional[np.ndarray] = None  # (n_times, m)
     # compounded-reset legs (reset_frequency_months > 0): float-window
     # fields above are at flattened (m*n_subs) sub-period granularity
     sub_tau: Optional[np.ndarray] = None    # (m, n_subs), 0-padded
@@ -211,17 +215,26 @@ def _ois_arrays(
                 seeds[i] = float(s)
     stamped = np.zeros((n_times, m), dtype=bool)
     t_end = np.zeros((n_times, m))
+    t_start = np.zeros((n_times, m))
     for t_idx, d in enumerate(dates):
         for i, (p_start, p_end, _, _) in enumerate(schedule):
             stamped[t_idx, i] = p_start < d
             t_end[t_idx, i] = sc.curve_year_fraction(d, p_end)
+            # forward-starting periods compound over [p_start, p_end] only
+            # (cashflow._period_rate's max(p_start, val_date) convention)
+            t_start[t_idx, i] = sc.curve_year_fraction(d, max(p_start, d))
     W_end = np.stack(
         [_weights_for(tenors, np.maximum(t_end[t], 0.0), Tm)
          for t in range(n_times)]
     )
+    W_start = np.stack(
+        [_weights_for(tenors, np.maximum(t_start[t], 0.0), Tm)
+         for t in range(n_times)]
+    )
     return dict(
         W_inc=W_inc, tau_seg=tau_seg, j0=j0, ois_seed=seeds,
-        ois_stamped=stamped, W_end=W_end, t_end=t_end, is_ois=True,
+        ois_stamped=stamped, W_end=W_end, t_end=t_end,
+        W_ois_start=W_start, t_ois_start=t_start, is_ois=True,
     )
 
 
@@ -423,8 +436,16 @@ def _ois_rate(leg: DeviceLegTensors, fwd_cube, frozen_cube=None):
     )
     r_end = jnp.einsum("tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_end))
     t_end = jnp.asarray(leg.t_end)[:, None, :]
+    # DF(t_start)/DF(t_end): t_start = 0 for in-progress periods (realized
+    # part is the stamped cache), cyf(d, p_start) for forward-starting ones
+    r_start = jnp.einsum(
+        "tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_ois_start)
+    )
+    t_start = jnp.maximum(jnp.asarray(leg.t_ois_start)[:, None, :], 0.0)
     cf_fut = jnp.where(
-        t_end > 0.0, jnp.exp(r_end * jnp.maximum(t_end, 0.0)), 1.0
+        t_end > 0.0,
+        jnp.exp(r_end * jnp.maximum(t_end, 0.0) - r_start * t_start),
+        1.0,
     )
     acc = jnp.asarray(leg.accrual)[None, None, :]
     acc_safe = jnp.where(acc <= 0.0, 1.0, acc)
@@ -1162,7 +1183,6 @@ class DeviceSurfaceTensors:
     s_nodes: np.ndarray       # (n_rows, N)
     v_main: np.ndarray        # (n_rows, N) KO / American surface
     v_van: Optional[np.ndarray] = None     # (n_rows, N), "in" only
-    v_ko_nr: Optional[np.ndarray] = None   # (n_rows, N), "in" only
     mon_row0: Optional[np.ndarray] = None  # (n_mon,) int
     mon_row1: Optional[np.ndarray] = None
     mon_alpha: Optional[np.ndarray] = None
@@ -1229,7 +1249,7 @@ def build_surface_tensors(inst, scenario_dates: Sequence[dt.date], tenors):
             mon_active=mon_active,
         )
         if kind == "in":
-            kw.update(v_van=inst._v_van, v_ko_nr=inst._v_ko_nr)
+            kw.update(v_van=inst._v_van)
 
     return [
         DeviceSurfaceTensors(
@@ -1288,10 +1308,15 @@ def _surface_mtm(st: DeviceSurfaceTensors, curves, scalars):
                     * jnp.exp(-st.rate * jnp.asarray(st.tau))[:, None]
                 ) * jnp.ones_like(main)
             val = jnp.where(hit, dead, main)
-        else:  # knock-in: alive = van + ko_with_rebate - 2 ko_nr
+        else:  # knock-in: KI(R) = vanilla - KO(R at expiry) + R*DF
+            # (equity_barrier.scenario_npvs parity form; the KI rebate
+            # pays at expiry iff the barrier is never touched)
             van = interp(st.v_van)
-            ko_nr = interp(st.v_ko_nr)
-            alive = van + main - 2.0 * ko_nr
+            alive = (
+                van - main
+                + st.rebate
+                * jnp.exp(-st.rate * jnp.asarray(st.tau))[:, None]
+            )
             val = jnp.where(hit, van, alive)
     return (
         st.quantity * val

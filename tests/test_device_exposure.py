@@ -1044,6 +1044,7 @@ class TestDeviceFuzz:
                     monitor_dates=[dates[4], dates[7]],
                     barrier_type=str(rng.choice(["up-and-out", "down-and-in"])),
                     lower_barrier=85.0, upper_barrier=120.0,
+                    rebate=float(rng.choice([0.0, 2.0])),
                     quantity=100.0, n_time_steps=48, num_space_nodes=127,
                 )
             else:

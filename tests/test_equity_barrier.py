@@ -136,6 +136,58 @@ class TestEngineIntegration:
         post = [i for i, d in enumerate(dates) if mon <= d < MAT]
         assert all(prof.mtm[0, i] == 0.0 for i in post)
 
+    def test_ki_rebate_far_barrier_is_pure_rebate_leg(self):
+        """Up-and-in call with rebate, spot far below the barrier: touch
+        probability ~0, so the KI MTM is ~ R*DF(tau) — the rebate pays at
+        expiry iff the barrier is never touched (RR term E). Regression
+        for the inverted contingency: the old leg added R*DF*P(touch),
+        which vanishes here (it returned ~0 instead of ~R*DF)."""
+        from finite_difference_tpu.utils.daycount import year_fraction
+
+        dates = self._dates()
+        n_times = len(dates)
+        paths = np.full((n_times, 3), 40.0)  # deep below H=130, K=100
+        opt = _opt(
+            name="ki", barrier_type="up-and-in", rebate=2.0, sigma=0.15
+        )
+        prof = self._run(opt, paths, dates)
+        for i, d in enumerate(dates):
+            if d >= MAT:
+                continue
+            tau = year_fraction(d, MAT, "ACT/365")
+            np.testing.assert_allclose(
+                prof.mtm[:, i], 2.0 * np.exp(-0.06 * tau), rtol=5e-3,
+                err_msg=f"date {d}",
+            )
+
+    def test_ki_rebate_parity_identity(self):
+        """Exact surface identity on un-hit paths:
+        KI(R) + KO(R at expiry) = vanilla + R*DF."""
+        from finite_difference_tpu.models.analytic import generalized_bs_price
+        from finite_difference_tpu.utils.daycount import year_fraction
+        import jax.numpy as jnp
+
+        dates = self._dates()
+        paths = self._paths(len(dates), dates, crossing_path=False)
+        ko = _opt(name="ko", rebate=2.0, rebate_at_hit=False)
+        ki = _opt(name="ki", barrier_type="up-and-in", rebate=2.0)
+        prof_ko = self._run(ko, paths, dates)
+        prof_ki = self._run(ki, paths, dates)
+        for i, d in enumerate(dates):
+            if d >= MAT:
+                continue
+            tau = year_fraction(d, MAT, "ACT/365")
+            bs = np.asarray(
+                generalized_bs_price(
+                    jnp.asarray(paths[i]), 100.0, 0.3, tau, 0.06, 0.06, True
+                )
+            )
+            np.testing.assert_allclose(
+                prof_ko.mtm[:, i] + prof_ki.mtm[:, i],
+                bs + 2.0 * np.exp(-0.06 * tau),
+                rtol=2e-3, atol=2e-3, err_msg=f"date {d}",
+            )
+
     def test_in_out_parity_pathwise(self):
         from finite_difference_tpu.models.analytic import generalized_bs_price
         from finite_difference_tpu.utils.daycount import year_fraction

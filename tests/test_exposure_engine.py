@@ -308,6 +308,39 @@ class TestIRSwap:
         expected = 1_000_000 * (df[:, 0] - df[:, 1])
         np.testing.assert_allclose(npv, expected, rtol=1e-9)
 
+    def test_ois_leg_telescopes_multi_period(self):
+        """Multi-period OIS leg, same projection/discount curve: each
+        coupon PV is N*(DF(t_start)-DF(t_end)), so the leg telescopes to
+        N*(1 - DF(T_last_pay)) on ANY curve shape. Regression for the
+        forward-period compounding bug: cf_future compounded from the
+        valuation date instead of the period start, overstating a 2y
+        quarterly leg ~2.5x (only single-period OIS was tested)."""
+        rng = np.random.default_rng(7)
+        vals = 0.06 + 0.004 * rng.standard_normal((4, TENORS.size)).cumsum(
+            axis=1
+        )
+        state = {"OIS": CurveSlice(values=vals, tenors=TENORS)}
+        swap = IRSwap(
+            name="ois2y",
+            effective_date=VAL,
+            maturity_date=dt.date(VAL.year + 2, VAL.month, VAL.day),
+            notional=1_000_000,
+            receive_leg=SwapLeg(
+                LegType.FLOATING, frequency=3, curve_name="OIS",
+                overnight_compounding=True,
+            ),
+            pay_leg=SwapLeg(LegType.FIXED, frequency=3, fixed_rate=0.0),
+            discount_curve_name="OIS",
+        )
+        npv = swap.scenario_npvs(VAL, state)
+        curve = YieldCurve(TENORS, vals)
+        sc = swap.schedule_config
+        t_last = sc.curve_year_fraction(VAL, swap.receive_schedule[-1][2])
+        df = curve.discount_factor(np.array([0.0, t_last]))
+        np.testing.assert_allclose(
+            npv, 1_000_000 * (df[:, 0] - df[:, 1]), rtol=1e-9
+        )
+
     def test_par_swap_near_zero(self):
         state = self._state(0.07)
         curve = YieldCurve(TENORS, state["ZAR-SWAP"].values)
