@@ -211,8 +211,17 @@ class EquityTRS(Instrument):
         spot = np.asarray(spot_slice.values, dtype=np.float64)
         n_paths = spot.shape[0]
 
-        if val_date >= self.maturity_date:
+        # cut off at the last adjusted/lagged payment, not the contractual
+        # maturity: a 'Following'-adjusted or payment-lagged final period
+        # can pay after maturity_date and its return+interest is still
+        # outstanding MTM (same rule as IRSwap/IndexLinkedSwap); due-today
+        # flows count on the terminal date so the final coupon isn't lost
+        if val_date > self._effective_maturity:
             return np.zeros(n_paths)
+        include_on_val = (
+            self.include_sim_date_cashflows
+            or val_date == self._effective_maturity
+        )
 
         sc = self.schedule_config
         carry_slice: CurveSlice = market_state[self.carry_curve_name]
@@ -228,7 +237,7 @@ class EquityTRS(Instrument):
 
         # -- Return leg --
         future_return = filter_future_periods(
-            self.return_schedule, val_date, self.include_sim_date_cashflows
+            self.return_schedule, val_date, include_on_val
         )
         if future_return:
             settled_periods = [
@@ -281,7 +290,7 @@ class EquityTRS(Instrument):
         # per-period loop below).
         interest_pv = np.zeros(n_paths)
         future_int = filter_future_periods(
-            self.interest_schedule, val_date, self.include_sim_date_cashflows
+            self.interest_schedule, val_date, include_on_val
         )
         if future_int:
             if self.interest_nominal_scaling == "Price":
@@ -311,7 +320,7 @@ class EquityTRS(Instrument):
                         n_paths=n_paths,
                         schedule_config=sc,
                         fixings=fixings,
-                        include_on_val_date=self.include_sim_date_cashflows,
+                        include_on_val_date=include_on_val,
                     )
                     interest_pv = interest_pv + notional_i * pv_unit
             else:
@@ -324,7 +333,7 @@ class EquityTRS(Instrument):
                     n_paths=n_paths,
                     schedule_config=sc,
                     fixings=fixings,
-                    include_on_val_date=self.include_sim_date_cashflows,
+                    include_on_val_date=include_on_val,
                 )
 
         direction = 1.0 if self.is_receiver else -1.0

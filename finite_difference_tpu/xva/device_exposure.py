@@ -695,15 +695,16 @@ def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray
 
     settled = [(trs._settled(st), trs._settled(en)) for st, en, _, _ in schedule]
     for t_idx, d in enumerate(dates):
-        if d >= trs.maturity_date:
-            continue  # scenario_npvs returns 0 past maturity
+        if d > trs._effective_maturity:
+            continue  # scenario_npvs returns 0 past the last payment
         if trs.spot_lag > 0:
             vs = sc.cal.add_working_days(d, trs.spot_lag)
             t0[t_idx] = sc.curve_year_fraction(d, vs)
+        include_on_val = (
+            trs.include_sim_date_cashflows or d == trs._effective_maturity
+        )
         for i, ((st, en, pay, acc), (st_s, en_s)) in enumerate(zip(schedule, settled)):
-            live[t_idx, i] = pay > d or (
-                pay == d and trs.include_sim_date_cashflows
-            )
+            live[t_idx, i] = pay > d or (pay == d and include_on_val)
             t_pay[t_idx, i] = max(0.0, sc.curve_year_fraction(d, pay))
             ts = (1 if st_s >= d else -1) * sc.curve_year_fraction(
                 min(st_s, d), max(st_s, d)
@@ -763,15 +764,17 @@ def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray
     )
 
     # interest leg: fixed notional ("Initial Price" scaling) or pathwise
-    # equity-forward notionals ("Price"); NO pay==maturity inclusion rule,
-    # and zero past maturity
+    # equity-forward notionals ("Price"); due-today flows count on the
+    # terminal (last-payment) date like the host path
     price_scaled = trs.interest_nominal_scaling == "Price"
     interest = build_leg_tensors(
         trs.interest_schedule, trs.interest_leg, -direction,
         scenario_dates, tenors,
         sc=sc, notional=1.0 if price_scaled else trs.notional,
         discount_name=trs.discount_curve_name,
-        include_on=lambda d: trs.include_sim_date_cashflows,
+        include_on=lambda d: (
+            trs.include_sim_date_cashflows or d == trs._effective_maturity
+        ),
     )
     if price_scaled:
         mi = len(trs.interest_schedule)
@@ -799,8 +802,10 @@ def build_trs_tensors(trs, scenario_dates: Sequence[dt.date], tenors: np.ndarray
         interest.eq_div_name = (
             trs.dividend_curve_name if trs.dividend_curve_name else ""
         )
-    # zero the interest leg past maturity to match scenario_npvs
-    mat_mask = np.array([d < trs.maturity_date for d in dates], dtype=bool)
+    # zero the interest leg past the last payment to match scenario_npvs
+    mat_mask = np.array(
+        [d <= trs._effective_maturity for d in dates], dtype=bool
+    )
     interest.live = interest.live & mat_mask[:, None]
     return [ret, interest]
 

@@ -213,6 +213,57 @@ class TestDeviceTRS:
         mtm = np.asarray(dev.mtm([trs]))
         np.testing.assert_allclose(mtm, generic.mtm, rtol=rtol, atol=atol)
 
+    def test_payment_lag_outstanding_after_maturity(self):
+        """A payment-lagged TRS pays its final return+interest AFTER
+        maturity_date; between maturity and that payment the MTM is the
+        outstanding (completed-but-unpaid) flows, not zero — and the
+        device path matches the generic engine through that window.
+        Regression: scenario_npvs cut off at the contractual maturity,
+        understating exposure over the lag window."""
+        from finite_difference_tpu.instruments.equity_trs import EquityTRS
+        from finite_difference_tpu.instruments.schedule import ScheduleConfig
+
+        dates, curves, scalars = self._market()
+        mat = dates[20]  # inside the window, leaves room for the lag
+        trs = EquityTRS(
+            name="trs-lag",
+            effective_date=VAL,
+            maturity_date=mat,
+            quantity=1000.0,
+            notional=100_000.0,
+            interest_leg=SwapLeg(
+                LegType.FLOATING, frequency=3, curve_name="ZAR-SWAP",
+                spread=0.01,
+            ),
+            spot_name="EQ.SPOT",
+            carry_curve_name="ZAR-SWAP",
+            dividend_curve_name="EQ.DIV",
+            discount_curve_name="ZAR-SWAP",
+            initial_price=100.0,
+            schedule_config=ScheduleConfig(payment_lag_days=10),
+        )
+        assert trs._effective_maturity > mat
+        self._compare(trs)
+        # MTM on a date in (maturity, final payment] is nonzero: the last
+        # period's return + interest is completed but unpaid
+        cube = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", curves["ZAR-SWAP"], TENORS),
+                "EQ.DIV": ("curve", curves["EQ.DIV"], TENORS),
+                "EQ.SPOT": ("scalar", scalars["EQ.SPOT"]),
+            },
+        )
+        prof = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(trs, "T1")])
+        )
+        in_window = [
+            i for i, d in enumerate(dates)
+            if mat <= d <= trs._effective_maturity
+        ]
+        assert in_window, "window must contain a scenario date"
+        assert np.any(np.abs(prof.mtm[:, in_window]) > 1e-6)
+
     def test_price_scaling_matches_generic(self):
         self._compare(self._trs(scaling="Price"))
 
