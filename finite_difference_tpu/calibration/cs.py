@@ -233,10 +233,7 @@ def bootstrap_from_json(
         raise ValueError("Cannot find Base_Date in System Parameters or Valuation Configuration")
     vol_delta = sys_params.get("Volatility_Delta", 0.0)
 
-    def _curve_array(obj):
-        if isinstance(obj, dict) and obj.get("_type") == "Curve":
-            return np.asarray(obj["array"], dtype=float)
-        return np.array(sorted(obj), dtype=float)
+    from .curve_data import curve_array as _curve_array
 
     results: Dict[str, Dict[str, float]] = {}
     for market_price_name, implied_params in market_prices.items():

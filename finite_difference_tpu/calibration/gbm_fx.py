@@ -19,13 +19,7 @@ import pandas as pd
 _MARKET_PRICE_TYPES = {"GBMAssetPriceTSModelPrices", "GBMTSModelPrices"}
 
 
-def _curve_array(obj) -> np.ndarray:
-    if isinstance(obj, dict):
-        if obj.get("_type") == "Curve":
-            return np.asarray(obj["array"], dtype=float)
-        if ".Curve" in obj:
-            return np.array(sorted(obj[".Curve"]["data"]), dtype=float)
-    return np.array(sorted(obj), dtype=float)
+from .curve_data import curve_array as _curve_array
 
 
 def read_vol_surface(price_factors: dict, vol_name: str, is_fx: bool = True) -> np.ndarray:

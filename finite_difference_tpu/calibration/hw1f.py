@@ -16,7 +16,11 @@ from typing import Dict, List, Optional, Tuple, Union
 import numpy as np
 import pandas as pd
 
-from .statistics import calc_statistics, force_positive_shift
+from .statistics import (
+    calc_statistics,
+    force_positive_shift,
+    parse_tenor_labels,
+)
 
 
 def calibrate_hw1f_interest_rate(
@@ -30,11 +34,6 @@ def calibrate_hw1f_interest_rate(
 ) -> Tuple[OrderedDict, pd.DataFrame, pd.DataFrame]:
     """(param OrderedDict, correlation, delta) from a rates panel."""
     force_positive = force_positive_shift(curve_panel)
-    tenor = np.array(
-        [float(str(x).split(",")[1]) if "," in str(x) else float(x)
-         for x in curve_panel.columns],
-        dtype=np.float64,
-    )
     stats, correlation, delta = calc_statistics(
         curve_panel + force_positive,
         method="Log",
@@ -42,6 +41,10 @@ def calibrate_hw1f_interest_rate(
         max_alpha=max_alpha,
         smooth=smooth,
     )
+    # tenors from the SURVIVING columns (all-NaN columns are dropped
+    # inside calc_statistics; parsing curve_panel.columns would misalign
+    # every tenor after a dropped column)
+    tenor = parse_tenor_labels(stats.index)
 
     mean_reversion_speed = float(stats["Mean Reversion Speed"].mean())
     sigma_curve = stats["Reversion Volatility"].interpolate()
@@ -71,16 +74,9 @@ def calibrate_hw1f_interest_rate(
 
 
 def _unpack_curve(raw):
-    if raw is None:
-        return []
-    if isinstance(raw, list):
-        return raw
-    if isinstance(raw, dict):
-        if ".Curve" in raw:
-            return raw[".Curve"].get("data", [])
-        if "data" in raw:
-            return raw["data"]
-    return []
+    from .curve_data import unpack_curve_rows
+
+    return unpack_curve_rows(raw)
 
 
 def extract_hw1f_params(filepath: str, asset_names: Union[str, List[str]]) -> Dict:

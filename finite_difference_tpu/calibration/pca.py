@@ -17,7 +17,11 @@ from typing import Dict, List, Tuple, Union
 import numpy as np
 import pandas as pd
 
-from .statistics import calc_statistics, force_positive_shift
+from .statistics import (
+    calc_statistics,
+    force_positive_shift,
+    parse_tenor_labels,
+)
 
 CalibrationInfo = namedtuple("CalibrationInfo", ["param", "correlation_coef", "delta"])
 
@@ -77,11 +81,9 @@ def calibrate_pca_interest_rate(
     stats, correlation, delta, force_positive = compute_curve_statistics(
         curve_panel, num_business_days=num_business_days, max_alpha=max_alpha
     )
-    tenors = np.array(
-        [float(str(x).split(",")[1]) if "," in str(x) else float(x)
-         for x in curve_panel.columns],
-        dtype=np.float64,
-    )
+    # tenors from the surviving stats columns (all-NaN columns are
+    # dropped inside compute_curve_statistics)
+    tenors = parse_tenor_labels(stats.index)
     standard_deviation = stats["Reversion Volatility"].interpolate()
     covariance = (
         np.dot(
@@ -130,17 +132,7 @@ def extract_pca_params(filepath: str, asset_names: Union[str, List[str]]) -> Dic
         market_data = json.load(f)
     price_models = market_data.get("MarketData", {}).get("Price Models", {})
 
-    def unpack_curve(raw):
-        if raw is None:
-            return []
-        if isinstance(raw, list):
-            return raw
-        if isinstance(raw, dict):
-            if ".Curve" in raw:
-                return raw[".Curve"].get("data", [])
-            if "data" in raw:
-                return raw["data"]
-        return []
+    from .curve_data import unpack_curve_rows as unpack_curve
 
     results = {}
     for asset_name in asset_names:

@@ -92,6 +92,21 @@ def calc_statistics(
     return stats, correlation, data
 
 
+def parse_tenor_labels(labels) -> np.ndarray:
+    """Tenor year-fractions from panel column labels ('NAME,2.0' or plain
+    numeric). Parse from the STATS index (the columns that survived
+    calc_statistics' all-NaN drop), never the original panel columns —
+    zipping original labels against surviving stats silently shifts every
+    volatility/yield after a dropped column onto the wrong tenor."""
+    return np.array(
+        [
+            float(str(x).split(",")[1]) if "," in str(x) else float(x)
+            for x in labels
+        ],
+        dtype=np.float64,
+    )
+
+
 def force_positive_shift(curve_panel: pd.DataFrame) -> float:
     """RiskFlow positivity shift: 0 if all positive else -5*min
     (calibrate_hw1f_interest_rate.py:29-35)."""

@@ -174,6 +174,25 @@ class TestCSCalibration:
         assert 0.001 < out["Sigma"] < 2.5
         assert -1.0 <= out["Alpha"] <= 2.0
 
+        # same factors re-encoded as {"_type": "Curve"} with rows
+        # REVERSED must bootstrap to the identical answer. Regression:
+        # the _type branch skipped the ascending sort, so np.interp
+        # silently produced garbage forwards/discounts for any
+        # non-ascending JSON row order.
+        md2 = json.loads(json.dumps(md))
+        pf = md2["MarketData"]["Price Factors"]
+        pf["ForwardPrice.BRENT.OIL"]["Curve"] = {
+            "_type": "Curve", "array": list(reversed(fwd_data)),
+        }
+        pf["InterestRate.USD-OIS"]["Curve"] = {
+            "_type": "Curve", "array": [[5.0, 0.05], [0.0, 0.05]],
+        }
+        p2 = tmp_path / "md_unsorted.json"
+        p2.write_text(json.dumps(md2))
+        out2 = bootstrap_from_json(str(p2))["BRENT.OIL"]
+        assert out2["Sigma"] == pytest.approx(out["Sigma"], rel=1e-12)
+        assert out2["Alpha"] == pytest.approx(out["Alpha"], rel=1e-12)
+
 
 class TestHW1F:
     def test_calibrate_structure(self):
@@ -187,6 +206,44 @@ class TestHW1F:
         sigma_pairs = param["Sigma"][".Curve"]["data"]
         assert len(sigma_pairs) == 3
         assert all(v > 0 for _, v in sigma_pairs)
+
+    def test_all_nan_column_keeps_tenor_alignment(self):
+        """A never-quoted (all-NaN) middle column is dropped inside
+        calc_statistics; the calibrated Sigma/Historical_Yield pairs must
+        carry the SURVIVING columns' tenors. Regression: tenors were
+        parsed from the original panel columns, so zip() shifted every
+        vol after the dropped column onto the preceding tenor label."""
+        df = _ou_panel(n_cols=4)
+        df_nan = df.copy()
+        df_nan["A,0.5"] = np.nan  # drop the 2nd tenor entirely
+        param, _, _ = calibrate_hw1f_interest_rate(df_nan)
+        pairs = param["Sigma"][".Curve"]["data"]
+        assert [t for t, _ in pairs] == [0.25, 0.75, 1.0]
+        # surviving tenors keep the same vols as a panel without the
+        # dropped column at all
+        param_ref, _, _ = calibrate_hw1f_interest_rate(
+            df[["A,0.25", "A,0.75", "A,1.0"]]
+        )
+        ref_pairs = param_ref["Sigma"][".Curve"]["data"]
+        np.testing.assert_allclose(
+            [v for _, v in pairs], [v for _, v in ref_pairs], rtol=1e-12
+        )
+        yld = param["Historical_Yield"]
+        assert [t for t, _ in yld] == [0.25, 0.75, 1.0]
+
+    def test_pca_all_nan_column_keeps_tenor_alignment(self):
+        """Same misalignment regression for the PCA calibrator."""
+        from finite_difference_tpu.calibration.pca import (
+            calibrate_pca_interest_rate,
+        )
+
+        df = _ou_panel(n_cols=4)
+        df["A,0.5"] = np.nan
+        info = calibrate_pca_interest_rate(df)
+        for key in ("Yield_Volatility", "Historical_Yield"):
+            assert [t for t, _ in info.param[key]] == [0.25, 0.75, 1.0], key
+        for ev in info.param["Eigenvectors"]:
+            assert [t for t, _ in ev["Eigenvector"]] == [0.25, 0.75, 1.0]
 
     def test_negative_rates_shifted(self):
         df = _ou_panel(n_cols=2) / 1000.0 - 0.05  # force negatives
