@@ -47,6 +47,14 @@ class InflationLinkedSwap:
         self.schedule_config = ScheduleConfig(
             calendar=calendar, day_count=day_count, curve_day_count=day_count
         )
+        # Anchored at value_date, NOT issue_date — deliberate reference
+        # parity: inflation_linked_swap.py:60-69 passes the curve's
+        # referenceDate into ql.Schedule, so a seasoned swap's first
+        # period is the value_date-truncated stub (Backward generation
+        # keeps all later boundaries identical). Financially the full
+        # contractual coupon accrues from the period start; use
+        # issue-date-anchored IndexLinkedSwap (instruments/) for that
+        # convention.
         self.schedule = self.schedule_config.build(
             self.value_date, maturity_date, float_frequency_months
         )
@@ -103,4 +111,9 @@ class InflationLinkedSwapPricer:
                 continue
             index_ratio = s.historical_cpi.cpi_value(end) / s.base_cpi
             annuity += accrual * index_ratio * s._df(pay) * s.notional
+        if annuity == 0.0:
+            raise ValueError(
+                "fair_fixed_rate undefined: no future payments at "
+                f"value_date {s.value_date} (maturity {s.maturity_date})"
+            )
         return pv_float / annuity

@@ -165,14 +165,25 @@ def inflation_leg_pv(
 
     pv = np.zeros(n_paths)
     last_pay = max(p for _, _, p, _ in schedule)
-    for p_start, p_end, pay_date, accrual in schedule:
-        if pay_date < val_date or (pay_date == val_date and not include_on_val_date):
-            continue
+    future = [
+        (p_start, p_end, pay_date, accrual)
+        for p_start, p_end, pay_date, accrual in schedule
+        if pay_date > val_date
+        or (pay_date == val_date and include_on_val_date)
+    ]
+    if not future:
+        return pv
+    # ONE discount_factor call covers every payment date — the per-period
+    # single-point interpolation was the exposure engine's measured hot
+    # spot, eliminated the same way in cashflow.leg_pv/trs_return_leg_pv
+    t_pays = np.array(
+        [sc.curve_year_fraction(val_date, pay) for _, _, pay, _ in future]
+    )
+    dfs = discount_curve.discount_factor(t_pays)  # (n_paths, m)
+    for i, (p_start, p_end, pay_date, accrual) in enumerate(future):
         index_ratio = _cpi_at(p_end) / leg.base_cpi
         cf = base_notional * index_ratio * accrual * leg.real_rate
         if leg.pay_notional_at_maturity and pay_date == last_pay:
             cf = cf + base_notional * index_ratio
-        t_pay = sc.curve_year_fraction(val_date, pay_date)
-        df = discount_curve.discount_factor(np.array([t_pay]))[:, 0]
-        pv = pv + df * cf
+        pv = pv + dfs[:, i] * cf
     return pv

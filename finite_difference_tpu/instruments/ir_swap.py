@@ -22,7 +22,6 @@ from .schedule import (
     ScheduleConfig,
     add_months,
     adjust,
-    build_overnight_tenors,
     generate_sub_periods,
 )
 
@@ -132,17 +131,20 @@ class IRSwap(Instrument):
     ) -> np.ndarray:
         """One-step OIS compound factor over [t_from, t_to] (ir_swap.py:131-176).
 
-        Telescoping product of DF ratios over the business-day grid equals
-        1/DF(t_to) on the curve seen at t_from.
+        The reference keeps the daily grid explicit and documents that the
+        telescoping product of consecutive DF ratios "equals DF(0)/DF(tau)
+        = 1/DF(tau), matching the scalar shortcut exactly" (ir_swap.py:
+        142-148) — the grid is ~22 interpolation points plus a (n_paths x
+        n_bdays+1) materialization per engine step for a value one DF
+        query yields (DF(0)=1 exactly on the shared interpolator; the
+        product only adds ~1e-15 of accumulated rounding). EquityTRS and
+        IndexLinkedSwap already use the endpoint form; this is the same
+        shortcut.
         """
         sc = self.schedule_config
         curve = _pathwise_curve(time_slice[curve_name])
-        tenors = build_overnight_tenors(
-            t_from, t_to, val_date=t_from, calendar=sc.cal,
-            curve_day_count=sc.curve_day_count,
-        )
-        dfs = curve.discount_factor(tenors)  # (n_paths, n_bdays+1)
-        return np.prod(dfs[:, :-1] / dfs[:, 1:], axis=1)
+        tau = sc.curve_year_fraction(t_from, t_to)
+        return 1.0 / curve.discount_factor(np.array([tau]))[:, 0]
 
     def _forward_for_reset(
         self,

@@ -86,6 +86,14 @@ class HistoricalCPI:
         self.value_date = value_date
         self._df_fn = discount_factor_fn
         self._monthly_cpi = self._coerce_map(monthly_cpi)
+        # the projection anchor is the last HISTORICAL fixing: every
+        # (re-)extension projects from here so on-demand re-extension in
+        # cpi_value continues the same DF-ratio ladder instead of
+        # re-applying near-spot growth to a far-out month
+        self._last_historical = first_of_month(max(self._monthly_cpi))
+        self._cpi_last_historical = float(
+            self._monthly_cpi[self._last_historical]
+        )
         if extend_cpi > 0 and self._df_fn is not None:
             self._monthly_cpi = self.extend_historical_cpi(extend_cpi)
 
@@ -107,24 +115,32 @@ class HistoricalCPI:
         return self._monthly_cpi
 
     def extend_historical_cpi(self, months: int) -> Dict[dt.date, float]:
-        """Project first-of-month fixings forward with the index-ratio rule
-        CPI_next = CPI_prev * DF(carry_prev)/DF(carry_next)
-        (historical_cpi.py:149-204, simplified to its documented rule)."""
+        """Project first-of-month fixings ``months`` beyond the current
+        latest with the index-ratio rule CPI_next = CPI_prev *
+        DF(carry_prev)/DF(carry_next) (historical_cpi.py:149-204,
+        simplified to its documented rule). Telescoping makes month i
+        after the last HISTORICAL fixing CPI_hist / DF(value_date + i
+        months); projecting from that fixed anchor keeps on-demand
+        re-extension on the same ladder (re-anchoring at the re-extension
+        call would apply 1-month SPOT growth to a month years out — a
+        kink in projected CPI whenever the curve isn't flat)."""
         fixings = dict(self._monthly_cpi)
         if months <= 0 or self._df_fn is None:
             return fixings
-        last = first_of_month(max(fixings))
-        cpi_last = float(fixings[last])
-        df_anchor = 1.0
-        for i in range(1, months + 1):
-            next_date = shift_months(last, i)
-            carry_date = self.value_date + dt.timedelta(days=0)
+        latest = first_of_month(max(fixings))
+        anchor = self._last_historical
+        already = (
+            (latest.year - anchor.year) * 12 + latest.month - anchor.month
+        )
+        carry_date = self.value_date
+        for i in range(1, already + int(months) + 1):
+            next_date = shift_months(anchor, i)
             # carry measured from value_date in month steps
             y, m = divmod(carry_date.month - 1 + i, 12)
             day = min(carry_date.day, _cal.monthrange(carry_date.year + y, m + 1)[1])
             carry = dt.date(carry_date.year + y, m + 1, day)
             next_df = float(self._df_fn(carry))
-            fixings[next_date] = cpi_last * (df_anchor / next_df)
+            fixings[next_date] = self._cpi_last_historical / next_df
         return fixings
 
     def published_cpi(self, d: dt.date) -> float:

@@ -64,6 +64,35 @@ class TestCPIConventions:
         v = hist.cpi_value(dt.date(2027, 12, 15))
         assert v > one_year
 
+    def test_on_demand_extension_continues_the_same_ladder(self):
+        """Re-extension in cpi_value must land on the SAME DF-ratio ladder
+        as a single up-front extension on a non-flat curve. Regression:
+        each re-extension re-anchored at the last projected month with a
+        fresh df_anchor=1, so month k+1 grew by the 1-month SPOT rate
+        instead of the forward rate k months out — a kink in projected
+        CPI whenever the curve isn't flat."""
+        # steeply upward-sloping zero curve: spot 2%, long end ~10%
+        df = lambda d: np.exp(
+            -(0.02 + 0.08 * min((d - VAL).days / 3650.0, 1.0))
+            * (d - VAL).days / 365.0
+        )
+        short = HistoricalCPI(
+            VAL, {dt.date(2025, 6, 1): 100.0},
+            discount_factor_fn=df, extend_cpi=3,
+        )
+        full = HistoricalCPI(
+            VAL, {dt.date(2025, 6, 1): 100.0},
+            discount_factor_fn=df, extend_cpi=60,
+        )
+        # force on-demand re-extension years past the first horizon
+        probe = dt.date(2029, 8, 15)
+        assert short.cpi_value(probe) == pytest.approx(
+            full.cpi_value(probe), rel=1e-12
+        )
+        # the whole re-extended map matches the up-front one
+        for m, v in short.monthly_cpi.items():
+            assert v == pytest.approx(full.monthly_cpi[m], rel=1e-12), m
+
     def test_shift_months(self):
         assert shift_months(dt.date(2025, 1, 15), -1) == dt.date(2024, 12, 1)
         assert first_of_month(dt.date(2025, 7, 28)) == dt.date(2025, 7, 1)
