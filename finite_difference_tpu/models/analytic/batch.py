@@ -40,8 +40,8 @@ from .bgk_horfelt import (
     BETA_BGK,
     bgk_shift_mag,
     double_barrier_out_price,
+    hazard_rebate_pv,
     single_barrier_out_price,
-    survival_prob,
 )
 from .bjerksund_stensland import american_price_bs93
 from .bjerksund_stensland_2002 import american_call_two_step_2002
@@ -285,17 +285,17 @@ def _bgk_sweep_kernel(
     # df 0 is exact: spurious hazard increments multiply df=0.
     # at expiry -> rebate * df UNCONDITIONALLY (the reference's convention).
     # already_hit -> rebate * df(hit ~ now) = rebate.
-    k_idx = jnp.arange(1, monitor_cum_t.shape[-1] + 1, dtype=out_px.dtype)
-
-    def _hazard_pv(se, bar, mu_, sg, up_flag, cum_t_row, dfs_row):
-        s_k = survival_prob(se, bar, mu_, sg, cum_t_row, k_idx, up_flag)
-        s_prev = jnp.concatenate([jnp.ones_like(s_k[:1]), s_k[:-1]])
-        p_k = jnp.maximum(0.0, s_prev - s_k)
-        return jnp.sum(dfs_row * p_k)
-
-    pv_hit = jax.vmap(_hazard_pv)(
-        s_eff, h_safe, mu, sigma, is_up, monitor_cum_t, monitor_dfs
-    )
+    # one implementation of the survival/hazard leg: vmap the scalar
+    # pricer's hazard_rebate_pv (bgk_horfelt) over rows with unit rebate
+    # so the shift/decomposition conventions can never diverge between
+    # the scalar and batched engines
+    pv_hit = jax.vmap(
+        lambda se, bar, mu_, sg, up_flag, cum_t_row, dfs_row: (
+            hazard_rebate_pv(
+                se, bar, mu_, sg, cum_t_row, dfs_row, 1.0, up_flag
+            )[0]
+        )
+    )(s_eff, h_safe, mu, sigma, is_up, monitor_cum_t, monitor_dfs)
     rebate_leg = jnp.where(
         rebate_at_hit,
         rebate * jnp.where(single, pv_hit, 0.0),
@@ -334,12 +334,30 @@ def bgk_discrete_sweep(
     repeating the last horizon with df 0 — the padded hazard increments are
     then exactly zero).
     """
+    def _shape1(v):
+        # barrier args may be None or sequences CONTAINING None (mask
+        # entries), so length is read without a float conversion
+        if v is None:
+            return (1,)
+        if isinstance(v, (list, tuple)):
+            return (len(v),)
+        arr = np.asarray(v)
+        return arr.shape if arr.ndim else (1,)
+
+    # the batch size must come from EVERY batched argument — inferring it
+    # from the 8 numeric args alone mis-shaped the placeholder monitor
+    # grid (vmap size mismatch) whenever only lower/upper or the flag
+    # arrays carried the batch dimension
     B = int(
         np.prod(
             np.broadcast_shapes(
                 *(
-                    np.shape(np.atleast_1d(np.asarray(v, dtype=np.float64)))
-                    for v in (s_eff, strike, forward, mu, sigma, t, df, m)
+                    _shape1(v)
+                    for v in (
+                        s_eff, strike, forward, mu, sigma, t, df, m,
+                        lower, upper, is_call, is_in, spot, already_hit,
+                        rebate, rebate_at_hit,
+                    )
                 )
             )
         )
@@ -431,6 +449,12 @@ def monitoring_decision(
         if not mts:
             continue
         dt_eq = t_expiry[i] / max(1, n_desired)
+        # intervals between CONSECUTIVE monitors only — deliberately
+        # excluding valuation->first-monitor, exactly like the reference
+        # decision (discrete_barrier_analytic_pricer.py:301-311) and the
+        # hybrid twin (models/pde/hybrid.py). The standalone BGK pricer's
+        # _compute_dt_years includes that first interval for ITS shift —
+        # a different engine's convention, not this router's.
         intervals = np.diff(mts).tolist() or [t_expiry[i] / len(mts)]
         steps = [
             max(n_min_per_interval, int(round(ti / max(1e-12, dt_eq))))

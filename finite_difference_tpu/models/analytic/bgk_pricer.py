@@ -456,10 +456,6 @@ class DiscreteBarrierBGKPricer:
         if self.barrier_type in ("down-and-out", "double-out") and self.lower_barrier is not None:
             if self.spot_price <= self.lower_barrier:
                 return 0.0
-        if self.already_hit:
-            hit = self.barrier_hit_date or self.valuation_date
-            df = self.discount_curve.get_discount_factor(hit) if self.discount_curve else 1.0
-            return self.rebate_amount * df if self.rebate_amount > 0.0 else 0.0
         if self.barrier_type in ("up-and-out", "down-and-out", "double-out"):
             return self._mc_out_price()
         if self.barrier_type in ("up-and-in", "down-and-in"):
@@ -483,6 +479,33 @@ class DiscreteBarrierBGKPricer:
     def price(self) -> float:
         if self.barrier_type == "none":
             return self._signed_scale(self._vanilla_b76())
+        if self.already_hit:
+            # production CN semantics (discrete_barrier_fdm_pricer.py:
+            # 923-933), shared with the batched sweep (batch.py
+            # bgk_discrete_sweep): a knocked-OUT trade is worth its rebate
+            # leg (cash already paid at hit -> DF to the hit date ~ now;
+            # at-expiry rebate -> DF to expiry), a knocked-IN trade is the
+            # vanilla. The reference's analytic route never short-circuits
+            # (pricing a dead KO as alive) and its MC route returns the
+            # rebate even for IN types (discrete_barrier_bgk.py:904-908) -
+            # both fixed here for cross-engine consistency, like the BS2002
+            # corrections (PARITY.md).
+            if "in" in self.barrier_type:
+                return self._signed_scale(self._vanilla_b76())
+            if self.rebate_amount <= 0.0:
+                return 0.0
+            if self.rebate_at_hit:
+                hit = self.barrier_hit_date or self.valuation_date
+                df = (
+                    self.discount_curve.get_discount_factor(hit)
+                    if self.discount_curve
+                    else 1.0
+                )
+                return self._signed_scale(self.rebate_amount * df)
+            return self._signed_scale(
+                self.rebate_amount
+                * math.exp(-self.discount_rate * self.discount_years)
+            )
         if self._select_method() == "mc":
             return self._signed_scale(self._price_via_mc())
         if self.barrier_type in ("up-and-out", "down-and-out"):

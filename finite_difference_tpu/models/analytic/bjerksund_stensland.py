@@ -168,6 +168,16 @@ class BjerksundStenslandOptionPricer:
         )
 
     def _greeks(self, pricer, dS=1e-4, dV=1e-4, dT=1 / 365.0) -> Dict[str, float]:
+        """Bump greeks in the reference's exact conventions.
+
+        CAUTION — theta SIGN: this reproduces the reference's
+        (P(T-dT) - P(T)) / (-dT) = +dP/dT (bjerksund_stensland.py:66-68),
+        which is POSITIVE for a long option with time value — the OPPOSITE
+        sign of the standard decay theta that ``generalized_bs_greeks``
+        (black_scholes.py) and the PDE pricers report (-dP/dT). Kept
+        as-is for exec-parity with the reference's exported greeks;
+        negate when mixing with the other engines' theta.
+        """
         f0 = self._forward()
         px = lambda s=None, t=None, v=None: float(
             pricer(

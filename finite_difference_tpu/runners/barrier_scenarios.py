@@ -211,6 +211,26 @@ def run_all_scenarios_batched(
     opt_type = base_params.get("opt_type", "call")
     n_time = base_params.get("num_time_steps", 500)
     n_nodes = num_space_nodes or base_params.get("num_space_nodes", 500)
+    rebate_amount = float(base_params.get("rebate_amount", 0.0))
+    rebate_at_hit = bool(base_params.get("rebate_at_hit", True))
+    # base_params the batch container cannot express must fail loudly —
+    # the per-scenario runner honors them, so silently dropping them
+    # would make --batched quietly price a different trade (the American
+    # runner's guard, american_scenarios.py, is the model)
+    for key in (
+        "divs", "already_hit", "already_in", "underlying_spot_days",
+        "option_days", "option_settlement_days",
+    ):
+        if base_params.get(key):
+            raise ValueError(
+                f"batched barrier runner does not support {key}; use "
+                "run_all_scenarios (the per-scenario path)"
+            )
+    if base_params.get("grid_type", "uniform") != "uniform":
+        raise ValueError(
+            "batched barrier runner only supports grid_type='uniform'; "
+            "use run_all_scenarios"
+        )
 
     t_exp = year_fraction(valuation, maturity, base_params.get("day_count", "ACT/365"))
     monitor_times = [
@@ -246,6 +266,10 @@ def run_all_scenarios_batched(
         use_cont, bgk_adj = monitoring_decision(
             np.full(B, t_exp), [monitor_times] * B, sigmas
         )
+        if rebate_amount:
+            # the continuous analytic sweep carries no rebate leg; keep
+            # rebate-bearing tables on the CN batch (which does)
+            use_cont = np.zeros(B, dtype=bool)
     elif route == "pde":
         use_cont = np.zeros(B, dtype=bool)
         bgk_adj = np.ones(B)
@@ -275,6 +299,8 @@ def run_all_scenarios_batched(
             monitor_times=[monitor_times] * len(pde_idx),
             lower=sub(lowers),
             upper=sub(uppers),
+            rebate=[rebate_amount] * len(pde_idx),
+            rebate_at_hit=[rebate_at_hit] * len(pde_idx),
             num_space_nodes=n_nodes,
             dtype=dtype,
             monitor_aligned=(schedule == "monitor-aligned"),

@@ -78,6 +78,10 @@ def run_bgk_scenario(trade: Dict[str, Any]) -> Dict[str, Any]:
             contract_multiplier=float(trade.get("contract_multiplier", 1.0)),
         )
         model_price = pricer.price()
+        # capture the base run's MC standard error BEFORE greeks(): each
+        # bumped re-price overwrites _last_mc_std_error, so reading it
+        # after would report the sigma-bumped run's SE against model_price
+        mc_se = pricer._last_mc_std_error
         greeks = pricer.greeks(
             ds_rel=float(trade.get("dS_rel", 1e-4)),
             dvol_abs=float(trade.get("dVol_abs", 1e-4)),
@@ -91,7 +95,7 @@ def run_bgk_scenario(trade: Dict[str, Any]) -> Dict[str, Any]:
             "model_delta": greeks["delta"],
             "model_gamma": greeks["gamma"],
             "model_vega": greeks["vega"],
-            "mc_std_error": pricer._last_mc_std_error,
+            "mc_std_error": mc_se,
         }
         for g in ("price", "delta", "gamma", "vega"):
             bench = trade.get(f"bench_{g}")

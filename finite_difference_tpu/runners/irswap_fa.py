@@ -159,7 +159,7 @@ def run_irswap_fa_check(
     }
     if verbose:
         print(f"Relative difference in Pay Leg PV: {out['rel_diff_pay']:.6%}")
-        print(receive)
+        print(f"Receive Leg PV: {receive:,.2f}")
         print(f"Relative difference in Receive Leg PV: {out['rel_diff_receive']:.6%}")
         print(f"Total PV: {total:,.2f}")
         print(f"FA Total PV: {fa_total_pv:,.2f}")

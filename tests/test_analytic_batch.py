@@ -205,6 +205,29 @@ class TestBGKSweep:
         base.update(kw)
         return DiscreteBarrierBGKPricer(**base)
 
+    def test_batch_dim_from_barrier_or_flag_arrays(self):
+        """B must be inferred from EVERY batched argument: scalar numerics
+        with the batch dimension carried only by `lower` (or only by a
+        flag array) used to mis-shape the placeholder monitor grid and
+        crash vmap with inconsistent sizes."""
+        out = np.asarray(
+            bgk_discrete_sweep(
+                s_eff=100.0, strike=100.0, forward=101.0, mu=0.01,
+                sigma=0.2, t=1.0, df=0.95, m=12.0,
+                lower=[90.0, 85.0, 80.0],
+            )
+        )
+        assert out.shape == (3,)
+        assert np.all(np.diff(out) > 0)  # farther barrier -> dearer KO
+        out2 = np.asarray(
+            bgk_discrete_sweep(
+                s_eff=100.0, strike=100.0, forward=101.0, mu=0.01,
+                sigma=0.2, t=1.0, df=0.95, m=12.0, upper=260.0,
+                is_in=[False, True],
+            )
+        )
+        assert out2.shape == (2,)
+
     def test_sweep_matches_scalar_pricer_lanes(self):
         """One batched launch reproduces scalar BGK prices across barrier
         types, moneyness and rebate conventions (incl. already_hit)."""
@@ -230,21 +253,11 @@ class TestBGKSweep:
                 barrier_type=bt, lower_barrier=lo, upper_barrier=up,
                 rebate_amount=rebate, rebate_at_hit=at_hit, already_hit=hit,
             )
-            if hit:
-                # The scalar's analytic path (like the reference's,
-                # discrete_barrier_bgk.py:904-908 lives in the MC branch
-                # only) does NOT short-circuit already_hit; the batched
-                # sweep uses the production CN pricer's semantics
-                # (discrete_barrier_fdm_pricer.py:923-933): OUT -> rebate
-                # PV, IN -> vanilla.
-                expected = (
-                    pr._vanilla_b76()
-                    if "in" in bt
-                    else (rebate if at_hit else rebate * np.exp(-pr.discount_rate * pr.discount_years))
-                )
-                scal.append(expected)
-            else:
-                scal.append(pr.price())
+            # the scalar price() now short-circuits already_hit with the
+            # production CN semantics (OUT -> rebate PV, IN -> vanilla),
+            # matching the batched sweep — the reference's analytic route
+            # priced a dead KO as alive (documented fix, bgk_pricer.price)
+            scal.append(pr.price())
             cum_t = np.cumsum(pr._compute_dt_years())
             dfs = np.exp(-pr.discount_rate * cum_t)
             rows.append(

@@ -91,6 +91,40 @@ class TestBarrierRunner:
             scalar["model_price"].sum(), rel=2e-2
         )
 
+    def test_batched_rebate_matches_scalar(self, tmp_path):
+        """rebate_amount/rebate_at_hit in base_params ride the batched
+        path (wired into build_trade_batch; KI parity subtracts the
+        rebate-carrying KO leg exactly like price_log2). Regression:
+        the batched runner silently dropped them."""
+        cfg = _barrier_config(tmp_path)
+        base = dict(
+            BASE, num_space_nodes=500, num_time_steps=500,
+            rebate_amount=5.0, rebate_at_hit=False,
+        )
+        scalar = run_all_scenarios(cfg, None, base)
+        batched = run_all_scenarios_batched(cfg, None, base)
+        np.testing.assert_allclose(
+            batched["model_price"], scalar["model_price"], rtol=2e-2,
+            atol=0.2,
+        )
+        # the rebate leg is material: KO price must exceed the no-rebate run
+        base0 = dict(base, rebate_amount=0.0)
+        no_reb = run_all_scenarios_batched(cfg, None, base0)
+        assert (
+            batched["model_price"].iloc[0] > no_reb["model_price"].iloc[0]
+        )
+
+    def test_batched_rejects_unsupported_base_params(self, tmp_path):
+        cfg = _barrier_config(tmp_path)
+        for key, val in (
+            ("divs", [(dt.date(2025, 8, 15), 1.0)]),
+            ("already_hit", True),
+            ("underlying_spot_days", 3),
+            ("grid_type", "sinh"),
+        ):
+            with pytest.raises(ValueError, match="batched barrier runner"):
+                run_all_scenarios_batched(cfg, None, dict(BASE, **{key: val}))
+
     def test_monitor_aligned_schedule_converges_to_uniform(self, tmp_path):
         """--schedule monitor-aligned (per-interval dt, monitors exactly
         on step boundaries) prices the same trades within discretization
