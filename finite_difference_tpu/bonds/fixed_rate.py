@@ -115,14 +115,15 @@ class FixedRateBondPricer:
         return self.dirty_price() - self.accrued_amount()
 
     # -- flat compounded-yield machinery --------------------------------
-    def _dirty_from_yield(self, y: float) -> float:
+    def _dirty_from_yield(self, y: float, value_date=None) -> float:
         b = self.bond_def
+        vd = value_date or b.value_date
         f = b.periods_per_year
         pv = 0.0
         for d, cf in self._cashflows():
-            if d <= b.value_date:
+            if d <= vd:
                 continue
-            t = (d - b.value_date).days / 365.0
+            t = (d - vd).days / 365.0
             pv += cf / (1.0 + y / f) ** (f * t)
         return pv
 
@@ -154,15 +155,19 @@ class FixedRateBondPricer:
 
     def val01(self, value_date=None, bump: float = 1e-4,
               yield_to_maturity: Optional[float] = None) -> float:
+        """Yield val01 as of ``value_date`` (defaults to the pricer's) —
+        the reference reprices at the passed settlement date via
+        ql.BondFunctions.dirtyPrice (fixed_rate_bond_pricer.py:86-121);
+        this parameter used to be silently ignored."""
         ytm = yield_to_maturity if yield_to_maturity is not None else self.yield_to_maturity()
-        up = self._dirty_from_yield(ytm + bump)
-        down = self._dirty_from_yield(ytm - bump)
+        up = self._dirty_from_yield(ytm + bump, value_date)
+        down = self._dirty_from_yield(ytm - bump, value_date)
         return (up - down) / (2 * bump) * -bump
 
     def gamma(self, value_date=None, bump: float = 1e-4,
               yield_to_maturity: Optional[float] = None) -> float:
         ytm = yield_to_maturity if yield_to_maturity is not None else self.yield_to_maturity()
-        mid = self._dirty_from_yield(ytm)
-        up = self._dirty_from_yield(ytm + bump)
-        down = self._dirty_from_yield(ytm - bump)
+        mid = self._dirty_from_yield(ytm, value_date)
+        up = self._dirty_from_yield(ytm + bump, value_date)
+        down = self._dirty_from_yield(ytm - bump, value_date)
         return (up - 2 * mid + down) / bump**2 * bump

@@ -66,7 +66,17 @@ class CPITermStructure:
         return float(np.interp(tau, self._mat_taus, self._zero_rates))
 
     def cpi(self, d: dt.date) -> float:
-        """Published/projected CPI at d (the build_index equivalent)."""
+        """Published/projected CPI at d (the build_index equivalent).
+
+        Projection anchors at the VALUE DATE's lagged CPI — the ZCIS
+        quote convention (the fixed leg compounds (1+z)^tau off exactly
+        that base), matching QuantLib's ZeroInflationIndex.forecastFixing
+        in the reference (cpi_term_structure.py:114-143). Like QL, this
+        admits a jump at the history/projection boundary when realized
+        inflation differs from the implied curve; the sibling
+        HistoricalCPI.extend_historical_cpi deliberately uses the other
+        (last-historical-anchor) convention for nominal-curve carry.
+        """
         if self._has_history_for(d):
             return self._historical_value(d)
         base = self._historical_value(self.value_date)

@@ -156,7 +156,14 @@ def _simulate_kernel(
             else:
                 out = jnp.where(~alive, rebate_amount * df_t, out)
             return out
-        return df_t * vanilla * hit
+        # knock-in: vanilla iff hit, plus the RR-convention rebate paid at
+        # expiry iff the barrier is NEVER hit (reiner_rubinstein term E /
+        # equity_barrier semantics). The reference MC drops this leg
+        # (mc_discrete_barrier_option.py:386-387 — rebate is KO-only
+        # there), which made MC-vs-analytic cross-checks of rebated KI
+        # options report a false discrepancy of R*DF*P(no hit).
+        hitf = hit.astype(vanilla.dtype)
+        return df_t * vanilla * hitf + rebate_amount * df_t * (1.0 - hitf)
 
     p = run(z)
     if antithetic:

@@ -285,6 +285,25 @@ class HW1FCurveSimulator:
         )
         return out if as_jax else np.asarray(out)
 
+    def values_with_today(self, rates, tenors, n_paths: int, as_jax: bool = False):
+        """Prepend the t=0 slice (today's zero curve, broadcast across
+        paths) to simulated rates — the single home for the cube's t=0
+        convention, shared by ``to_scenario_cube`` and
+        ``scenarios.joint_cube.simulate_joint_cube``."""
+        tau = np.asarray(tenors, dtype=np.float64)
+        today0 = self._zero_rate0(tau)
+        if as_jax:
+            import jax.numpy as jnp
+
+            today = jnp.broadcast_to(
+                jnp.asarray(today0)[None, None, :], (1, n_paths, tau.size)
+            )
+            return jnp.concatenate([today, jnp.asarray(rates)], axis=0)
+        today = np.broadcast_to(
+            np.asarray(today0)[None, None, :], (1, n_paths, tau.size)
+        )
+        return np.concatenate([today, np.asarray(rates)], axis=0)
+
     def to_scenario_cube(
         self,
         base_date: date,
@@ -306,10 +325,7 @@ class HW1FCurveSimulator:
         rates = self.simulate(t_grid, tenors, n_paths, seed=seed,
                               antithetic=antithetic)
         tau = np.asarray(tenors, dtype=np.float64)
-        today = np.broadcast_to(
-            self._zero_rate0(tau)[None, None, :], (1, n_paths, tau.size)
-        )
-        values = np.concatenate([today, rates], axis=0)
+        values = self.values_with_today(rates, tau, n_paths)
         from datetime import timedelta
 
         dates = [base_date] + [

@@ -110,20 +110,16 @@ def simulate_joint_cube(
             rates = spec.simulator.simulate(
                 t_grid, tau, n_paths, normals=z_i, as_jax=as_jax
             )
-            today0 = spec.simulator._zero_rate0(tau)
+            # t=0 slice convention lives in ONE place (hw1f
+            # values_with_today, shared with to_scenario_cube)
+            values = spec.simulator.values_with_today(
+                rates, tau, n_paths, as_jax=as_jax
+            )
             if as_jax:
-                today = jnp.broadcast_to(
-                    jnp.asarray(today0)[None, None, :], (1, n_paths, tau.size)
-                )
-                dev_curves[name] = jnp.concatenate([today, rates], axis=0)
+                dev_curves[name] = values
                 tenors_by_name[name] = tau
             else:
-                today = np.broadcast_to(
-                    today0[None, None, :], (1, n_paths, tau.size)
-                )
-                cube_factors[name] = (
-                    "curve", np.concatenate([today, rates], axis=0), tau,
-                )
+                cube_factors[name] = ("curve", values, tau)
         elif isinstance(spec, GBMScalarFactor):
             # gbm_simulate_paths expects dt[0]=0 on its own grid; prepend 0
             days0 = np.concatenate([[0], scen_days])

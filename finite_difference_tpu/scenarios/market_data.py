@@ -200,6 +200,18 @@ def extract_model_params(
         "Price Factors", {}
     ):
         implied = market_data["Price Factors"].get(implied_key, {})
+        if not implied:
+            # reference semantics (cs_simulation.py:491-501): a configured
+            # implied model with a missing/typo'd parameters factor falls
+            # back to Sigma=0.3/Alpha=1.0 — kept for parity, but a whole
+            # simulation on invented calibration deserves noise
+            import warnings
+
+            warnings.warn(
+                f"{implied_key} absent from Price Factors; simulating "
+                f"{commodity!r} with DEFAULT implied params Sigma=0.3 "
+                "Alpha=1.0 (reference fallback semantics)"
+            )
         return (
             {
                 "Sigma": implied.get("Sigma", 0.3),

@@ -156,7 +156,14 @@ def generate_random_numbers(
         z = jax.random.normal(
             key, (n_factors, num_timesteps * half), dtype=jnp.float64
         )
-    correlated = (jnp.asarray(cholesky_L) @ z).reshape(n_factors, num_timesteps, half)
+    # honor the requested dtype on the device backends too (the torch
+    # branch already does): f32 halves the block's memory and tunnel
+    # bandwidth for large batches
+    jdt = jnp.float64 if np.dtype(dtype) == np.float64 else jnp.float32
+    z = z.astype(jdt)
+    correlated = (
+        jnp.asarray(cholesky_L, dtype=jdt) @ z
+    ).reshape(n_factors, num_timesteps, half)
     if use_antithetic:
         correlated = jnp.concatenate([correlated, -correlated], axis=-1)
     # stays device-resident: generate_paths consumes it on device, so a
@@ -317,6 +324,19 @@ def run_multi_factor_simulation_from_json(
         max_date = excel_days_to_date(all_last)
     scen_time_grid = parse_time_grid(base_date, max_date, grid_string)
     num_timesteps = len(scen_time_grid)
+    if num_timesteps and scen_time_grid[0] != 0:
+        # RiskFlow's dt matrix zeroes the FIRST grid row (the first
+        # scenario date carries the initial curve), so a grid that skips
+        # '0d' silently loses all variance before its first date while
+        # the diagnostics still measure t from 0
+        import warnings
+
+        warnings.warn(
+            f"scenario grid {grid_string!r} does not start at day 0: the "
+            f"first slice (day {int(scen_time_grid[0])}) will carry the "
+            "initial curve with ZERO dispersion (RiskFlow dt mechanics); "
+            "prepend '0d' unless that is intended"
+        )
 
     precalcs = {
         fname: precalculate(

@@ -65,6 +65,13 @@ def parse_time_grid(
     from ``run_date + start`` stepping by ``repeat`` until it passes the next
     segment's start date or ``max_date``. Bare offsets contribute a single
     date. Returns ``np.ndarray[int]`` — the scen_time_grid.
+
+    RiskFlow quirk kept for parity: a repeating segment that steps past
+    ``max_date`` sets ``finish`` and stops the WHOLE parse, silently
+    dropping later segments even when their start dates are inside the
+    horizon (so e.g. ``'1w(1w) 2y 1m'`` — non-ascending — loses the
+    ``1m`` point). Grid strings are ascending in every RiskFlow config;
+    keep yours ascending too.
     """
     run_date, max_date = _ts(run_date), _ts(max_date)
     parsed = []

@@ -166,6 +166,32 @@ class TestDiscreteBarrierMC:
         )
         assert p_reb["price"] > p0["price"]
 
+    def test_ki_rebate_pays_iff_never_hit(self):
+        """Knock-in rebate (RR term E): paid at expiry iff the barrier is
+        never touched. Regression: the MC kernel dropped this leg (like
+        the reference, where rebate is KO-only), so rebated-KI MC prices
+        disagreed with the analytic layer by R*DF*P(no hit)."""
+        monitors = build_monitoring_dates(VAL, MAT, "daily")
+        spec = BarrierSpec("up-and-in", level=260.0)
+        p0 = self._price(barrier=spec, monitor_dates=monitors)
+        p5 = self._price(
+            barrier=spec, monitor_dates=monitors,
+            rebate=RebateSpec(amount=5.0),
+        )
+        # same seed/paths: the difference IS the rebate leg, exactly
+        # 5 * DF(T) * P(no hit); P(no hit) recovered from the KO/vanilla
+        # run pair is messier, so bound it instead: 0 < leg < 5*DF(T)
+        curve = flat_curve(0.073085649282, VAL)
+        df_t = float(curve.get_discount_factor(MAT))
+        leg = p5["price"] - p0["price"]
+        assert 0.0 < leg < 5.0 * df_t
+        # far barrier: never hit -> the KI is (almost) only the rebate
+        far = self._price(
+            barrier=BarrierSpec("up-and-in", level=900.0),
+            monitor_dates=monitors, rebate=RebateSpec(amount=5.0),
+        )
+        assert far["price"] == pytest.approx(5.0 * df_t, rel=1e-6)
+
     def test_dividend_reduces_call(self):
         res0 = self._price(barrier=BarrierSpec("none"), monitor_dates=[])
         res_div = self._price(
