@@ -46,17 +46,23 @@ def _schedule_to_device(s: ScheduleArrays) -> CNSchedule:
     )
 
 
-@partial(jax.jit, static_argnames=("n_nodes", "with_dividends"))
-def _solve_batch(grid, dyn, schedule, n_nodes, with_dividends):
-    """vmap over leading batch axis of ``dyn`` (sigma bumps etc.)."""
+@partial(
+    jax.jit, static_argnames=("n_nodes", "with_dividends", "american")
+)
+def _solve_batch(grid, dyn, schedule, n_nodes, with_dividends, american=True):
+    """vmap over leading batch axis of ``dyn`` (sigma bumps etc.).
+
+    ``american=False`` drops the Ikonen-Toivanen projection AND switches
+    the put far-field to the full European asymptotic (the European
+    exercise of VanillaOptionPricerFIS)."""
     solve = lambda d: cn_solve(
         grid,
         d,
         schedule,
         n_nodes,
-        american=True,
+        american=american,
         with_dividends=with_dividends,
-        euro_put_lower_boundary=False,
+        euro_put_lower_boundary=not american,
     )[0]
     return jax.vmap(solve)(dyn)
 

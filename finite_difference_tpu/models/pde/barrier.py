@@ -406,9 +406,29 @@ class DiscreteBarrierFDMPricer:
         if bt in ("down-and-in", "up-and-in", "double-in"):
             if self.already_in:
                 return self._vanilla_black76_price()
-            return self._vanilla_black76_price() - self.price_log(
-                apply_KO=apply_KO, use_richardson=use_richardson
-            )
+            # KI(R) = vanilla - KO(R at expiry) + R*DF: the KI rebate pays
+            # at expiry iff never knocked in (RR term E — the same identity
+            # as instruments/equity_barrier and the device surface kernel).
+            # The reference returns vanilla - KO(R) with the KO's own
+            # rebate timing (discrete_barrier_fdm_pricer.py:1050-1060),
+            # which drops the +R*DF leg and leaks at-hit timing into the
+            # parity complement; corrected here.
+            saved = self.rebate_at_hit
+            try:
+                self.rebate_at_hit = False
+                ko = self.price_log(
+                    apply_KO=apply_KO, use_richardson=use_richardson
+                )
+            finally:
+                self.rebate_at_hit = saved
+            leg = 0.0
+            if self.rebate_amount:
+                leg = self.rebate_amount * float(
+                    self.discount_curve.get_discount_factor(
+                        self.discount_end_date
+                    )
+                )
+            return self._vanilla_black76_price() - ko + leg
         raise ValueError(f"Unsupported barrier_type: {self.barrier_type}")
 
     def greeks_log2(self, dv_sigma: float = 0.0001, use_richardson: bool = False) -> Dict[str, float]:
@@ -423,8 +443,27 @@ class DiscreteBarrierFDMPricer:
             if self.already_in:
                 return self._vanilla_black76_greeks_fd()
             g_van = self._vanilla_black76_greeks_fd()
-            g_ko = self._pde_greeks_maybe_richardson(dv_sigma, use_richardson)
-            return {k: g_van[k] - g_ko[k] for k in g_van}
+            saved = self.rebate_at_hit
+            try:
+                self.rebate_at_hit = False  # at-expiry KO complement
+                g_ko = self._pde_greeks_maybe_richardson(
+                    dv_sigma, use_richardson
+                )
+            finally:
+                self.rebate_at_hit = saved
+            out = {k: g_van[k] - g_ko[k] for k in g_van}
+            if self.rebate_amount:
+                # never-knocked-in leg R*DF: flat in spot/vol; price +R*DF,
+                # theta (decay convention -dV/dT) gains +r*R*DF
+                df = float(
+                    self.discount_curve.get_discount_factor(
+                        self.discount_end_date
+                    )
+                )
+                leg = self.rebate_amount * df
+                out["price"] = out["price"] + leg
+                out["theta"] = out["theta"] + self.discount_rate_nacc * leg
+            return out
         raise ValueError(f"Unsupported barrier_type: {self.barrier_type}")
 
     def _pde_greeks_maybe_richardson(

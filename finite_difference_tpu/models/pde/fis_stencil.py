@@ -399,13 +399,23 @@ class DiscreteBarrierFDMPricer2:
         in_first = iS in (j_bar, j_bar + 1)
         in_second = iS in (j_bar - 1, j_bar + 2)
 
+        # Second-order one-sided stencils: backward (i, i-1, i-2) away
+        # from a lower barrier, forward (i, i+1, i+2) away from an upper.
+        # The reference mistypes the third node (V[i+1]/V[i-1] instead of
+        # V[i-2]/V[i+2], discrete_barrier_fdm_pricer_2.py:511-543), which
+        # Taylor-expands to 2.5*V' - 0.75*dS*V'' — ~2.5x the true delta;
+        # corrected here (the gamma_lim blend consumes delta_os too).
         if in_first:
             if side == "down":
                 i = j_bar + 1
-                delta_os = (1.5 * V[i] - 2.0 * V[i - 1] + 0.5 * V[min(N, i + 1)]) / dS
+                delta_os = (
+                    1.5 * V[i] - 2.0 * V[i - 1] + 0.5 * V[max(0, i - 2)]
+                ) / dS
             else:
                 i = j_bar
-                delta_os = (2.0 * V[i + 1] - 1.5 * V[i] - 0.5 * V[max(0, i - 1)]) / dS
+                delta_os = (
+                    -1.5 * V[i] + 2.0 * V[i + 1] - 0.5 * V[min(N, i + 2)]
+                ) / dS
             S_bar = s_nodes[i]
             gamma_ns = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / dS**2
             g = 0.0  # carry in Gamma_lim; escrowed-dividend convention
@@ -416,9 +426,13 @@ class DiscreteBarrierFDMPricer2:
 
         if in_second:
             if side == "down":
-                delta_os = (1.5 * V[iS] - 2.0 * V[iS - 1] + 0.5 * V[min(N, iS + 1)]) / dS
+                delta_os = (
+                    1.5 * V[iS] - 2.0 * V[iS - 1] + 0.5 * V[max(0, iS - 2)]
+                ) / dS
             else:
-                delta_os = (2.0 * V[iS + 1] - 1.5 * V[iS] - 0.5 * V[max(0, iS - 1)]) / dS
+                delta_os = (
+                    -1.5 * V[iS] + 2.0 * V[iS + 1] - 0.5 * V[min(N, iS + 2)]
+                ) / dS
             gamma_os = (V[iS + 1] - 2.0 * V[iS] + V[iS - 1]) / dS**2
             alpha = 0.5
             return (
@@ -427,16 +441,34 @@ class DiscreteBarrierFDMPricer2:
             )
         return float(delta_c), float(gamma_c)
 
+    def _rebuild_bgk_window(self) -> None:
+        """Recompute the vol-dependent BGK-shifted barriers; the shift
+        exp(0.5826*sigma*sqrt(dt)) must move with a bumped volatility or
+        the vega misses the barrier-shift term where barrier vega is
+        largest (spot near the barrier)."""
+        (
+            self.use_bgk_correction,
+            self.bgk_lower,
+            self.bgk_upper,
+            self.k_first_cont,
+            self.k_last_cont,
+        ) = self._decide_and_adjust_for_continuous_window()
+
     def greeks(self, vega_bump: float = 0.01) -> Dict[str, float]:
         lo_eff, up_eff = self._effective_barriers_for_pricing()
         Sg, Vg, S_eff = self._solve_grid_once()
         delta, gamma = self._delta_gamma_from_grid(Sg, Vg, S_eff, lo_eff, up_eff)
         sig0 = self.volatility
-        self.volatility = sig0 + vega_bump
-        upv = self.price()
-        self.volatility = sig0 - vega_bump
-        dnv = self.price()
-        self.volatility = sig0
+        try:
+            self.volatility = sig0 + vega_bump
+            self._rebuild_bgk_window()
+            upv = self.price()
+            self.volatility = sig0 - vega_bump
+            self._rebuild_bgk_window()
+            dnv = self.price()
+        finally:
+            self.volatility = sig0
+            self._rebuild_bgk_window()
         vega = (upv - dnv) / (2.0 * vega_bump)
         return {"delta": float(delta), "gamma": float(gamma), "vega": float(vega)}
 

@@ -362,6 +362,18 @@ class DiscreteBarrierFDMPricerAnalytic:
             self.monitor_steps_discrete, S_eff,
         )
 
+    def _ki_rebate_leg(self) -> float:
+        """R*DF(T): the never-knocked-in rebate leg (RR term E) in the
+        parity KI(R) = vanilla - KO(R at expiry) + R*DF — the identity
+        used by barrier.price_log2, instruments/equity_barrier, and the
+        device surface kernel. The reference's parity branch drops this
+        leg (discrete_barrier_analytic_pricer.py:545-552)."""
+        if not self.rebate_amount:
+            return 0.0
+        return self.rebate_amount * math.exp(
+            -self.flat_rate_r * self.tenor_years
+        )
+
     # ------------------------------------------------------------------
     # Public API (discrete_barrier_analytic_pricer.py:538-616)
     # ------------------------------------------------------------------
@@ -372,20 +384,29 @@ class DiscreteBarrierFDMPricerAnalytic:
         if self.barrier_type in ("down-and-in", "up-and-in", "double-in"):
             vanilla = self._cn_price(None, None, {}, S_eff)
             if self.use_continuous_window:
-                # analytic IN engines price directly; fall back to parity
-                # against the continuous KO otherwise
+                # analytic IN engines price directly (the RR engine owns
+                # the IN rebate conventions); fall back to parity against
+                # the continuous KO otherwise
                 if self.barrier_type != "double-in" and self._can_use_single_barrier_analytic():
                     base_price = self._continuous_branch_analytic(S_eff)
                 else:
                     out_type = self.barrier_type.replace("in", "out")
-                    saved = self.barrier_type
-                    self.barrier_type = out_type  # type: ignore[assignment]
-                    ko_val = self._continuous_branch_analytic(S_eff)
-                    self.barrier_type = saved  # type: ignore[assignment]
-                    base_price = vanilla - ko_val
+                    saved = (self.barrier_type, self.rebate_timing_out)
+                    try:
+                        self.barrier_type = out_type  # type: ignore[assignment]
+                        self.rebate_timing_out = "expiry"
+                        ko_val = self._continuous_branch_analytic(S_eff)
+                    finally:
+                        self.barrier_type, self.rebate_timing_out = saved
+                    base_price = vanilla - ko_val + self._ki_rebate_leg()
             else:
-                ko_val = self._discrete_branch_cn(S_eff)
-                base_price = vanilla - ko_val
+                saved_timing = self.rebate_timing_out
+                try:
+                    self.rebate_timing_out = "expiry"
+                    ko_val = self._discrete_branch_cn(S_eff)
+                finally:
+                    self.rebate_timing_out = saved_timing
+                base_price = vanilla - ko_val + self._ki_rebate_leg()
         else:
             if self.use_continuous_window:
                 base_price = self._continuous_branch_analytic(S_eff)
@@ -394,6 +415,31 @@ class DiscreteBarrierFDMPricerAnalytic:
 
         sign = 1.0 if self.direction == "long" else -1.0
         return float(sign * self.quantity * self.contract_multiplier * base_price)
+
+    def _refresh_derived(self) -> None:
+        """Recompute bump-dependent derived state: the escrowed-dividend
+        flat q depends on spot, the BGK-shifted window on sigma. The
+        reference computes both ONCE in __init__ and bumps in place
+        (discrete_barrier_analytic_pricer.py:573-607), so its vega misses
+        the barrier-shift sensitivity exp(beta*sigma*sqrt(dt)) (largest
+        near the barrier) and its delta/gamma reprice dividend payers
+        with a stale q — deviation: refreshed here on every bump."""
+        pv_divs = self._pv_dividends()
+        self.flat_dividend_q = (
+            -math.log(max(1e-12, 1.0 - pv_divs / self.spot)) / self.tenor_years
+            if pv_divs > 0
+            else 0.0
+        )
+        self.flat_carry_b = self.flat_rate_r - self.flat_dividend_q
+        (
+            self.use_continuous_window,
+            self._win_k0,
+            self._win_k1,
+            self.bgk_lower_barrier,
+            self.bgk_upper_barrier,
+            self.monitor_steps_discrete,
+            self.monitor_steps_continuous,
+        ) = self._monitoring_decision_and_bgk_shift()
 
     def greeks(
         self, rel_spot_bump: float = 1e-4, abs_vol_bump: float = 1e-4
@@ -414,24 +460,32 @@ class DiscreteBarrierFDMPricerAnalytic:
                 Hup is not None and abs(S - Hup) <= tol
             )
 
-        self.spot = s0 + ds
-        up = self.price()
-        self.spot = s0 - ds
-        dn = self.price()
-        self.spot = s0
-
-        if self.use_continuous_window and near_barrier(s0):
-            delta = (base_px - dn) / ds
-        else:
-            delta = (up - dn) / (2 * ds)
-        gamma = (up - 2 * base_px + dn) / (ds * ds)
-
         sig0 = self.sigma
-        self.sigma = sig0 + abs_vol_bump
-        upv = self.price()
-        self.sigma = sig0 - abs_vol_bump
-        dnv = self.price()
-        self.sigma = sig0
+        try:
+            self.spot = s0 + ds
+            self._refresh_derived()
+            up = self.price()
+            self.spot = s0 - ds
+            self._refresh_derived()
+            dn = self.price()
+            self.spot = s0
+            self._refresh_derived()
+
+            if self.use_continuous_window and near_barrier(s0):
+                delta = (base_px - dn) / ds
+            else:
+                delta = (up - dn) / (2 * ds)
+            gamma = (up - 2 * base_px + dn) / (ds * ds)
+
+            self.sigma = sig0 + abs_vol_bump
+            self._refresh_derived()
+            upv = self.price()
+            self.sigma = sig0 - abs_vol_bump
+            self._refresh_derived()
+            dnv = self.price()
+        finally:
+            self.spot, self.sigma = s0, sig0
+            self._refresh_derived()
         vega = (upv - dnv) / (2 * abs_vol_bump)
 
         self.direction, self.quantity, self.contract_multiplier = save

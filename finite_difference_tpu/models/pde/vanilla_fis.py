@@ -257,7 +257,13 @@ class VanillaOptionPricerFIS:
         dyn = jax.tree.map(lambda x: x[None], dyn_one)
         grid = CNGrid(jnp.asarray(grid_h.x_min), jnp.asarray(grid_h.dx))
         v = np.asarray(
-            _solve_batch(grid, dyn, sch, grid_h.n_nodes, use_jump_divs)
+            _solve_batch(
+                grid, dyn, sch, grid_h.n_nodes, use_jump_divs,
+                # the reference builds the QL exercise object from this
+                # flag (vanilla_option_pricer_test.py:271-280); European
+                # must NOT pick up the early-exercise projection
+                american=(self.exercise_type == "american"),
+            )
         )[0]
         pv = float(np.interp(self.s_eff, grid_h.s_nodes, v))
         return pv * self.settle_adjustment

@@ -162,6 +162,35 @@ class TestHybridPricer:
         vanilla = ko._cn_price(None, None, {}, ko._escrowed_spot())
         assert ko.price() + ki.price() == pytest.approx(vanilla, rel=1e-6)
 
+    def test_ki_rebate_far_barrier_is_rebate_pv(self):
+        """Hybrid discrete branch: far-barrier KI(R) -> R*DF (the
+        never-knocked-in leg). Regression: parity dropped the +R*DF term
+        (reference discrete_barrier_analytic_pricer.py:545-552)."""
+        import math
+
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
+        ki = self._mk(
+            monitoring_dates=mons, barrier_type="up-and-in",
+            upper_barrier=900.0, rebate_amount=5.0,
+        )
+        expected = 5.0 * math.exp(-ki.flat_rate_r * ki.tenor_years)
+        assert ki.price() == pytest.approx(expected, rel=1e-3)
+
+    def test_vega_moves_the_bgk_shift(self):
+        """Continuous-window vega must reprice with the sigma-bumped BGK
+        barrier shift (the reference bumps in place with a stale shift,
+        discrete_barrier_analytic_pricer.py:573-607): the shifted barrier
+        after greeks() must equal the base-sigma shift again (state
+        restored), and vega is finite near the barrier."""
+        pr = self._mk(
+            spot=255.0, n_desired_for_decision=2, n_lim_multiplier=1,
+        )
+        assert pr.use_continuous_window
+        h0 = pr.bgk_upper_barrier
+        g = pr.greeks()
+        assert pr.bgk_upper_barrier == pytest.approx(h0, rel=1e-15)
+        assert np.isfinite(g["vega"])
+
     def test_direction_scaling(self):
         mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
         long = self._mk(monitoring_dates=mons, quantity=10)
@@ -354,6 +383,23 @@ class TestFISStencilPricer:
         assert np.isfinite([g["delta"], g["gamma"], g["vega"]]).all()
         # near a KO barrier the call delta should be strongly negative
         assert g["delta"] < 0.0
+
+    def test_one_sided_delta_magnitude_matches_spot_bump(self):
+        """The corrected second-order one-sided stencil must agree with a
+        central spot-bump of price() in MAGNITUDE, not just sign — the
+        reference's mistyped third node (discrete_barrier_fdm_pricer_2
+        .py:511-543) made it ~2.5x the true delta and the old test only
+        checked sign/finiteness."""
+        spot = 255.0
+        pr = self._mk(spot=spot)
+        g = pr.greeks()
+        h = 0.5
+        up = self._mk(spot=spot + h).price()
+        dn = self._mk(spot=spot - h).price()
+        fd_delta = (up - dn) / (2.0 * h)
+        assert g["delta"] == pytest.approx(fd_delta, rel=0.25), (
+            g["delta"], fd_delta,
+        )
 
 
 class TestCrossCheckPricer:

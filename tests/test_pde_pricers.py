@@ -73,6 +73,36 @@ class TestAmericanPricer:
         for key, fa_val in fa.items():
             assert g[key] == pytest.approx(fa_val, rel=1e-2), key
 
+    def test_vanilla_fis_european_excludes_early_exercise(self):
+        """exercise_type='european' must price WITHOUT the IT projection
+        (the reference builds the QL exercise object from this flag,
+        vanilla_option_pricer_test.py:271-280). Regression: the flag was
+        accepted and silently ignored — every 'european' trade carried
+        the full American premium."""
+        from finite_difference_tpu.models.pde.vanilla_fis import (
+            VanillaOptionPricerFIS,
+        )
+
+        r_nacc = 0.0705
+        df = flat_naca_dataframe(np.exp(r_nacc) - 1.0)
+        common = dict(
+            spot_price=100.0, strike_price=115.0, volatility=0.25,
+            valuation_date=VAL, maturity_date=MAT_6M, discount_curve=df,
+            option_type="put", settlement_type="cash",
+            underlying_spot_days=0,
+        )
+        euro = VanillaOptionPricerFIS(exercise_type="european", **common)
+        amer = VanillaOptionPricerFIS(exercise_type="american", **common)
+        p_euro, p_amer = euro.price(300), amer.price(300)
+        # deep-ITM put on a positive-rate curve has a material premium
+        assert p_amer > p_euro + 0.05
+        # European matches Black-Scholes (cash settlement, no lags)
+        from finite_difference_tpu.models.analytic import bs_price as _bs
+
+        tau = (MAT_6M - VAL).days / 365.0
+        bs = float(_bs(100.0, 115.0, 0.25, tau, r_nacc, 0.0, False))
+        assert p_euro == pytest.approx(bs, rel=2e-3)
+
     def test_dividend_jump_put(self):
         """A large known dividend raises an American put's value."""
         div_date = dt.date(2025, 10, 15)
@@ -261,6 +291,39 @@ class TestDiscreteBarrierPricer:
             rebate_amount=5.0, rebate_at_hit=True,
         ).price_log2()
         assert p_reb > p0 + 0.01
+
+    def test_ki_rebate_far_barrier_is_rebate_pv(self):
+        """KI(R) = vanilla - KO(R at expiry) + R*DF (RR term E, the
+        framework-wide identity). Far barrier: never knocked in, so the
+        KI is (almost) only the never-in rebate leg. Regression: the
+        reference's parity (vanilla - KO(R)) drops the +R*DF term, which
+        priced this trade at ~0 instead of ~R*DF."""
+        monitors = build_monitoring_dates(VAL, MAT_1M, "daily")
+        # the parity mixes the closed-form vanilla (three lagged time
+        # measures) with the PDE KO, so with a settlement lag the
+        # far-barrier limit carries the engines' lag basis (~0.09 — the
+        # reference KI structure, present with or without rebates); pin
+        # zero lag and a fine grid to isolate the rebate identity
+        fine = dict(
+            num_time_steps=500, num_space_nodes=800, underlying_spot_days=0,
+        )
+        pr = self._mk(
+            barrier_type="up-and-in", upper_barrier=900.0,
+            monitor_dates=monitors, rebate_amount=5.0, **fine,
+        )
+        df = pr.discount_curve.get_discount_factor(pr.discount_end_date)
+        assert pr.price_log2() == pytest.approx(5.0 * df, rel=5e-3)
+        g = pr.greeks_log2()
+        assert g["price"] == pytest.approx(5.0 * df, rel=5e-3)
+        # the leg is (near-)flat in spot and vol
+        assert abs(g["delta"]) < 5e-3 and abs(g["vega"]) < 5e-2
+        # at-hit timing must not leak into the IN complement: same price
+        pr_hit = self._mk(
+            barrier_type="up-and-in", upper_barrier=900.0,
+            monitor_dates=monitors, rebate_amount=5.0, rebate_at_hit=True,
+            **fine,
+        )
+        assert pr_hit.price_log2() == pytest.approx(pr.price_log2(), rel=1e-12)
 
     def test_greeks_shape_and_signs(self):
         monitors = build_monitoring_dates(VAL, MAT_1M, "daily")
