@@ -238,6 +238,12 @@ def run_all_scenarios_batched(
         for d in monitor_dates
         if valuation < d <= maturity
     ]
+    # the scalar engine ALWAYS monitors at expiry
+    # (DiscreteBarrierFDMPricer._build_monitor_times, mirroring the
+    # reference); a monitor list ending before maturity silently diverged
+    # between --batched and the per-scenario path otherwise
+    if monitor_times and monitor_times[-1] < t_exp - 1e-14:
+        monitor_times.append(t_exp)
 
     rows = list(config_df.iterrows())
     B = len(rows)
@@ -300,7 +306,11 @@ def run_all_scenarios_batched(
             lower=sub(lowers),
             upper=sub(uppers),
             rebate=[rebate_amount] * len(pde_idx),
-            rebate_at_hit=[rebate_at_hit] * len(pde_idx),
+            # the IN parity complement must carry the rebate at EXPIRY
+            # (KI(R) = vanilla - KO(R at expiry) + R*DF, barrier.price_log2)
+            rebate_at_hit=[
+                rebate_at_hit and not is_in[i] for i in pde_idx
+            ],
             num_space_nodes=n_nodes,
             dtype=dtype,
             monitor_aligned=(schedule == "monitor-aligned"),
@@ -350,7 +360,10 @@ def run_all_scenarios_batched(
             vanilla = float(
                 black76_price(fwd, row["K"], row["sigma"], t_exp, df, opt_type == "call")
             )
-            model_price = vanilla - ko_price
+            # KI(R) = vanilla - KO(R at expiry) + R*DF (the framework-wide
+            # identity; the never-knocked-in rebate leg is flat in
+            # spot/vol so only the price picks it up)
+            model_price = vanilla - ko_price + rebate_amount * df
             # vanilla greeks by closed-form bump for the parity leg
             ds = row["S0"] * 1e-4
             v_up = float(black76_price((row["S0"] + ds) / df, row["K"], row["sigma"], t_exp, df, opt_type == "call"))
