@@ -658,17 +658,24 @@ def stage_hw1f(out_path: str) -> None:
 def _run_stage(args, timeout=3600, retries=1):
     """Run one stage subprocess; retry once on failure (the TPU tunnel
     backend occasionally fails to initialize transiently — a one-shot
-    stage error must not zero the whole bench artifact)."""
+    stage error must not zero the whole bench artifact). A hung stage
+    (TimeoutExpired — e.g. a dead tunnel that blocks device init
+    forever) counts as a failed attempt rather than propagating."""
+    out, err = "", ""
     for attempt in range(retries + 1):
-        proc = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench.py")] + args,
-            cwd=HERE,
-            timeout=timeout,
-            capture_output=True,
-            text=True,
-        )
-        if proc.returncode == 0:
-            return
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(HERE, "bench.py")] + args,
+                cwd=HERE,
+                timeout=timeout,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                return
+            out, err = proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired:
+            out, err = "", f"stage timed out after {timeout}s"
         if attempt < retries:
             print(
                 f"# stage {args} failed (attempt {attempt + 1}), retrying",
@@ -676,9 +683,19 @@ def _run_stage(args, timeout=3600, retries=1):
             )
             time.sleep(10)
     raise RuntimeError(
-        f"bench stage {args} failed:\n{proc.stdout[-2000:]}\n"
-        f"{proc.stderr[-2000:]}"
+        f"bench stage {args} failed:\n{out[-2000:]}\n{err[-2000:]}"
     )
+
+
+def stage_probe() -> None:
+    """Fail-fast device probe: init the backend and run one tiny op."""
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    x = jnp.ones((8, 8))
+    float(jnp.sum(x @ x))
+    print(f"# probe ok: {devs}", file=sys.stderr)
 
 
 def main() -> None:
@@ -686,7 +703,7 @@ def main() -> None:
     parser.add_argument(
         "--stage",
         choices=[
-            "f32", "f64", "oracle", "american", "american64",
+            "probe", "f32", "f64", "oracle", "american", "american64",
             "american_oracle", "analytic", "exposure", "hw1f",
         ],
     )
@@ -694,6 +711,8 @@ def main() -> None:
     parser.add_argument("--prices")
     parser.add_argument("--greeks")
     a = parser.parse_args()
+    if a.stage == "probe":
+        return stage_probe()
     if a.stage == "f32":
         return stage_f32(a.out)
     if a.stage == "f64":
@@ -720,6 +739,10 @@ def main() -> None:
         f64_g_npy = os.path.join(td, "f64_greeks.npy")
         oracle_npy = os.path.join(td, "oracle.npy")
         oracle_g_npy = os.path.join(td, "oracle_greeks.npy")
+        # fail fast when the device backend is unreachable (a dead
+        # tunnel hangs init forever; without this the 8 stages x 2
+        # attempts burn 3600s each before the driver sees anything)
+        _run_stage(["--stage", "probe"], timeout=900)
         _run_stage(["--stage", "f32", "--out", f32_json])
         _run_stage([
             "--stage", "f64", "--out", f64_json,
