@@ -166,6 +166,40 @@ class TestDiscreteBarrierMC:
         )
         assert p_reb["price"] > p0["price"]
 
+    def test_rebated_barriers_mc_vs_pde_cross_engine(self):
+        """Cross-engine lock on the unified rebate conventions (round-3):
+        MC and the CN production pricer agree within MC error for rebated
+        KO (both timings) AND rebated KI (never-touched leg) on the same
+        monitor schedule."""
+        from finite_difference_tpu.models.pde import DiscreteBarrierFDMPricer
+        from finite_difference_tpu.utils.curves import flat_naca_dataframe
+
+        monitors = build_monitoring_dates(VAL, MAT, "daily")
+        cases = [
+            ("up-and-out", 5.0, False),
+            ("up-and-out", 5.0, True),
+            ("up-and-in", 5.0, False),
+        ]
+        for bt, reb, at_hit in cases:
+            res = self._price(
+                barrier=BarrierSpec(bt, level=260.0),
+                monitor_dates=monitors,
+                rebate=RebateSpec(amount=reb, rebate_at_hit=at_hit),
+                cfg=MCConfig(n_paths=400_000, seed=11),
+            )
+            pde = DiscreteBarrierFDMPricer(
+                spot=229.74, strike=190.0, valuation_date=VAL,
+                maturity_date=MAT, sigma=0.28790, option_type="call",
+                barrier_type=bt, upper_barrier=260.0,
+                monitor_dates=monitors,
+                discount_curve=flat_naca_dataframe(0.073085649282),
+                underlying_spot_days=0, num_time_steps=500,
+                rebate_amount=reb, rebate_at_hit=at_hit,
+            ).price_log2()
+            assert res["price"] == pytest.approx(
+                pde, abs=4 * res["stderr"] + 0.05
+            ), (bt, reb, at_hit, res["price"], pde)
+
     def test_ki_rebate_pays_iff_never_hit(self):
         """Knock-in rebate (RR term E): paid at expiry iff the barrier is
         never touched. Regression: the MC kernel dropped this leg (like
