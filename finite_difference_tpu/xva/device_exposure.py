@@ -227,10 +227,16 @@ def _ois_arrays(
         [_weights_for(tenors, np.maximum(t_end[t], 0.0), Tm)
          for t in range(n_times)]
     )
-    W_start = np.stack(
-        [_weights_for(tenors, np.maximum(t_start[t], 0.0), Tm)
-         for t in range(n_times)]
-    )
+    if np.any(t_start > 0.0):
+        W_start = np.stack(
+            [_weights_for(tenors, np.maximum(t_start[t], 0.0), Tm)
+             for t in range(n_times)]
+        )
+    else:
+        # no forward-starting (date, period) cell anywhere: drop the
+        # start-leg tensors so the correction einsum compiles out (None
+        # fields are static pytree leaves)
+        W_start, t_start = None, None
     return dict(
         W_inc=W_inc, tau_seg=tau_seg, j0=j0, ois_seed=seeds,
         ois_stamped=stamped, W_end=W_end, t_end=t_end,
@@ -437,14 +443,20 @@ def _ois_rate(leg: DeviceLegTensors, fwd_cube, frozen_cube=None):
     r_end = jnp.einsum("tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_end))
     t_end = jnp.asarray(leg.t_end)[:, None, :]
     # DF(t_start)/DF(t_end): t_start = 0 for in-progress periods (realized
-    # part is the stamped cache), cyf(d, p_start) for forward-starting ones
-    r_start = jnp.einsum(
-        "tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_ois_start)
-    )
-    t_start = jnp.maximum(jnp.asarray(leg.t_ois_start)[:, None, :], 0.0)
+    # part is the stamped cache), cyf(d, p_start) for forward-starting
+    # ones. _ois_arrays drops these tensors (None = static pytree leaf)
+    # when no (date, period) cell is forward-starting, so the correction
+    # einsum compiles out for the common seasoned-book case.
+    start_corr = 0.0
+    if leg.t_ois_start is not None:
+        r_start = jnp.einsum(
+            "tpn,tnm->tpm", fwd_cube, jnp.asarray(leg.W_ois_start)
+        )
+        t_start = jnp.maximum(jnp.asarray(leg.t_ois_start)[:, None, :], 0.0)
+        start_corr = r_start * t_start
     cf_fut = jnp.where(
         t_end > 0.0,
-        jnp.exp(r_end * jnp.maximum(t_end, 0.0) - r_start * t_start),
+        jnp.exp(r_end * jnp.maximum(t_end, 0.0) - start_corr),
         1.0,
     )
     acc = jnp.asarray(leg.accrual)[None, None, :]
