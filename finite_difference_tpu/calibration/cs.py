@@ -21,6 +21,7 @@ import pandas as pd
 
 from ..ops.special import norm_cdf
 from .statistics import calc_statistics
+from .curve_data import curve_array as _curve_array
 
 
 def calibrate_historical(
@@ -232,8 +233,6 @@ def bootstrap_from_json(
     if base_date is None:
         raise ValueError("Cannot find Base_Date in System Parameters or Valuation Configuration")
     vol_delta = sys_params.get("Volatility_Delta", 0.0)
-
-    from .curve_data import curve_array as _curve_array
 
     results: Dict[str, Dict[str, float]] = {}
     for market_price_name, implied_params in market_prices.items():

@@ -17,6 +17,7 @@ from typing import Dict, List, Tuple, Union
 import numpy as np
 import pandas as pd
 
+from .curve_data import unpack_curve_rows as unpack_curve
 from .statistics import (
     calc_statistics,
     force_positive_shift,
@@ -131,8 +132,6 @@ def extract_pca_params(filepath: str, asset_names: Union[str, List[str]]) -> Dic
     with open(filepath, "r", encoding="utf-8") as f:
         market_data = json.load(f)
     price_models = market_data.get("MarketData", {}).get("Price Models", {})
-
-    from .curve_data import unpack_curve_rows as unpack_curve
 
     results = {}
     for asset_name in asset_names:

@@ -413,22 +413,12 @@ class DiscreteBarrierFDMPricer:
             # rebate timing (discrete_barrier_fdm_pricer.py:1050-1060),
             # which drops the +R*DF leg and leaks at-hit timing into the
             # parity complement; corrected here.
-            saved = self.rebate_at_hit
-            try:
-                self.rebate_at_hit = False
-                ko = self.price_log(
+            ko = self._at_expiry_rebate_ko(
+                lambda: self.price_log(
                     apply_KO=apply_KO, use_richardson=use_richardson
                 )
-            finally:
-                self.rebate_at_hit = saved
-            leg = 0.0
-            if self.rebate_amount:
-                leg = self.rebate_amount * float(
-                    self.discount_curve.get_discount_factor(
-                        self.discount_end_date
-                    )
-                )
-            return self._vanilla_black76_price() - ko + leg
+            )
+            return self._vanilla_black76_price() - ko + self._ki_rebate_leg()
         raise ValueError(f"Unsupported barrier_type: {self.barrier_type}")
 
     def greeks_log2(self, dv_sigma: float = 0.0001, use_richardson: bool = False) -> Dict[str, float]:
@@ -443,28 +433,39 @@ class DiscreteBarrierFDMPricer:
             if self.already_in:
                 return self._vanilla_black76_greeks_fd()
             g_van = self._vanilla_black76_greeks_fd()
-            saved = self.rebate_at_hit
-            try:
-                self.rebate_at_hit = False  # at-expiry KO complement
-                g_ko = self._pde_greeks_maybe_richardson(
+            g_ko = self._at_expiry_rebate_ko(
+                lambda: self._pde_greeks_maybe_richardson(
                     dv_sigma, use_richardson
                 )
-            finally:
-                self.rebate_at_hit = saved
+            )
             out = {k: g_van[k] - g_ko[k] for k in g_van}
-            if self.rebate_amount:
+            leg = self._ki_rebate_leg()
+            if leg:
                 # never-knocked-in leg R*DF: flat in spot/vol; price +R*DF,
                 # theta (decay convention -dV/dT) gains +r*R*DF
-                df = float(
-                    self.discount_curve.get_discount_factor(
-                        self.discount_end_date
-                    )
-                )
-                leg = self.rebate_amount * df
                 out["price"] = out["price"] + leg
                 out["theta"] = out["theta"] + self.discount_rate_nacc * leg
             return out
         raise ValueError(f"Unsupported barrier_type: {self.barrier_type}")
+
+    def _at_expiry_rebate_ko(self, solve):
+        """Run ``solve`` with rebate timing forced to at-expiry — the KO
+        complement of the KI parity must not carry at-hit timing."""
+        saved = self.rebate_at_hit
+        try:
+            self.rebate_at_hit = False
+            return solve()
+        finally:
+            self.rebate_at_hit = saved
+
+    def _ki_rebate_leg(self) -> float:
+        """R*DF(discount_end): the never-knocked-in rebate leg (RR term E)
+        of KI(R) = vanilla - KO(R at expiry) + R*DF."""
+        if not self.rebate_amount:
+            return 0.0
+        return self.rebate_amount * float(
+            self.discount_curve.get_discount_factor(self.discount_end_date)
+        )
 
     def _pde_greeks_maybe_richardson(
         self, dv_sigma: float, use_richardson: bool
