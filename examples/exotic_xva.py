@@ -18,6 +18,15 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# --cpu: force the CPU backend in-process (the preloaded TPU plugin
+# ignores the JAX_PLATFORMS env var, so an env-only override can't work)
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 import numpy as np
 
 from finite_difference_tpu.instruments import (
