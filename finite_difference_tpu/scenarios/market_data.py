@@ -237,14 +237,47 @@ def extract_model_params(
     )
 
 
+_FACTOR_TYPES = (
+    "ForwardPrice", "InterestRate", "FxRate", "EquityPrice",
+    "PriceIndex", "ReferencePrice",
+)
+
+
+def _strip_process_prefix(name: str) -> str:
+    """RiskFlow correlation keys carry the stochastic-process prefix
+    ('ClewlowStricklandProcess.ForwardPrice.X' — riskflow config.py:739)
+    while the simulation factors are keyed by bare factor name. Strip one
+    leading process token when the remainder starts with a known factor
+    type."""
+    parts = name.split(".", 1)
+    if len(parts) == 2 and parts[1].split(".", 1)[0] in _FACTOR_TYPES:
+        return parts[1]
+    return name
+
+
 def extract_correlations(market_data: dict) -> Dict[Tuple[str, str], float]:
-    """Correlation dict keyed (name1, name2) (cs_simulation.py:517-554)."""
+    """Correlation dict keyed (name1, name2) (cs_simulation.py:517-554).
+
+    Keys are registered BOTH as written and with the process prefix
+    stripped: the reference's build_cholesky looks correlations up by
+    bare factor name against prefixed JSON keys and silently got rho=0
+    for every configured pair (its own docstring notes the prefix,
+    cs_simulation.py:527-530, but never strips it) — real RiskFlow maps
+    the prefix in config.py:739. Documented reference correction.
+    """
     corr_section = market_data.get("Correlations", {})
     correlations: Dict[Tuple[str, str], float] = {}
+
+    def _put(k1: str, k2: str, rho: float) -> None:
+        correlations[(k1, k2)] = rho
+        stripped = (_strip_process_prefix(k1), _strip_process_prefix(k2))
+        if stripped != (k1, k2):
+            correlations.setdefault(stripped, rho)
+
     for key, val in corr_section.items():
         if isinstance(key, tuple):
-            correlations[key] = val
+            _put(key[0], key[1], val)
         elif isinstance(val, dict):
             for rate2, rho in val.items():
-                correlations[(key, rate2)] = rho
+                _put(key, rate2, rho)
     return correlations

@@ -137,7 +137,28 @@ class TestAmericanBatch:
         )
         out = price_american_batch(tb, n_nodes=201, with_greeks=True)
         np.testing.assert_allclose(out["price"], scalar_prices, rtol=1e-9)
-        assert np.isfinite(out["delta"]).all() and (out["delta"] < 0).all()
+        # greeks MAGNITUDE check, not just sign/finiteness (a 2.5x-scale
+        # stencil error — the FIS-bug class — would keep delta finite and
+        # negative): the batch's grid-stencil delta must match a central
+        # spot-bump of the batch's own prices
+        h = 0.25
+        up = price_american_batch(
+            build_american_batch(
+                spots=[s + h for s in spots], strikes=[100.0] * 4,
+                sigmas=[0.3] * 4, t_expiry=[t_exp] * 4, r=rs, b=rs,
+                is_call=[False] * 4, n_time_steps=200, num_space_nodes=200,
+            ), n_nodes=201, with_greeks=False,
+        )["price"]
+        dn = price_american_batch(
+            build_american_batch(
+                spots=[s - h for s in spots], strikes=[100.0] * 4,
+                sigmas=[0.3] * 4, t_expiry=[t_exp] * 4, r=rs, b=rs,
+                is_call=[False] * 4, n_time_steps=200, num_space_nodes=200,
+            ), n_nodes=201, with_greeks=False,
+        )["price"]
+        fd_delta = (np.asarray(up) - np.asarray(dn)) / (2 * h)
+        np.testing.assert_allclose(out["delta"], fd_delta, rtol=0.05, atol=2e-3)
+        assert (out["delta"] < 0).all()
 
     def test_dividend_jump_batched(self):
         import datetime as dt

@@ -123,11 +123,13 @@ class TestRecovery:
             path, ["ForwardPrice.BRENT", "ForwardPrice.GOLD"],
             batch_size=8192, simulation_batches=1, random_seed=5,
         )
-        # our cholesky is keyed by the correlation names; factor names differ
-        # here so the recovered rho reflects what the driver applied
+        # the configured 0.5 must be applied (the process prefix is
+        # stripped by extract_correlations) AND recovered by the
+        # diagnostic — the old finiteness-only assertion passed even when
+        # the prefix mismatch silently zeroed the correlation
         df = correlation_recovery(results, metas)
         assert df is not None and len(df) == 1
-        assert np.isfinite(df["rho_sim"].iloc[0])
+        assert df["rho_sim"].iloc[0] == pytest.approx(0.5, abs=0.05)
 
 
 class TestFullSuite:

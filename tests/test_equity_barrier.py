@@ -248,6 +248,13 @@ class TestEngineIntegration:
             assert (prof.mtm[:, i] >= intrinsic - 1e-8).all(), d
 
     def test_double_barrier_and_down_types_build(self):
+        """Down/double types: t=0 surface MTM must MATCH the production
+        CN pricer (not just be finite/nonnegative — that passed even if
+        lower_barrier was ignored), and a path that breaches the lower
+        barrier at a monitor must die to zero."""
+        from finite_difference_tpu.models.pde import DiscreteBarrierFDMPricer
+        from finite_difference_tpu.utils.curves import flat_curve
+
         dates = self._dates()
         paths = self._paths(len(dates), dates, crossing_path=False)
         for bt, kw in (
@@ -257,6 +264,29 @@ class TestEngineIntegration:
             opt = _opt(name=bt, barrier_type=bt, **kw)
             prof = self._run(opt, paths, dates)
             assert np.isfinite(prof.mtm).all()
-            # the drifting-down path dies under the lower barrier rule
-            # only if it actually crossed at a monitor
             assert (prof.mtm[:, 0] >= 0).all()
+            # t=0 value vs the scalar CN engine on the same schedule
+            ref = DiscreteBarrierFDMPricer(
+                spot=100.0, strike=100.0, valuation_date=VAL,
+                maturity_date=MAT, sigma=0.3, option_type="call",
+                barrier_type=bt, monitor_dates=_monitor_dates(),
+                discount_curve=flat_curve(0.06, VAL),
+                underlying_spot_days=0, num_time_steps=200,
+                **{k: v for k, v in kw.items() if v is not None},
+            ).price_log2()
+            # different grid policies/resolutions: few-percent gate
+            # (_opt defaults to quantity=1)
+            assert prof.mtm[1, 0] == pytest.approx(ref, rel=6e-2), bt
+        # a monitored breach of the LOWER barrier kills the position
+        crash = paths.copy()
+        mon = _monitor_dates()[2]
+        for t_idx, d in enumerate(dates):
+            if d >= mon:
+                crash[t_idx, 0] = 60.0  # below 75 at the 3rd monitor
+        opt = _opt(
+            name="do-crash", barrier_type="down-and-out",
+            lower_barrier=75.0, upper_barrier=None,
+        )
+        prof = self._run(opt, crash, dates)
+        post = [i for i, d in enumerate(dates) if mon <= d < MAT]
+        assert all(prof.mtm[0, i] == 0.0 for i in post)

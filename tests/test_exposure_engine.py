@@ -405,9 +405,15 @@ class TestIRSwap:
         )
         prof = ExposureEngine(cube).compute(NettingSet("NS", [Trade(swap, "T")]))
         assert np.isfinite(prof.mtm).all()
-        # flat 6% curve: the compounded OIS coupon should be near
-        # (e^{0.06*tau} - 1)/tau * tau * N discounted - i.e. positive MTM
-        assert prof.mtm[0, 0] > 0
+        # flat 6% curve: the single compounded OIS coupon is EXACTLY
+        # N*(e^{0.06*tau}-1) paid at tau, discounted at 6% — i.e. the leg
+        # telescopes to N*(1 - DF(tau)). A simple-rate (non-compounded)
+        # regression would give N*0.06*tau*DF instead; mtm > 0 alone
+        # could not tell them apart.
+        sc = swap.schedule_config
+        t_pay = sc.curve_year_fraction(VAL, swap.receive_schedule[-1][2])
+        expected = 1_000_000 * (1.0 - np.exp(-0.06 * t_pay))
+        np.testing.assert_allclose(prof.mtm[:, 0], expected, rtol=1e-9)
 
     def test_ois_initial_cf_seed(self):
         swap = IRSwap(

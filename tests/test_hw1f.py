@@ -221,3 +221,20 @@ class TestJointCube:
         )
         prof = ExposureEngine(cube).compute(ns)
         assert prof.ee().max() > 0
+        # the conversion must actually be the pathwise FX multiply: the
+        # FX trade's MTM equals the unconverted trade's MTM times the
+        # simulated FX path (ee>0 alone passes even if fx is ignored or
+        # applied upside down)
+        prof_zar = ExposureEngine(cube).compute(
+            NettingSet("NS", [Trade(swap, "T1")])
+        )
+        fx = np.stack(
+            [
+                np.asarray(cube.get_time_slice(t)["FX.USDZAR"].values)
+                for t in range(len(cube.dates))
+            ],
+            axis=1,
+        )  # (n_paths, n_times)
+        np.testing.assert_allclose(
+            prof.mtm, prof_zar.mtm * fx, rtol=1e-12, atol=1e-9
+        )

@@ -221,6 +221,36 @@ class TestIndexLinkedSwap:
         prof = ExposureEngine(cube).compute(NettingSet("NS", [Trade(swap, "T")]))
         assert np.isfinite(prof.mtm).all()
         assert np.abs(prof.mtm).max() > 0
+        # deterministic cube (every path identical) -> every MTM column
+        # must be path-constant; a path-indexing bug in the stamping
+        # would break this while staying finite/nonzero
+        np.testing.assert_allclose(
+            prof.mtm,
+            np.broadcast_to(prof.mtm[:1, :], prof.mtm.shape),
+            rtol=1e-12,
+        )
+        # the stamped fixings must actually FEED later valuations: bump
+        # the CPI path at one EARLY date only (a value that becomes a
+        # lagged historical fixing for later dates) and the later MTMs
+        # move — ignoring the path (e.g. always using spot CPI=100)
+        # passes the finiteness checks but not this
+        cpi_bumped = np.broadcast_to(
+            cpi_path[:, None], (n_times, n_paths)
+        ).copy()
+        cpi_bumped[1, :] *= 1.02
+        cube2 = ScenarioCube(
+            dates,
+            {
+                "ZAR-SWAP": ("curve", np.full((n_times, n_paths, TENORS.size), 0.08), TENORS),
+                "INFL.ZA": ("curve", np.full((n_times, n_paths, TENORS.size), 0.05), TENORS),
+                "CPI.ZA": ("scalar", cpi_bumped),
+            },
+        )
+        prof2 = ExposureEngine(cube2).compute(
+            NettingSet("NS", [Trade(_ils(n_years=1), "T")])
+        )
+        later = np.abs(prof2.mtm[0, 2:] - prof.mtm[0, 2:]).max()
+        assert later > 1e-6, "early CPI stamp did not propagate"
 
 
 class TestEquityForward:

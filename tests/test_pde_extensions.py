@@ -91,11 +91,20 @@ class TestCnLogPricer:
         assert ko.price() + ki.price() == pytest.approx(vanilla, rel=1e-9)
 
     def test_greeks_parity(self):
+        """KO + KI greeks == vanilla greeks per component (in-out parity
+        differentiates) — the old assertion only checked finiteness,
+        which a wrong bump sign or 10x scaling also satisfies."""
         mons = [0.1 * k for k in range(1, 6)]
+        ko = self._mk(barrier_type="up-and-out", upper_barrier=130.0,
+                      monitor_times=mons)
         ki = self._mk(barrier_type="up-and-in", upper_barrier=130.0,
                       monitor_times=mons)
-        g = ki.greeks()
-        assert np.isfinite([g["delta"], g["gamma"], g["vega"]]).all()
+        g_ko, g_ki = ko.greeks(), ki.greeks()
+        g_van = ko._vanilla_bs_price_and_greeks()
+        for k in ("delta", "gamma", "vega"):
+            assert g_ko[k] + g_ki[k] == pytest.approx(
+                g_van[k], rel=5e-3, abs=5e-4
+            ), k
 
 
 class TestHybridPricer:
@@ -182,14 +191,25 @@ class TestHybridPricer:
         discrete_barrier_analytic_pricer.py:573-607): the shifted barrier
         after greeks() must equal the base-sigma shift again (state
         restored), and vega is finite near the barrier."""
-        pr = self._mk(
-            spot=255.0, n_desired_for_decision=2, n_lim_multiplier=1,
-        )
+        kw = dict(spot=255.0, n_desired_for_decision=2, n_lim_multiplier=1)
+        pr = self._mk(**kw)
         assert pr.use_continuous_window
         h0 = pr.bgk_upper_barrier
         g = pr.greeks()
+        # state restored after the bumps
         assert pr.bgk_upper_barrier == pytest.approx(h0, rel=1e-15)
-        assert np.isfinite(g["vega"])
+        # the REGRESSION LOCK: vega must equal a central FD across
+        # freshly-CONSTRUCTED sigma-bumped pricers (whose __init__
+        # recomputes the BGK window). A greeks() that bumps sigma in
+        # place with a STALE window — the reference behavior — fails this
+        # because the fresh pricers' windows move with sigma.
+        dv = 1e-4
+        p_up = self._mk(volatility=0.2879 + dv, **kw).price()
+        p_dn = self._mk(volatility=0.2879 - dv, **kw).price()
+        fd_vega = (p_up - p_dn) / (2 * dv)
+        assert g["vega"] == pytest.approx(fd_vega, rel=1e-9), (
+            g["vega"], fd_vega,
+        )
 
     def test_direction_scaling(self):
         mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
@@ -377,12 +397,52 @@ class TestFISStencilPricer:
         assert np.isfinite(pr.price())
 
     def test_barrier_greeks_near_barrier(self):
-        """Spot close to the barrier exercises the one-sided/Gamma_lim path."""
-        pr = self._mk(spot=255.0)
+        """Spot close to the barrier exercises the one-sided/Gamma_lim
+        path — checked in MAGNITUDE against bumps of price(), not just
+        sign/finiteness (the assertion class that hid the 2.5x stencil
+        bug). Gamma is a BLEND of the numerical stencil and the PDE-limit
+        Gamma_lim, so its gate vs the pure FD second difference is loose."""
+        spot = 255.0
+        pr = self._mk(spot=spot)
         g = pr.greeks()
-        assert np.isfinite([g["delta"], g["gamma"], g["vega"]]).all()
-        # near a KO barrier the call delta should be strongly negative
         assert g["delta"] < 0.0
+        # an FD of price() across bumped pricers is unusable for gamma
+        # (each pricer re-grids around its spot, and interpolation is
+        # piecewise linear), so gate gamma against the production CN
+        # engine on the SAME monitor schedule — both estimate the same
+        # quantity; different stencils/grids make the gate loose
+        from finite_difference_tpu.models.pde import DiscreteBarrierFDMPricer
+        from finite_difference_tpu.utils.curves import flat_curve
+
+        mons = [VAL + dt.timedelta(days=7 * k) for k in range(1, 5)]
+        ref = DiscreteBarrierFDMPricer(
+            spot=spot, strike=190.0, valuation_date=VAL,
+            maturity_date=MAT_1M, sigma=0.2879, option_type="call",
+            barrier_type="up-and-out", upper_barrier=260.0,
+            monitor_dates=mons, discount_curve=flat_curve(0.0705, VAL),
+            underlying_spot_days=0, num_time_steps=400,
+        ).greeks_log2()
+        # the FIS blend is a deliberately DIFFERENT estimator from true
+        # gamma (50% numerical stencil + 50% PDE-limit Gamma_lim, the
+        # reference's near-barrier regularization), so cross-engine
+        # equality is not the contract — sign agreement plus a bounded
+        # magnitude is (the 2.5x stencil-bug class flips neither)
+        assert np.sign(g["gamma"]) == np.sign(ref["gamma"])
+        assert 1e-4 < abs(g["gamma"]) < 0.2, g["gamma"]
+        # vega magnitude vs fresh-constructed vol-bumped pricers. The
+        # space grid is sized from the vol, so re-gridding noise swamps a
+        # tiny bump (at dv=1e-4 the FD even flips sign); a wide bump
+        # amortizes it. Near a KO barrier the call vega must be NEGATIVE
+        # (more vol -> more knockouts).
+        dv = 0.02
+        v_up = self._mk(volatility=0.2879 + dv, spot=spot).price()
+        v_dn = self._mk(volatility=0.2879 - dv, spot=spot).price()
+        fd_vega = (v_up - v_dn) / (2 * dv)
+        assert g["vega"] < 0 and fd_vega < 0
+        # near-barrier vega is strongly convex in vol, so the fixed-grid
+        # dv=0.01 estimator and the re-gridded wide-bump FD legitimately
+        # differ ~2x; a factor band still catches sign and 10x-class bugs
+        assert 0.3 < g["vega"] / fd_vega < 3.0, (g["vega"], fd_vega)
 
     def test_one_sided_delta_magnitude_matches_spot_bump(self):
         """The corrected second-order one-sided stencil must agree with a

@@ -275,14 +275,15 @@ class TestPipeline:
             batch_size=8192, simulation_batches=1, random_seed=4,
             time_grid_string="0d 2d 1w(1w)",
         )
-        # correlation key uses the ClewlowStricklandProcess prefix; our driver
-        # keys the cholesky by factor name, so explicitly spot-check the shock
-        # correlation through log returns of the longest tenor
+        # the configured 0.6 must actually reach the cholesky: the JSON
+        # key carries the ClewlowStricklandProcess prefix, which
+        # extract_correlations strips to the factor name (the reference
+        # silently got rho=0 here — documented correction). The old
+        # assertion was a tautology (abs(rho) >= 0) that hid exactly that.
         a = np.log(results["ForwardPrice.BRENT.OIL"][1, -1, :])
         b = np.log(results["ForwardPrice.GOLD"][1, -1, :])
         rho = np.corrcoef(a, b)[0, 1]
-        assert abs(rho) >= 0.0  # structural smoke: finite, computed
-        assert np.isfinite(rho)
+        assert rho == pytest.approx(0.6, abs=0.05)
 
     def test_riskflow_dataframe_round_trip(self, tmp_path):
         sim, df, meta = run_simulation_from_json(
