@@ -326,3 +326,72 @@ class TestMultiDimDeviceSobol:
         assert z.shape == (2, 16, 4096)
         cors = [np.corrcoef(z[0, t], z[1, t])[0, 1] for t in range(16)]
         assert abs(np.mean(cors) - 0.6) < 0.02
+
+
+class TestCrossEngineBarrierFuzz:
+    def test_random_configs_cn_vs_bgk_vs_mc(self):
+        """Randomized three-engine consistency: for random single-barrier
+        configs (type, moneyness, vol, rate, barrier distance) with daily
+        monitors, the CN PDE, the BGK/Hörfelt analytic pricer, and the
+        MC kernel must agree — CN vs MC inside MC error, BGK vs CN inside
+        its O(1/sqrt(m)) approximation band. Locks the engines together
+        across the config space rather than at hand-picked points."""
+        from finite_difference_tpu.models.analytic.bgk_pricer import (
+            DiscreteBarrierBGKPricer,
+        )
+        from finite_difference_tpu.models.pde import DiscreteBarrierFDMPricer
+        from finite_difference_tpu.utils.curves import flat_naca_dataframe
+
+        rng = np.random.default_rng(17)
+        monitors = build_monitoring_dates(VAL, MAT, "daily")
+        naca = 0.073085649282
+        curve_df = flat_naca_dataframe(naca)
+        mc_curve = flat_curve(naca, VAL)
+
+        for trial in range(6):
+            is_up = bool(rng.integers(0, 2))
+            is_in = bool(rng.integers(0, 2))
+            bt = ("up-" if is_up else "down-") + ("and-in" if is_in else "and-out")
+            s0 = float(rng.uniform(90.0, 110.0))
+            k = float(rng.uniform(85.0, 115.0))
+            sigma = float(rng.uniform(0.18, 0.4))
+            h = s0 * (
+                float(rng.uniform(1.08, 1.3))
+                if is_up
+                else float(rng.uniform(0.75, 0.93))
+            )
+            kw_cn = dict(upper_barrier=h) if is_up else dict(lower_barrier=h)
+
+            cn = DiscreteBarrierFDMPricer(
+                spot=s0, strike=k, valuation_date=VAL, maturity_date=MAT,
+                sigma=sigma, option_type="call", barrier_type=bt,
+                monitor_dates=monitors, discount_curve=curve_df,
+                underlying_spot_days=0, num_time_steps=400, **kw_cn,
+            ).price_log2()
+
+            bgk = DiscreteBarrierBGKPricer(
+                spot=s0, strike=k, volatility=sigma,
+                valuation_date=VAL, maturity_date=MAT,
+                monitor_dates=monitors, option_type="call",
+                barrier_type=bt, pricing_method="bgk",
+                discount_curve=mc_curve, **kw_cn,
+            ).price()
+
+            res = price_discrete_barrier_mc(
+                spot=s0, strike=k, vol=sigma, option_type="call",
+                valuation=VAL, maturity=MAT, discount_curve=mc_curve,
+                monitor_dates=monitors,
+                barrier=BarrierSpec(bt, level=h),
+                cfg=MCConfig(n_paths=200_000, seed=100 + trial),
+            )
+            msg = f"trial {trial}: {bt} s0={s0:.2f} k={k:.2f} h={h:.2f} sigma={sigma:.2f}"
+            # CN vs MC: same product, independent numerics
+            assert res["price"] == pytest.approx(
+                cn, abs=4 * res["stderr"] + 0.03
+            ), f"{msg} cn={cn} mc={res['price']}"
+            # BGK vs CN: the Hörfelt approximation's band at m=23 daily
+            # monitors (worst near the barrier); absolute floor for
+            # near-zero KI prices
+            assert bgk == pytest.approx(cn, rel=6e-2, abs=0.15), (
+                f"{msg} cn={cn} bgk={bgk}"
+            )
