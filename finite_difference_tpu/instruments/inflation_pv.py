@@ -140,24 +140,32 @@ def inflation_leg_pv(
 
             return linear_interp(_s.tenors, _s.values, np.array([t_ref]))[:, 0]
 
+    # adjacent periods share bracket months (j1 of one == j of the next),
+    # so memoize the per-month CPI level within this call — halves the
+    # single-point projection lookups on monthly schedules
+    _month_cache: Dict[dt.date, np.ndarray] = {}
+
+    def _cpi_month(m: dt.date) -> np.ndarray:
+        hit = _month_cache.get(m)
+        if hit is None:
+            hit = _month_cache.setdefault(
+                m,
+                get_cpi_level(
+                    m, val_date, historical_cpi_map, n_paths,
+                    curve_day_count=sc.curve_day_count,
+                    cpi_fixings=cpi_fixings, spot_cpi=spot_cpi,
+                    inflation_rate_curve=inflation_rate_curve,
+                    last_pub_date=cpi_last_pub_date, cpi_interp=cpi_interp,
+                ),
+            )
+        return hit
+
     def _cpi_at(d: dt.date) -> np.ndarray:
         j, j1 = besa_bracket(d, leg.lag_months)
-        cpi_j = get_cpi_level(
-            j, val_date, historical_cpi_map, n_paths,
-            curve_day_count=sc.curve_day_count,
-            cpi_fixings=cpi_fixings, spot_cpi=spot_cpi,
-            inflation_rate_curve=inflation_rate_curve,
-            last_pub_date=cpi_last_pub_date, cpi_interp=cpi_interp,
-        )
+        cpi_j = _cpi_month(j)
         if j == j1:
             return cpi_j
-        cpi_j1 = get_cpi_level(
-            j1, val_date, historical_cpi_map, n_paths,
-            curve_day_count=sc.curve_day_count,
-            cpi_fixings=cpi_fixings, spot_cpi=spot_cpi,
-            inflation_rate_curve=inflation_rate_curve,
-            last_pub_date=cpi_last_pub_date, cpi_interp=cpi_interp,
-        )
+        cpi_j1 = _cpi_month(j1)
         import calendar as _cal
 
         frac = (d.day - 1) / _cal.monthrange(d.year, d.month)[1]
