@@ -33,6 +33,24 @@ import time
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _on_tpu() -> bool:
+    """Backend-init gate shared by every stage. BENCH_FORCE_CPU (set by the
+    parent when the device probe fails — e.g. a dead tunnel that hangs
+    init forever) forces the CPU platform BEFORE the first backend touch,
+    so a downed TPU still produces an honest artifact instead of none."""
+    import jax
+
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+        return False
+    on = any(d.platform == "tpu" for d in jax.devices())
+    if not on:
+        jax.config.update("jax_platforms", "cpu")
+    return on
+
+
 N_SPACE_NODES = 1023  # -> 1024 grid nodes
 N_STEPS = 512
 T_EXP = 31.0 / 365.0
@@ -116,9 +134,7 @@ def _timed_kernel(
 def stage_f32(out_path: str) -> None:
     import jax
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
+    on_tpu = _on_tpu()
     import jax.numpy as jnp
 
     # headline = the production auto-routing: on TPU the f32 path runs
@@ -221,9 +237,7 @@ def stage_f64(out_path: str, prices_path: str, greeks_path: str) -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
+    on_tpu = _on_tpu()
     import jax.numpy as jnp
 
     # B=1024 measured fastest for both f64 rungs on the v5e (price
@@ -362,9 +376,7 @@ def stage_american(out_path: str, prices_path: str) -> None:
     BENCH_AM_ORACLE_B f32 prices for the f64 CPU oracle stage."""
     import jax
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
+    on_tpu = _on_tpu()
     import jax.numpy as jnp
 
     from finite_difference_tpu.models.pde.batch import _spike_schedule
@@ -416,9 +428,7 @@ def stage_american64(out_path: str, prices_path: str) -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
+    on_tpu = _on_tpu()
     import jax.numpy as jnp
 
     B = int(os.environ.get("BENCH_AM_ORACLE_B", "256"))
@@ -465,9 +475,7 @@ def stage_analytic(out_path: str) -> None:
     continuous branch. Host-materialized output per iteration."""
     import jax
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
+    on_tpu = _on_tpu()
     import jax.numpy as jnp
 
     from finite_difference_tpu.models.analytic.batch import (
@@ -539,9 +547,7 @@ def stage_exposure(out_path: str) -> None:
 
     import jax
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
+    on_tpu = _on_tpu()
     import jax.numpy as jnp
 
     spec = importlib.util.spec_from_file_location(
@@ -598,9 +604,7 @@ def stage_hw1f(out_path: str) -> None:
 
     import jax
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
+    on_tpu = _on_tpu()
 
     from finite_difference_tpu.instruments.cashflow import LegType, SwapLeg
     from finite_difference_tpu.instruments.ir_swap import IRSwap
@@ -655,12 +659,17 @@ def stage_hw1f(out_path: str) -> None:
         )
 
 
+_DEGRADED_STAGES = []  # stages that fell back to CPU after a mid-run device loss
+
+
 def _run_stage(args, timeout=3600, retries=1):
     """Run one stage subprocess; retry once on failure (the TPU tunnel
     backend occasionally fails to initialize transiently — a one-shot
     stage error must not zero the whole bench artifact). A hung stage
     (TimeoutExpired — e.g. a dead tunnel that blocks device init
-    forever) counts as a failed attempt rather than propagating."""
+    forever) counts as a failed attempt; between attempts the device is
+    re-probed, and a dead probe flips the REST of the bench to forced
+    CPU (recorded in the artifact) instead of burning hours per stage."""
     out, err = "", ""
     for attempt in range(retries + 1):
         try:
@@ -677,6 +686,26 @@ def _run_stage(args, timeout=3600, retries=1):
         except subprocess.TimeoutExpired:
             out, err = "", f"stage timed out after {timeout}s"
         if attempt < retries:
+            if args != ["--stage", "probe"] and not os.environ.get(
+                "BENCH_FORCE_CPU"
+            ):
+                try:
+                    probe = subprocess.run(
+                        [sys.executable, os.path.join(HERE, "bench.py"),
+                         "--stage", "probe"],
+                        cwd=HERE, timeout=900, capture_output=True, text=True,
+                    )
+                    probe_ok = probe.returncode == 0
+                except subprocess.TimeoutExpired:
+                    probe_ok = False
+                if not probe_ok:
+                    print(
+                        f"# device lost mid-run at stage {args}; forcing "
+                        "CPU for the remaining stages",
+                        file=sys.stderr,
+                    )
+                    os.environ["BENCH_FORCE_CPU"] = "1"
+                    _DEGRADED_STAGES.append(args[1] if len(args) > 1 else "?")
             print(
                 f"# stage {args} failed (attempt {attempt + 1}), retrying",
                 file=sys.stderr,
@@ -741,8 +770,20 @@ def main() -> None:
         oracle_g_npy = os.path.join(td, "oracle_greeks.npy")
         # fail fast when the device backend is unreachable (a dead
         # tunnel hangs init forever; without this the 8 stages x 2
-        # attempts burn 3600s each before the driver sees anything)
-        _run_stage(["--stage", "probe"], timeout=900)
+        # attempts burn 3600s each before the driver sees anything).
+        # A failed probe downgrades the run to forced-CPU — every stage
+        # is cheap at its CPU shapes — so the artifact still exists and
+        # says so, instead of the driver recording nothing.
+        probe_failed = False
+        if not os.environ.get("BENCH_FORCE_CPU"):
+            try:
+                _run_stage(["--stage", "probe"], timeout=900)
+            except RuntimeError as e:
+                print(
+                    f"# device probe failed, forcing CPU: {e}", file=sys.stderr
+                )
+                probe_failed = True
+                os.environ["BENCH_FORCE_CPU"] = "1"
         _run_stage(["--stage", "f32", "--out", f32_json])
         _run_stage([
             "--stage", "f64", "--out", f64_json,
@@ -890,6 +931,10 @@ def main() -> None:
         "f64_american_meets_1e-6": bool(am64_rel <= 1e-6),
         **sub,
     }
+    if probe_failed:
+        result["device_probe_failed"] = True
+    if _DEGRADED_STAGES:
+        result["degraded_to_cpu_from_stage"] = _DEGRADED_STAGES[0]
     print(json.dumps(result))
 
 

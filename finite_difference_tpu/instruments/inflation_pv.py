@@ -21,7 +21,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..market_data.cpi import besa_bracket, first_of_month, shift_months
+from ..market_data.cpi import besa_bracket, first_of_month, interp_cpi, shift_months
 from ..market_data.risk_factor import CurveSlice
 from ..market_data.yield_curve import YieldCurve
 from ..utils.daycount import year_fraction
@@ -89,19 +89,29 @@ def get_cpi_level(
 
     # Projected from T_last_pub; deliberately ignore cpi_fixings[ref_date]
     # for unpublished dates (engine may pre-stamp before publication).
-    anchor_date = last_pub_date
-    if cpi_fixings is not None and anchor_date in cpi_fixings:
-        anchor_cpi = np.asarray(cpi_fixings[anchor_date], dtype=np.float64)
-    elif anchor_date in hist_map:
-        anchor_cpi = np.full(n_paths, hist_map[anchor_date], dtype=np.float64)
-    elif spot_cpi is not None:
-        anchor_cpi = np.asarray(spot_cpi, dtype=np.float64)
-    else:
-        raise ValueError(f"Cannot determine CPI projection anchor at {anchor_date}.")
-
-    t_ref = year_fraction(anchor_date, ref_date, curve_day_count)
+    anchor_cpi = _projection_anchor(
+        last_pub_date, hist_map, n_paths, cpi_fixings, spot_cpi
+    )
+    t_ref = year_fraction(last_pub_date, ref_date, curve_day_count)
     df_infl = inflation_rate_curve.discount_factor(np.array([t_ref]))[:, 0]
     return anchor_cpi / df_infl
+
+
+def _projection_anchor(
+    anchor_date: dt.date,
+    hist_map: Dict[dt.date, float],
+    n_paths: int,
+    cpi_fixings: Optional[Dict[dt.date, np.ndarray]],
+    spot_cpi: Optional[np.ndarray],
+) -> np.ndarray:
+    """CPI(T_last_pub) the projection grows from: fixing > history > spot."""
+    if cpi_fixings is not None and anchor_date in cpi_fixings:
+        return np.asarray(cpi_fixings[anchor_date], dtype=np.float64)
+    if anchor_date in hist_map:
+        return np.full(n_paths, hist_map[anchor_date], dtype=np.float64)
+    if spot_cpi is not None:
+        return np.asarray(spot_cpi, dtype=np.float64)
+    raise ValueError(f"Cannot determine CPI projection anchor at {anchor_date}.")
 
 
 def inflation_leg_pv(
@@ -138,38 +148,9 @@ def inflation_leg_pv(
         def cpi_interp(t_ref, _s=cpi_slice):
             from ..market_data.yield_curve import linear_interp
 
-            return linear_interp(_s.tenors, _s.values, np.array([t_ref]))[:, 0]
-
-    # adjacent periods share bracket months (j1 of one == j of the next),
-    # so memoize the per-month CPI level within this call — halves the
-    # single-point projection lookups on monthly schedules
-    _month_cache: Dict[dt.date, np.ndarray] = {}
-
-    def _cpi_month(m: dt.date) -> np.ndarray:
-        hit = _month_cache.get(m)
-        if hit is None:
-            hit = _month_cache.setdefault(
-                m,
-                get_cpi_level(
-                    m, val_date, historical_cpi_map, n_paths,
-                    curve_day_count=sc.curve_day_count,
-                    cpi_fixings=cpi_fixings, spot_cpi=spot_cpi,
-                    inflation_rate_curve=inflation_rate_curve,
-                    last_pub_date=cpi_last_pub_date, cpi_interp=cpi_interp,
-                ),
-            )
-        return hit
-
-    def _cpi_at(d: dt.date) -> np.ndarray:
-        j, j1 = besa_bracket(d, leg.lag_months)
-        cpi_j = _cpi_month(j)
-        if j == j1:
-            return cpi_j
-        cpi_j1 = _cpi_month(j1)
-        import calendar as _cal
-
-        frac = (d.day - 1) / _cal.monthrange(d.year, d.month)[1]
-        return cpi_j + frac * (cpi_j1 - cpi_j)
+            t = np.atleast_1d(np.asarray(t_ref, dtype=np.float64))
+            out = linear_interp(_s.tenors, _s.values, t)
+            return out[:, 0] if np.ndim(t_ref) == 0 else out
 
     pv = np.zeros(n_paths)
     last_pay = max(p for _, _, p, _ in schedule)
@@ -181,6 +162,62 @@ def inflation_leg_pv(
     ]
     if not future:
         return pv
+
+    # Resolve every bracket month this leg needs up front (adjacent periods
+    # share months: j1 of one period == j of the next). Months past the
+    # publication horizon ride ONE vectorized curve call — the same batch
+    # pattern as the pay-date discounting below — instead of a single-point
+    # interpolation each.
+    _month_cache: Dict[dt.date, np.ndarray] = {}
+    needed: set = set()
+    for _, p_end, _, _ in future:
+        needed.update(besa_bracket(p_end, leg.lag_months))
+    if inflation_rate_curve is not None:
+        last_pub = cpi_last_pub_date or shift_months(first_of_month(val_date), -1)
+        projected = sorted(m for m in needed if m > last_pub)
+        if projected:
+            anchor_cpi = _projection_anchor(
+                last_pub, historical_cpi_map, n_paths, cpi_fixings, spot_cpi
+            )
+            t_refs = np.array(
+                [year_fraction(last_pub, m, sc.curve_day_count) for m in projected]
+            )
+            dfs_infl = inflation_rate_curve.discount_factor(t_refs)  # (n_paths, k)
+            for i, m in enumerate(projected):
+                _month_cache[m] = anchor_cpi / dfs_infl[:, i]
+    elif cpi_interp is not None:
+        interp_months = sorted(
+            m
+            for m in needed
+            if m > val_date
+            and not (cpi_fixings is not None and m in cpi_fixings)
+            and m not in historical_cpi_map
+        )
+        if interp_months:
+            t_refs = np.array(
+                [year_fraction(val_date, m, sc.curve_day_count) for m in interp_months]
+            )
+            vals = cpi_interp(t_refs)  # (n_paths, k)
+            for i, m in enumerate(interp_months):
+                _month_cache[m] = vals[:, i]
+
+    def _cpi_month(m: dt.date) -> np.ndarray:
+        if m not in _month_cache:
+            _month_cache[m] = get_cpi_level(
+                m, val_date, historical_cpi_map, n_paths,
+                curve_day_count=sc.curve_day_count,
+                cpi_fixings=cpi_fixings, spot_cpi=spot_cpi,
+                inflation_rate_curve=inflation_rate_curve,
+                last_pub_date=cpi_last_pub_date, cpi_interp=cpi_interp,
+            )
+        return _month_cache[m]
+
+    def _cpi_at(d: dt.date) -> np.ndarray:
+        j, j1 = besa_bracket(d, leg.lag_months)
+        cpi_j = _cpi_month(j)
+        if j == j1:
+            return cpi_j
+        return interp_cpi(d, cpi_j, _cpi_month(j1))
     # ONE discount_factor call covers every payment date — the per-period
     # single-point interpolation was the exposure engine's measured hot
     # spot, eliminated the same way in cashflow.leg_pv/trs_return_leg_pv

@@ -32,11 +32,16 @@ def _build() -> Optional[str]:
     lib_path = os.path.join(_CACHE_DIR, "libfdnative.so")
     if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(_SRC):
         return lib_path
-    tmp = tempfile.mktemp(suffix=".so", dir=_CACHE_DIR)
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_CACHE_DIR)
+    os.close(fd)
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
     os.replace(tmp, lib_path)
     return lib_path

@@ -243,13 +243,19 @@ def build_parser():
         "(Richardson pair; TPU-f32 rides the SPIKE pallas kernel)",
     )
     p.add_argument("-v", "--verbose", action="store_true")
+    from ._cli import add_backend_flag
+
+    add_backend_flag(p)
     return p
 
 
 def main(argv=None):
     import datetime as _dt
 
+    from ._cli import apply_backend_flag
+
     args = build_parser().parse_args(argv)
+    apply_backend_flag(args)
     base = dict(
         valuation=_dt.date.fromisoformat(args.valuation),
         maturity=_dt.date.fromisoformat(args.maturity),

@@ -427,6 +427,9 @@ def build_parser():
                         "per-interval constant dt with monitors exactly on "
                         "step boundaries (reference CN auto-grid rule)")
     p.add_argument("-v", "--verbose", action="store_true")
+    from ._cli import add_backend_flag
+
+    add_backend_flag(p)
     return p
 
 
@@ -434,8 +437,10 @@ def main(argv=None):
     import datetime as _dt
 
     from ..utils.calendars import build_monitoring_dates
+    from ._cli import apply_backend_flag
 
     args = build_parser().parse_args(argv)
+    apply_backend_flag(args)
     val = _dt.date.fromisoformat(args.valuation)
     mat = _dt.date.fromisoformat(args.maturity)
     base = dict(

@@ -168,5 +168,11 @@ def run_irswap_fa_check(
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
+    if "--cpu" in _sys.argv:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     # synthetic goldens (pinned in tests/test_irswap_fa.py)
     run_irswap_fa_check(fa_pay_pv=334439.05, fa_total_pv=-27800.25)
