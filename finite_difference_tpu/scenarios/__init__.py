@@ -53,6 +53,7 @@ from .riskflow_io import (
     from_riskflow_dataframe,
     export_scenarios_csv,
     load_riskflow_scenarios,
+    load_scenarios_csv,
     compare_scenario_outputs,
 )
 
@@ -77,6 +78,7 @@ __all__ = [
     "from_riskflow_dataframe",
     "export_scenarios_csv",
     "load_riskflow_scenarios",
+    "load_scenarios_csv",
     "compare_scenario_outputs",
     "correlation_recovery",
     "cs_log_variance",

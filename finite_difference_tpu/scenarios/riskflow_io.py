@@ -8,6 +8,7 @@ Credit_Monte_Carlo output dict, and a moment/path-level/KS comparator.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -66,15 +67,34 @@ def export_scenarios_csv(
     df_out.to_csv(filepath)
 
 
+def load_scenarios_csv(filepath) -> pd.DataFrame:
+    """Exact inverse of :func:`export_scenarios_csv`.
+
+    Reads the RiskFlow CSV layout back into the scenario-frame shape
+    :func:`to_riskflow_dataframe` produces: rows = MultiIndex
+    (tenor, scenario), columns = DatetimeIndex of scenario dates. Beyond
+    the reference (cs_simulation.py:1165-1191 exports but nothing loads);
+    completes the CSV round-trip so exported cubes are re-ingestable by
+    ``from_riskflow_dataframe``/``compare_scenario_outputs``.
+    """
+    df = pd.read_csv(filepath, index_col=[0, 1])
+    df.index = df.index.set_names(["tenor", "scenario"])
+    df.columns = pd.DatetimeIndex(pd.to_datetime(df.columns))
+    return df
+
+
 def load_riskflow_scenarios(riskflow_output, factor_name: str) -> pd.DataFrame:
     """Pull one factor's scenario frame out of a RiskFlow output dict.
 
     Handles out['Results']['scenarios'][name], out['scenarios'][name], a
-    plain {name: df} dict, or an already-extracted DataFrame; falls back to
-    substring matching on the factor name (cs_simulation.py:1194-1245).
+    plain {name: df} dict, an already-extracted DataFrame, or a path to a
+    CSV written by :func:`export_scenarios_csv`; falls back to substring
+    matching on the factor name (cs_simulation.py:1194-1245).
     """
     if isinstance(riskflow_output, pd.DataFrame):
         return riskflow_output
+    if isinstance(riskflow_output, (str, os.PathLike)):
+        return load_scenarios_csv(riskflow_output)
 
     if "Results" in riskflow_output:
         scenarios = riskflow_output["Results"].get("scenarios", {})

@@ -19,6 +19,7 @@ from finite_difference_tpu.scenarios import (
     generate_random_numbers,
     load_market_data,
     load_riskflow_scenarios,
+    load_scenarios_csv,
     parse_time_grid,
     precalculate,
     run_multi_factor_simulation_from_json,
@@ -305,6 +306,21 @@ class TestPipeline:
         export_scenarios_csv(df, str(out))
         reloaded = pd.read_csv(out, index_col=[0, 1])
         assert reloaded.shape == df.shape
+        # full round-trip: the loader is the exact inverse of the exporter
+        rt = load_scenarios_csv(str(out))
+        assert list(rt.index.names) == ["tenor", "scenario"]
+        assert isinstance(rt.columns, pd.DatetimeIndex)
+        # CSV decimal text costs the last ulp; pandas writes ~17 sig figs
+        np.testing.assert_allclose(rt.values, df.values, rtol=1e-12)
+        np.testing.assert_array_equal(
+            rt.columns.values, pd.DatetimeIndex(df.columns).values
+        )
+        # and load_riskflow_scenarios accepts the path directly
+        via_path = load_riskflow_scenarios(out, "ForwardPrice.GOLD")
+        np.testing.assert_allclose(via_path.values, df.values)
+        # a reloaded frame feeds straight back into the comparator
+        cmp = compare_scenario_outputs(rt, rt, tol=1e-12)
+        assert cmp["verdict"] == "MATCH"
 
     def test_load_riskflow_scenarios_nesting(self, tmp_path):
         _, df, _ = run_simulation_from_json(
