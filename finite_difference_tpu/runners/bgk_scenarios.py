@@ -126,3 +126,113 @@ def run_all_bgk_scenarios(
     if output_csv:
         pd.DataFrame(all_results).to_csv(output_csv, index=False)
     return all_results
+
+
+def trades_from_csv(config_csv_path: str) -> List[Dict[str, Any]]:
+    """Config CSV -> trade dicts for :func:`run_all_bgk_scenarios`.
+
+    Columns: trade_name, option_type, barrier_type, S, K, sigma, rate,
+    valuation, maturity; optional upper_barrier/lower_barrier/
+    rebate_amount/rebate_at_hit/monitor_frequency (daily|weekly|monthly,
+    default weekly)/pricing_method (auto|bgk|mc)/fwd_rate/
+    underlying_spot_days/mc_n_paths/mc_seed and
+    bench_price/bench_delta/bench_gamma/bench_vega diff columns. Flat
+    NACA curves built like the reference main
+    (discrete_barrier_bgk_main.py:98-121).
+    """
+    from .bs_scenarios import _opt_float
+
+    rows = pd.read_csv(config_csv_path).to_dict("records")
+    trades: List[Dict[str, Any]] = []
+    for row in rows:
+        val = dt.date.fromisoformat(str(row["valuation"]))
+        mat = dt.date.fromisoformat(str(row["maturity"]))
+        t: Dict[str, Any] = {
+            "trade_name": row.get("trade_name", "unnamed"),
+            "option_type": row.get("option_type", "call"),
+            "barrier_type": row.get("barrier_type", "none"),
+            "S": float(row["S"]), "K": float(row["K"]),
+            "sigma": float(row["sigma"]),
+            "valuation_date": val, "maturity_date": mat,
+            "discount_curve": build_flat_curve(float(row["rate"]), val, mat),
+            "monitor_frequency": row.get("monitor_frequency", "weekly")
+            or "weekly",
+        }
+        fwd = _opt_float(row, "fwd_rate")
+        if fwd is not None:
+            t["forward_curve"] = build_flat_curve(fwd, val, mat)
+        for k in ("upper_barrier", "lower_barrier", "rebate_amount"):
+            v = _opt_float(row, k)
+            if v is not None:
+                t[k] = v
+        for k, cast in (
+            ("rebate_at_hit", bool), ("underlying_spot_days", int),
+            ("mc_n_paths", int), ("mc_seed", int), ("bgk_min_freq", float),
+        ):
+            v = _opt_float(row, k)
+            if v is not None:
+                t[k] = cast(v)
+        pm = row.get("pricing_method")
+        if isinstance(pm, str) and pm:
+            t["pricing_method"] = pm
+        for g in ("price", "delta", "gamma", "vega"):
+            v = _opt_float(row, f"bench_{g}")
+            if v is not None:
+                t[f"bench_{g}"] = v
+        trades.append(t)
+    return trades
+
+
+def demo_trades() -> List[Dict[str, Any]]:
+    """The reference main's demo book shape (discrete_barrier_bgk_main.py:
+    565-700): daily BGK route, sparse-monitor MC route, rebate, KI."""
+    val, mat = dt.date(2025, 7, 28), dt.date(2026, 7, 28)
+    disc = build_flat_curve(0.085, val, mat)
+    return [
+        {"trade_name": "T01_UAO_Call_Daily_BGK", "option_type": "call",
+         "barrier_type": "up-and-out", "S": 229.74, "K": 220.0,
+         "sigma": 0.32, "valuation_date": val, "maturity_date": mat,
+         "discount_curve": disc, "monitor_frequency": "daily",
+         "upper_barrier": 260.0},
+        {"trade_name": "T02_DAO_Put_Monthly_MC", "option_type": "put",
+         "barrier_type": "down-and-out", "S": 100.0, "K": 105.0,
+         "sigma": 0.25, "valuation_date": val, "maturity_date": mat,
+         "discount_curve": disc, "monitor_frequency": "monthly",
+         "lower_barrier": 80.0, "mc_n_paths": 50_000},
+        {"trade_name": "T03_UAI_Call_Weekly_Rebate", "option_type": "call",
+         "barrier_type": "up-and-in", "S": 100.0, "K": 100.0,
+         "sigma": 0.30, "valuation_date": val, "maturity_date": mat,
+         "discount_curve": disc, "upper_barrier": 125.0,
+         "rebate_amount": 2.0},
+    ]
+
+
+def build_parser():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m finite_difference_tpu.runners.bgk_scenarios",
+        description="BGK/MC discrete-barrier scenario sweep: config CSV "
+        "in (demo book when omitted), results CSV/table out.",
+    )
+    p.add_argument("config_csv", nargs="?", default=None)
+    p.add_argument("-o", "--output", default=None, help="results CSV path")
+    from ._cli import add_backend_flag
+
+    add_backend_flag(p)
+    return p
+
+
+def main(argv=None):
+    from ._cli import apply_backend_flag
+
+    args = build_parser().parse_args(argv)
+    apply_backend_flag(args)
+    trades = (
+        trades_from_csv(args.config_csv) if args.config_csv else demo_trades()
+    )
+    run_all_bgk_scenarios(trades, output_csv=args.output, print_results=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,113 @@ def run_all_bs_scenarios(
     if output_csv:
         pd.DataFrame(all_results).to_csv(output_csv, index=False)
     return all_results
+
+
+def _opt_float(row: Dict[str, Any], key: str) -> Optional[float]:
+    v = row.get(key)
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v == "":
+        return None
+    return float(v)
+
+
+def trades_from_csv(config_csv_path: str) -> List[Dict[str, Any]]:
+    """Config CSV -> trade dicts for :func:`run_all_bs_scenarios`.
+
+    Columns: trade_name, option_type, S, K, sigma, then EITHER the simple
+    path (T, r, optional q/F) or the curve path (valuation, maturity,
+    rate, optional fwd_rate — flat NACA curves built like the reference
+    main's build_flat_curve, bjerksund_stensland_main.py:95-121).
+    Optional bench_price/bench_delta/bench_gamma/bench_vega diff columns.
+    """
+    import datetime as dt
+
+    from .bgk_scenarios import build_flat_curve
+
+    rows = pd.read_csv(config_csv_path).to_dict("records")
+    trades: List[Dict[str, Any]] = []
+    for row in rows:
+        t: Dict[str, Any] = {
+            "trade_name": row.get("trade_name", "unnamed"),
+            "option_type": row.get("option_type", "call"),
+            "S": float(row["S"]), "K": float(row["K"]),
+            "sigma": float(row["sigma"]),
+        }
+        rate = _opt_float(row, "rate")
+        if rate is not None:
+            val = dt.date.fromisoformat(str(row["valuation"]))
+            mat = dt.date.fromisoformat(str(row["maturity"]))
+            t.update(
+                valuation_date=val, maturity_date=mat,
+                discount_curve=build_flat_curve(rate, val, mat),
+            )
+            fwd = _opt_float(row, "fwd_rate")
+            if fwd is not None:
+                t["forward_curve"] = build_flat_curve(fwd, val, mat)
+        else:
+            t["T"] = float(row["T"])
+            t["r"] = float(row["r"])
+            for k in ("q", "F"):
+                v = _opt_float(row, k)
+                if v is not None:
+                    t[k] = v
+        for g in ("price", "delta", "gamma", "vega"):
+            v = _opt_float(row, f"bench_{g}")
+            if v is not None:
+                t[f"bench_{g}"] = v
+        trades.append(t)
+    return trades
+
+
+def demo_trades() -> List[Dict[str, Any]]:
+    """The reference main's demo book shape (bjerksund_stensland_main.py:
+    424-529): simple/curve paths, dividend yield, explicit forward."""
+    import datetime as dt
+
+    from .bgk_scenarios import build_flat_curve
+
+    val, mat = dt.date(2025, 8, 28), dt.date(2026, 8, 28)
+    curve = build_flat_curve(0.07, val, mat)
+    return [
+        {"trade_name": "ATM_Call_1Y_simple", "option_type": "call",
+         "S": 100.0, "K": 100.0, "T": 1.0, "r": 0.07, "sigma": 0.25},
+        {"trade_name": "ITM_Put_DivYield_simple", "option_type": "put",
+         "S": 110.0, "K": 100.0, "T": 0.5, "r": 0.06, "sigma": 0.30,
+         "q": 0.02},
+        {"trade_name": "Fwd_Override_simple", "option_type": "call",
+         "S": 95.0, "K": 100.0, "T": 0.75, "r": 0.065, "sigma": 0.28,
+         "F": 99.5},
+        {"trade_name": "ATM_Put_1Y_curve", "option_type": "put",
+         "S": 100.0, "K": 100.0, "sigma": 0.25, "valuation_date": val,
+         "maturity_date": mat, "discount_curve": curve},
+    ]
+
+
+def build_parser():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m finite_difference_tpu.runners.bs_scenarios",
+        description="Bjerksund-Stensland scenario sweep: config CSV in "
+        "(demo book when omitted), results CSV/table out.",
+    )
+    p.add_argument("config_csv", nargs="?", default=None)
+    p.add_argument("-o", "--output", default=None, help="results CSV path")
+    from ._cli import add_backend_flag
+
+    add_backend_flag(p)
+    return p
+
+
+def main(argv=None):
+    from ._cli import apply_backend_flag
+
+    args = build_parser().parse_args(argv)
+    apply_backend_flag(args)
+    trades = (
+        trades_from_csv(args.config_csv) if args.config_csv else demo_trades()
+    )
+    run_all_bs_scenarios(trades, output_csv=args.output, print_results=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -436,3 +436,72 @@ class TestRunnerCLIs:
         ).to_csv(cfg, index=False)
         df = main([str(cfg), "--opt-type", "put"])
         assert np.isfinite(df["model_price"]).all()
+
+    def test_bs_cli_demo_and_csv(self, tmp_path, capsys):
+        import pandas as pd
+
+        from finite_difference_tpu.runners.bs_scenarios import main
+
+        # demo book (no config): prints one line per trade
+        main([])
+        assert "ATM_Call_1Y_simple" in capsys.readouterr().out
+
+        cfg = tmp_path / "bs.csv"
+        pd.DataFrame([
+            {"trade_name": "Simple1", "option_type": "call", "S": 100.0,
+             "K": 100.0, "sigma": 0.25, "T": 1.0, "r": 0.07,
+             "bench_price": 13.3639},
+            {"trade_name": "CurvePut", "option_type": "put", "S": 100.0,
+             "K": 100.0, "sigma": 0.25, "rate": 0.07,
+             "valuation": "2025-08-28", "maturity": "2026-08-28",
+             "fwd_rate": 0.08},
+        ]).to_csv(cfg, index=False)
+        out = tmp_path / "bs_out.csv"
+        main([str(cfg), "-o", str(out)])
+        df = pd.read_csv(out)
+        assert len(df) == 2
+        # simple path: reference demo trade, price pinned vs bench
+        r0 = df.iloc[0]
+        assert r0["path"] == "simple"
+        assert abs(r0["model_price"] - 13.3639) < 5e-4
+        assert r0["price_abs_diff"] < 5e-4
+        # curve path resolved distinct carry (fwd 8%) vs disc (7%) rates
+        r1 = df.iloc[1]
+        assert r1["path"] == "curve"
+        assert abs(r1["disc_rate"] - np.log(1.07)) < 1e-10
+        assert r1["carry_rate"] > r1["disc_rate"]
+
+    def test_bgk_cli_demo_and_csv(self, tmp_path, capsys):
+        import pandas as pd
+
+        from finite_difference_tpu.runners.bgk_scenarios import (
+            main,
+            run_bgk_scenario,
+            trades_from_csv,
+        )
+
+        cfg = tmp_path / "bgk.csv"
+        pd.DataFrame([
+            {"trade_name": "D1", "option_type": "call",
+             "barrier_type": "up-and-out", "S": 100.0, "K": 95.0,
+             "sigma": 0.3, "rate": 0.085, "valuation": "2025-07-28",
+             "maturity": "2026-07-28", "monitor_frequency": "daily",
+             "upper_barrier": 130.0, "rebate_amount": 1.5},
+            {"trade_name": "M1", "option_type": "put",
+             "barrier_type": "down-and-in", "S": 100.0, "K": 105.0,
+             "sigma": 0.28, "rate": 0.085, "valuation": "2025-07-28",
+             "maturity": "2026-01-28", "monitor_frequency": "weekly",
+             "lower_barrier": 85.0, "pricing_method": "mc",
+             "mc_n_paths": 20000},
+        ]).to_csv(cfg, index=False)
+        out = tmp_path / "bgk_out.csv"
+        main([str(cfg), "-o", str(out)])
+        assert "D1" in capsys.readouterr().out
+        df = pd.read_csv(out)
+        assert list(df["pricing_method"]) == ["BGK", "MC"]
+        # daily monitoring over a year -> ~251 business-day monitors
+        assert 200 <= df.iloc[0]["n_monitors"] <= 260
+        # the CSV route prices identically to a hand-built trade dict
+        trades = trades_from_csv(str(cfg))
+        direct = run_bgk_scenario(trades[0])
+        assert abs(df.iloc[0]["model_price"] - direct["model_price"]) < 1e-12
