@@ -71,7 +71,7 @@ def main() -> None:
     print(f"CVA: {out['cva']:,.2f}")
     print(
         f"steady-state: {steady*1e3:.0f} ms for {evals/1e6:.0f}M NPVs "
-        f"incl. scenario generation ({evals/steady/1e6:.0f}M NPVs/s)"
+        f"incl. scenario generation ({evals/steady/1e6:.1f}M NPVs/s)"
     )
     if plot_path:
         from finite_difference_tpu.utils.plotting import plot_ee_pfe

@@ -14,18 +14,20 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# --cpu: force the CPU backend in-process (the preloaded TPU plugin
-# ignores the JAX_PLATFORMS env var, so an env-only override can't work)
-if "--cpu" in sys.argv:
-    sys.argv.remove("--cpu")
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
-
+# f64 validation pipeline: CPU is the default backend (x64 on the TPU is
+# emulated, slower and pointless for a host-side golden comparison); pass
+# --tpu to run on the device anyway. --cpu is accepted as a no-op for
+# symmetry with the device-first examples. In-process jax.config is the
+# only override that works — the preloaded TPU plugin ignores the
+# JAX_PLATFORMS env var.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" in sys.argv:
+    sys.argv.remove("--tpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
 jax.config.update("jax_enable_x64", True)
 
 import datetime as dt
