@@ -659,6 +659,117 @@ def stage_hw1f(out_path: str) -> None:
         )
 
 
+def stage_mc(out_path: str) -> None:
+    """MC discrete-barrier pricer at production path count (8M paths, 31
+    daily monitors, up-and-out — the PERF_NOTES 'MC discrete-barrier'
+    row): paths/s with the price/stderr reduction materialized to host."""
+    import datetime as _dt
+
+    import jax
+
+    on_tpu = _on_tpu()
+
+    from finite_difference_tpu.models.mc.discrete_barrier import (
+        BarrierSpec,
+        MCConfig,
+        price_discrete_barrier_mc,
+    )
+    from finite_difference_tpu.utils.curves import flat_naca_dataframe
+
+    val = _dt.date(2025, 7, 28)
+    mat = val + _dt.timedelta(days=31)
+    curve = flat_naca_dataframe(0.0705, val, mat + _dt.timedelta(days=5))
+    monitors = [val + _dt.timedelta(days=k) for k in range(1, 32)]
+    n_paths = 8_000_000 if on_tpu else 20_000
+    kw = dict(
+        spot=229.74, strike=190.0, vol=0.2879, option_type="call",
+        valuation=val, maturity=mat, discount_curve=curve,
+        monitor_dates=monitors,
+        barrier=BarrierSpec("up-and-out", level=260.0),
+        cfg=MCConfig(n_paths=n_paths, antithetic=True, seed=7),
+    )
+    res = price_discrete_barrier_mc(**kw)  # compile + warmup
+    assert np.isfinite(res["price"]) and res["stderr"] > 0.0
+    iters = 5 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = price_discrete_barrier_mc(**kw)
+    elapsed = time.perf_counter() - t0
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "paths_per_sec": n_paths * iters / elapsed,
+                "n_paths": n_paths,
+                "price": res["price"],
+                "stderr": res["stderr"],
+                "platform": "tpu" if on_tpu else "cpu",
+            },
+            f,
+        )
+
+
+def stage_scengen(out_path: str) -> None:
+    """Clewlow-Strickland scenario generation (the RiskFlow-replica path
+    kernel, PERF_NOTES 'Scenario generation vs the reference'): 53 steps x
+    20 tenors x 100k sims, RNG included, cube kept device-resident (a
+    scalar reduction is materialized so the tunnel cannot elide work —
+    shipping the full 424 MB cube to host costs more than computing it)."""
+    import jax
+
+    on_tpu = _on_tpu()
+    import jax.numpy as jnp
+
+    from finite_difference_tpu.scenarios.simulation import (
+        _generate_paths_kernel,
+        generate_random_numbers,
+        precalculate,
+    )
+
+    n_steps, n_tenors = 53, 20
+    n_sims = 100_000 if on_tpu else 2_000
+    base_excel = 45_000
+    tenors_excel = base_excel + np.linspace(30, 1800, n_tenors)
+    grid_days = np.linspace(7, 371, n_steps)
+    pre = precalculate(
+        np.full(n_tenors, 70.0), tenors_excel, grid_days,
+        sigma=0.3, alpha=0.2, drift=0.01, base_date_excel=base_excel,
+    )
+    dt_ = np.float32  # throughput rung; f64/torch parity is pinned in tests
+    chol = np.eye(1)
+    ic = jnp.asarray(pre["initial_curve"], dt_)
+    vol = jnp.asarray(pre["vol"], dt_)
+    drift = jnp.asarray(pre["drift"], dt_)
+
+    @jax.jit
+    def run_once(key):
+        z = generate_random_numbers(
+            chol, n_steps, n_sims, use_antithetic=True,
+            rng_backend="threefry", key=key, dtype=dt_,
+        )
+        cube = _generate_paths_kernel(ic, vol, drift, z[0, :n_steps, :])
+        return jnp.sum(cube), cube[0, 0, 0]
+
+    key = jax.random.PRNGKey(0)
+    s, c0 = run_once(key)  # compile + warmup
+    assert np.isfinite(np.asarray(s))
+    iters = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for i in range(iters):
+        s, c0 = run_once(jax.random.PRNGKey(i))
+        np.asarray(s)  # materialize the reduction (tunnel-honest timing)
+    elapsed = time.perf_counter() - t0
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "paths_per_sec": n_sims * iters / elapsed,
+                "cells_per_sec": n_sims * n_steps * n_tenors * iters / elapsed,
+                "n_sims": n_sims,
+                "platform": "tpu" if on_tpu else "cpu",
+            },
+            f,
+        )
+
+
 _DEGRADED_STAGES = []  # stages that fell back to CPU after a mid-run device loss
 
 
@@ -733,7 +844,8 @@ def main() -> None:
         "--stage",
         choices=[
             "probe", "f32", "f64", "oracle", "american", "american64",
-            "american_oracle", "analytic", "exposure", "hw1f",
+            "american_oracle", "analytic", "exposure", "hw1f", "mc",
+            "scengen",
         ],
     )
     parser.add_argument("--out")
@@ -760,6 +872,10 @@ def main() -> None:
         return stage_exposure(a.out)
     if a.stage == "hw1f":
         return stage_hw1f(a.out)
+    if a.stage == "mc":
+        return stage_mc(a.out)
+    if a.stage == "scengen":
+        return stage_scengen(a.out)
 
     with tempfile.TemporaryDirectory() as td:
         f32_json = os.path.join(td, "f32.json")
@@ -867,6 +983,8 @@ def main() -> None:
             ("analytic", "analytic_sweep_trades_per_sec", "trades_per_sec"),
             ("exposure", "device_exposure_npvs_per_sec", "npvs_per_sec"),
             ("hw1f", "hw1f_pipeline_npvs_per_sec", "npvs_per_sec"),
+            ("mc", "mc_barrier_paths_per_sec", "paths_per_sec"),
+            ("scengen", "scenario_gen_paths_per_sec", "paths_per_sec"),
         ):
             path = os.path.join(td, stage + ".json")
             _run_stage(["--stage", stage, "--out", path])

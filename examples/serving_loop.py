@@ -34,10 +34,13 @@ from finite_difference_tpu.models.pde.batch import (
     price_batch_kernel,
 )
 
-B = 1024
-N_NODES = 1024
-N_STEPS = 512
-TICKS = 10
+# positional overrides: [B] [ticks] (e.g. `serving_loop.py 16 2 --cpu`
+# is the CI smoke shape; defaults are the production serving shape)
+_ints = [a for a in sys.argv[1:] if a.isdigit()]
+B = int(_ints[0]) if _ints else 1024
+N_NODES = 1024 if B >= 256 else 128
+N_STEPS = 512 if B >= 256 else 64
+TICKS = int(_ints[1]) if len(_ints) > 1 else 10
 
 
 def main():

@@ -153,8 +153,12 @@ def generate_random_numbers(
     else:
         if key is None:
             key = jax.random.PRNGKey(seed)
+        # under a non-x64 session f64 is unavailable anyway (JAX would
+        # truncate the request to f32 with a warning); ask for what the
+        # session can deliver — bit-identical either way
+        draw_dt = jnp.float64 if jax.config.x64_enabled else jnp.float32
         z = jax.random.normal(
-            key, (n_factors, num_timesteps * half), dtype=jnp.float64
+            key, (n_factors, num_timesteps * half), dtype=draw_dt
         )
     # honor the requested dtype on the device backends too (the torch
     # branch already does): f32 halves the block's memory and tunnel
