@@ -1,0 +1,252 @@
+"""Serving layer: bucketed services + micro-batching HTTP server.
+
+The reference has no serving surface (SURVEY.md §0 — its runners are
+``python file.py`` mains); these tests pin the TPU-serving contract the
+framework adds: bucket padding must not change any result (the padded
+clones are dropped), knock-ins ride the framework-wide in-out parity, and
+the HTTP front coalesces concurrent requests into one device batch.
+"""
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from finite_difference_tpu.models.analytic import generalized_bs_price
+from finite_difference_tpu.models.pde.batch import (
+    build_american_batch,
+    build_trade_batch,
+    price_american_batch,
+    price_barrier_batch,
+)
+from finite_difference_tpu.serving import (
+    AmericanPricingService,
+    BarrierPricingService,
+    PricingServer,
+)
+
+GRID = dict(n_time_steps=64, num_space_nodes=127)
+MONITORS = [0.02, 0.04, 0.06, 0.08]
+
+
+def _barrier_service(**kw):
+    return BarrierPricingService(
+        min_bucket=4, max_bucket=64, **{**GRID, **kw}
+    )
+
+
+def _ko_trade(**over):
+    t = dict(
+        spot=100.0, strike=95.0, sigma=0.3, t_expiry=0.08, r=0.05,
+        is_call=True, barrier_type="up-and-out", upper=130.0,
+        monitor_times=list(MONITORS),
+    )
+    t.update(over)
+    return t
+
+
+class TestBarrierService:
+    def test_matches_direct_batch_call_despite_padding(self):
+        trades = [
+            _ko_trade(),
+            _ko_trade(spot=90.0, barrier_type="down-and-out", lower=70.0,
+                      upper=None, is_call=False),
+            _ko_trade(barrier_type="none", upper=None),
+        ]
+        svc = _barrier_service()
+        got = svc.price(trades)  # bucket=4 -> one padded clone
+
+        tb = build_trade_batch(
+            spots=[t["spot"] for t in trades],
+            strikes=[t["strike"] for t in trades],
+            sigmas=[t["sigma"] for t in trades],
+            t_expiry=[t["t_expiry"] for t in trades],
+            r=[t["r"] for t in trades],
+            b=[t["r"] for t in trades],
+            is_call=[t["is_call"] for t in trades],
+            n_time_steps=GRID["n_time_steps"],
+            monitor_times=[MONITORS for _ in trades],
+            lower=[t.get("lower") for t in trades],
+            upper=[t.get("upper") for t in trades],
+            num_space_nodes=GRID["num_space_nodes"],
+        )
+        want = price_barrier_batch(tb, n_nodes=GRID["num_space_nodes"] + 1)
+        for i, row in enumerate(got):
+            for k in ("price", "delta", "gamma", "vega", "theta"):
+                # B=4 (padded) and B=3 compile different executables whose
+                # reduction orders differ at the ulp level; the vega bump
+                # quotient amplifies that by 1/(dv*100) -> gate at 1e-9
+                assert row[k] == pytest.approx(
+                    float(np.asarray(want[k])[i]), rel=1e-9, abs=1e-12
+                ), (i, k)
+        assert svc.stats == {
+            "requests": 1, "trades": 3, "bucket_hits": {4: 1}
+        }
+
+    def test_knock_in_parity_sums_to_vanilla(self):
+        """KI is served as vanilla − KO, so KI + KO == analytic vanilla
+        exactly (the parity identity the scalar engine uses,
+        /root/reference/discrete_barrier_fdm_pricer.py:907-946)."""
+        svc = _barrier_service()
+        out_ko, out_ki = svc.price(
+            [_ko_trade(), _ko_trade(barrier_type="up-and-in")]
+        )
+        s, k, sig, te, r = 100.0, 95.0, 0.3, 0.08, 0.05
+        van = float(generalized_bs_price(s, k, sig, te, r, r, True))
+        assert out_ko["price"] + out_ki["price"] == pytest.approx(
+            van, rel=1e-12
+        )
+        # greeks obey the same parity against the closed-form bumps
+        ds = s * 1e-4
+        v = lambda s_=s, sig_=sig: float(
+            generalized_bs_price(s_, k, sig_, te, r, r, True)
+        )
+        delta_van = (v(s + ds) - v(s - ds)) / (2 * ds)
+        vega_van = (v(sig_=sig + 1e-4) - van) / (100.0 * 1e-4)
+        assert out_ko["delta"] + out_ki["delta"] == pytest.approx(
+            delta_van, rel=1e-9
+        )
+        assert out_ko["vega"] + out_ki["vega"] == pytest.approx(
+            vega_van, rel=1e-9
+        )
+
+    def test_knock_in_rebate_conserves_discounted_rebate(self):
+        """KI rebate pays at expiry iff the barrier is NEVER hit and the KO
+        rebate iff it IS hit, so the two rebate legs together are worth
+        exactly R*DF (both legs paid at expiry here)."""
+        svc = _barrier_service()
+        ki0, ki5, ko0, ko5 = svc.price(
+            [
+                _ko_trade(barrier_type="up-and-in"),
+                _ko_trade(barrier_type="up-and-in", rebate=5.0),
+                _ko_trade(),
+                _ko_trade(rebate=5.0),
+            ]
+        )
+        df = np.exp(-0.05 * 0.08)
+        ki_leg = ki5["price"] - ki0["price"]  # 5*DF*P(no hit)
+        ko_leg = ko5["price"] - ko0["price"]  # 5*DF*P(hit)
+        assert ki_leg > 0 and ko_leg > 0
+        assert ki_leg + ko_leg == pytest.approx(5.0 * df, rel=1e-10)
+
+    def test_bucket_rounding_and_overflow(self):
+        svc = _barrier_service()
+        svc.price([_ko_trade(barrier_type="none", upper=None)] * 5)
+        assert svc.stats["bucket_hits"] == {8: 1}
+        with pytest.raises(ValueError, match="exceeds max_bucket"):
+            svc.price([_ko_trade()] * 65)
+
+    def test_barrier_level_validation(self):
+        svc = _barrier_service()
+        with pytest.raises(ValueError, match="requires 'upper'"):
+            svc.price([_ko_trade(upper=None)])
+        with pytest.raises(ValueError, match="unknown barrier_type"):
+            svc.price([_ko_trade(barrier_type="sideways-out")])
+
+
+class TestAmericanService:
+    def test_matches_direct_batch_call(self):
+        trades = [
+            dict(spot=100.0, strike=110.0, sigma=0.25, t_expiry=0.5, r=0.06),
+            dict(spot=100.0, strike=90.0, sigma=0.35, t_expiry=0.5, r=0.06,
+                 is_call=True, dividends=[[0.25, 1.5]]),
+        ]
+        svc = AmericanPricingService(
+            n_time_steps=64, num_space_nodes=126, min_bucket=2, max_bucket=16
+        )
+        got = svc.price(trades)
+        tb = build_american_batch(
+            spots=[100.0, 100.0], strikes=[110.0, 90.0],
+            sigmas=[0.25, 0.35], t_expiry=[0.5, 0.5], r=[0.06, 0.06],
+            b=[0.06, 0.06], is_call=[False, True], n_time_steps=64,
+            dividends_tau=[[], [(0.25, 1.5)]], num_space_nodes=126,
+        )
+        want = price_american_batch(tb, n_nodes=128)
+        for i, row in enumerate(got):
+            for k in ("price", "delta", "gamma", "vega"):
+                assert row[k] == pytest.approx(
+                    float(np.asarray(want[k])[i]), rel=1e-12, abs=1e-14
+                ), (i, k)
+        # early-exercise premium over the analytic European put
+        euro = float(
+            generalized_bs_price(100.0, 110.0, 0.25, 0.5, 0.06, 0.06, False)
+        )
+        assert got[0]["price"] > euro
+
+
+class TestPricingServer:
+    @pytest.fixture()
+    def server(self):
+        svc = _barrier_service(with_greeks=False)
+        with PricingServer(svc, window_ms=100.0) as srv:
+            yield srv
+
+    @staticmethod
+    def _post(srv, payload):
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=120)
+        try:
+            conn.request(
+                "POST", "/price", json.dumps(payload),
+                {"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            return resp.status, json.loads(resp.read())
+        finally:
+            conn.close()
+
+    def test_concurrent_requests_coalesce_into_one_batch(self, server):
+        results = [None, None]
+
+        def post(i):
+            results[i] = self._post(
+                server, {"trades": [_ko_trade(spot=100.0 + i)]}
+            )
+
+        threads = [
+            threading.Thread(target=post, args=(i,)) for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, body in results:
+            assert status == 200
+            assert len(body["results"]) == 1
+            assert body["results"][0]["price"] > 0
+        # spot=101 knocks out slightly more -> strictly smaller price
+        assert (
+            results[1][1]["results"][0]["price"]
+            != results[0][1]["results"][0]["price"]
+        )
+        assert server.stats["requests"] == 2
+        # both landed within one 100 ms window -> a single device batch
+        # (>=1 guards scheduler jitter; ==1 is the expected path)
+        assert 1 <= server.stats["batches"] <= 2
+
+    def test_healthz_and_malformed_request(self, server):
+        status, body = self._post(server, {"trades": [_ko_trade()]})
+        assert status == 200
+
+        conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+        try:
+            conn.request("GET", "/healthz")
+            resp = conn.getresponse()
+            health = json.loads(resp.read())
+            assert resp.status == 200
+        finally:
+            conn.close()
+        assert health["ok"] is True
+        assert health["stats"]["requests"] >= 1
+        assert health["service_stats"]["requests"] >= 1
+
+        status, body = self._post(server, {"nope": 1})
+        assert status == 400 and "bad request" in body["error"]
+
+        # a pricing error is reported per-request, not a server crash
+        status, body = self._post(
+            server, {"trades": [_ko_trade(upper=None)]}
+        )
+        assert status == 500 and "requires 'upper'" in body["error"]
+        status, _ = self._post(server, {"trades": [_ko_trade()]})
+        assert status == 200
