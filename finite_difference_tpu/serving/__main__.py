@@ -38,6 +38,10 @@ def main(argv=None) -> None:
     ap.add_argument("--window-ms", type=float, default=5.0,
                     help="micro-batch coalescing window")
     ap.add_argument("--max-bucket", type=int, default=4096)
+    ap.add_argument("--route", choices=("pde", "hybrid"), default="pde",
+                    help="barrier service: 'hybrid' sends continuous-"
+                         "regime trades (FIS n_lim rule) to the analytic "
+                         "sweep with BGK-shifted barriers")
     ap.add_argument("--no-greeks", action="store_true")
     ap.add_argument("--f32", action="store_true",
                     help="price in float32 (throughput rung) instead of f64")
@@ -65,9 +69,12 @@ def main(argv=None) -> None:
     )
     if args.service == "barrier":
         svc = BarrierPricingService(
-            num_space_nodes=args.nodes if args.nodes else 1023, **common
+            num_space_nodes=args.nodes if args.nodes else 1023,
+            route=args.route, **common
         )
     else:
+        if args.route != "pde":
+            ap.error("--route applies to the barrier service only")
         svc = AmericanPricingService(
             num_space_nodes=args.nodes if args.nodes else 1022, **common
         )

@@ -113,6 +113,14 @@ class BarrierPricingService(_BucketedService):
     The grid (``n_time_steps`` x ``num_space_nodes``) and dtype are fixed
     per service instance so every request reuses the bucket's compiled
     kernel; construct one service per grid policy.
+
+    ``route='hybrid'`` applies the FIS n_lim monitoring decision per trade
+    (the runner's --route hybrid; reference semantics
+    discrete_barrier_analytic_pricer.py:278-342): continuous-regime
+    trades — more monitors than the PDE time grid can resolve — are
+    priced by the batched analytic sweep with BGK-shifted barriers
+    instead of the CN batch. Rebate-bearing trades always stay on the
+    PDE lane (the analytic sweep's rebate legs don't cover doubles).
     """
 
     def __init__(
@@ -128,8 +136,11 @@ class BarrierPricingService(_BucketedService):
         min_bucket: int = 8,
         max_bucket: int = 4096,
         mesh=None,
+        route: str = "pde",
     ) -> None:
         super().__init__(min_bucket, max_bucket)
+        if route not in ("pde", "hybrid"):
+            raise ValueError(f"route must be 'pde' or 'hybrid', got {route!r}")
         self.n_time_steps = int(n_time_steps)
         self.num_space_nodes = int(num_space_nodes)
         self.with_greeks = bool(with_greeks)
@@ -138,6 +149,7 @@ class BarrierPricingService(_BucketedService):
         self.dtype = dtype
         self.max_chunk = max_chunk
         self.mesh = mesh
+        self.route = route
 
     @staticmethod
     def _barriers(trade: Mapping[str, Any]):
@@ -162,7 +174,111 @@ class BarrierPricingService(_BucketedService):
             raise ValueError(f"unknown barrier_type {bt!r}")
         return lower, upper, is_in
 
+    @staticmethod
+    def _monitors(trades) -> List[List[float]]:
+        out = []
+        for t in trades:
+            te = float(t["t_expiry"])
+            m = [float(x) for x in t.get("monitor_times", [te])]
+            # the engines always monitor at expiry (barrier.py convention)
+            if not m or m[-1] < te - 1e-14:
+                m.append(te)
+            out.append(m)
+        return out
+
     def _price_bucketed(self, trades, bucket):
+        if self.route == "hybrid":
+            return self._price_hybrid(trades)
+        return self._price_pde(trades, bucket)
+
+    def _price_hybrid(self, trades):
+        """Split the request by the FIS n_lim rule; price each lane once."""
+        from ..models.analytic.batch import monitoring_decision
+
+        use_cont, adj = monitoring_decision(
+            np.array([float(t["t_expiry"]) for t in trades]),
+            self._monitors(trades),
+            np.array([float(t["sigma"]) for t in trades]),
+        )
+        use_cont &= np.array(
+            [float(t.get("rebate", 0.0)) == 0.0 for t in trades]
+        )
+        pde_i = [i for i in range(len(trades)) if not use_cont[i]]
+        cont_i = [i for i in range(len(trades)) if use_cont[i]]
+        results: List[Optional[Dict[str, float]]] = [None] * len(trades)
+        if pde_i:
+            bucket = _next_bucket(len(pde_i), self.min_bucket, self.max_bucket)
+            for i, row in zip(
+                pde_i, self._price_pde([trades[i] for i in pde_i], bucket)
+            ):
+                results[i] = row
+        if cont_i:
+            for i, row in zip(
+                cont_i,
+                self._price_continuous(
+                    [trades[i] for i in cont_i], adj[cont_i]
+                ),
+            ):
+                results[i] = row
+        return results
+
+    def _price_continuous(self, trades, bgk_adj):
+        """Analytic lane: continuous sweep with BGK-shifted barriers."""
+        from ..models.analytic.batch import (
+            continuous_barrier_sweep,
+            continuous_barrier_sweep_greeks,
+        )
+
+        lowers, uppers, is_in = [], [], []
+        for t, a in zip(trades, bgk_adj):
+            lo, up, ki = self._barriers(t)
+            lowers.append(None if lo is None else float(lo) / a)
+            uppers.append(None if up is None else float(up) * a)
+            is_in.append(ki)
+        col = lambda f: np.array([f(t) for t in trades], np.float64)
+        s = col(lambda t: t["spot"])
+        k = col(lambda t: t["strike"])
+        sig = col(lambda t: t["sigma"])
+        te = col(lambda t: t["t_expiry"])
+        r = col(lambda t: t["r"])
+        # the PDE lane's dynamics use carry b with escrowed-dividend NACC q
+        # subtracted from the drift; the closed forms fold that into b
+        b = col(lambda t: t.get("b", t["r"])) - col(lambda t: t.get("q", 0.0))
+        is_call = np.array([bool(t.get("is_call", True)) for t in trades])
+        is_in = np.asarray(is_in)
+        if not self.with_greeks:
+            price = np.asarray(
+                continuous_barrier_sweep(
+                    s, k, te, r, b, sig, lower=lowers, upper=uppers,
+                    is_call=is_call, is_in=is_in,
+                ),
+                dtype=np.float64,
+            )
+            return [{"price": float(p)} for p in price]
+        out = continuous_barrier_sweep_greeks(
+            s, k, te, r, b, sig, lower=lowers, upper=uppers,
+            is_call=is_call, is_in=is_in, greeks_mode=self.greeks_mode,
+        )
+        cols = {
+            key: np.asarray(v, dtype=np.float64) for key, v in out.items()
+        }
+        # theta by central maturity bump (the KI-parity leg's convention)
+        dte = np.minimum(1e-5, 0.5 * te)
+        px = lambda te_: np.asarray(
+            continuous_barrier_sweep(
+                s, k, te_, r, b, sig, lower=lowers, upper=uppers,
+                is_call=is_call, is_in=is_in,
+            ),
+            dtype=np.float64,
+        )
+        cols["theta"] = -(px(te + dte) - px(te - dte)) / (2.0 * dte)
+        keys = [key for key in _GREEK_KEYS if key in cols]
+        return [
+            {key: float(cols[key][i]) for key in keys}
+            for i in range(len(trades))
+        ]
+
+    def _price_pde(self, trades, bucket):
         from ..models.pde.batch import build_trade_batch, price_barrier_batch
 
         B = len(trades)
@@ -174,13 +290,7 @@ class BarrierPricingService(_BucketedService):
             is_in.append(ki)
 
         t_exp = [float(t["t_expiry"]) for t in trades]
-        monitors = []
-        for t, te in zip(trades, t_exp):
-            m = [float(x) for x in t.get("monitor_times", [te])]
-            # the engines always monitor at expiry (barrier.py convention)
-            if not m or m[-1] < te - 1e-14:
-                m.append(te)
-            monitors.append(m)
+        monitors = self._monitors(trades)
 
         tb = build_trade_batch(
             spots=[float(t["spot"]) for t in trades],

@@ -137,6 +137,48 @@ class TestBarrierService:
         with pytest.raises(ValueError, match="exceeds max_bucket"):
             svc.price([_ko_trade()] * 65)
 
+    def test_hybrid_route_splits_lanes(self):
+        """Continuous-regime trades (FIS n_lim rule) leave the PDE bucket
+        for the analytic sweep with BGK-shifted barriers; discrete-regime
+        trades price exactly as the pure-PDE service."""
+        from finite_difference_tpu.models.analytic.batch import (
+            continuous_barrier_sweep_greeks,
+            monitoring_decision,
+        )
+
+        dense = [0.08 * i / 2100.0 for i in range(1, 2101)]
+        tr_pde = _ko_trade()
+        tr_cont = _ko_trade(monitor_times=dense)
+        got = _barrier_service(route="hybrid").price([tr_pde, tr_cont])
+
+        want_pde = _barrier_service().price([tr_pde])[0]
+        for k, v in want_pde.items():
+            assert got[0][k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
+
+        use_cont, adj = monitoring_decision(
+            np.array([0.08]), [dense], np.array([0.3])
+        )
+        assert bool(use_cont[0])
+        direct = continuous_barrier_sweep_greeks(
+            np.array([100.0]), np.array([95.0]), np.array([0.08]),
+            np.array([0.05]), np.array([0.05]), np.array([0.3]),
+            lower=[None], upper=[130.0 * adj[0]],
+            is_call=np.array([True]), is_in=np.array([False]),
+        )
+        for k in ("price", "delta", "gamma", "vega"):
+            assert got[1][k] == pytest.approx(
+                float(np.asarray(direct[k])[0]), rel=1e-12
+            ), k
+        assert np.isfinite(got[1]["theta"])
+
+    def test_hybrid_route_keeps_rebates_on_pde(self):
+        dense = [0.08 * i / 2100.0 for i in range(1, 2101)]
+        trade = _ko_trade(monitor_times=dense, rebate=5.0, rebate_at_hit=True)
+        hybrid = _barrier_service(route="hybrid").price([trade])[0]
+        pde = _barrier_service().price([trade])[0]
+        for k, v in pde.items():
+            assert hybrid[k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
+
     def test_barrier_level_validation(self):
         svc = _barrier_service()
         with pytest.raises(ValueError, match="requires 'upper'"):
