@@ -187,6 +187,23 @@ class TestBarrierService:
             svc.price([_ko_trade(barrier_type="sideways-out")])
 
 
+class TestMeshShardedService:
+    def test_mesh_sharded_service_matches_single_device(self):
+        """A service built with a mesh shards its buckets over the
+        (virtual 8-device) mesh; results equal the unsharded service."""
+        from finite_difference_tpu.parallel import make_mesh
+
+        trades = [
+            _ko_trade(spot=90.0 + 2.0 * i, is_call=bool(i % 2))
+            for i in range(8)
+        ]
+        plain = _barrier_service().price(trades)
+        sharded = _barrier_service(mesh=make_mesh(8)).price(trades)
+        for a, b in zip(plain, sharded):
+            for k, v in a.items():
+                assert b[k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
+
+
 class TestAmericanService:
     def test_matches_direct_batch_call(self):
         trades = [
