@@ -43,6 +43,9 @@ def main(argv=None) -> None:
                          "regime trades (FIS n_lim rule) to the analytic "
                          "sweep with BGK-shifted barriers")
     ap.add_argument("--no-greeks", action="store_true")
+    ap.add_argument("--richardson", action="store_true",
+                    help="american service: (N, 2N) Richardson pairs — "
+                         "the reference's price_log2 convention")
     ap.add_argument("--f32", action="store_true",
                     help="price in float32 (throughput rung) instead of f64")
     ap.add_argument("--cpu", action="store_true",
@@ -76,8 +79,11 @@ def main(argv=None) -> None:
         if args.route != "pde":
             ap.error("--route applies to the barrier service only")
         svc = AmericanPricingService(
-            num_space_nodes=args.nodes if args.nodes else 1022, **common
+            num_space_nodes=args.nodes if args.nodes else 1022,
+            richardson=args.richardson, **common
         )
+    if args.richardson and args.service != "american":
+        ap.error("--richardson applies to the american service only")
 
     server = PricingServer(
         svc, host=args.host, port=args.port, window_ms=args.window_ms

@@ -405,6 +405,12 @@ class AmericanPricingService(_BucketedService):
     optional ``b`` (default r), ``is_call`` (default False — puts are the
     production American workload), ``dividends``: list of
     ``[tau_from_expiry, amount]`` pairs (build_american_batch layout).
+
+    ``richardson=True`` serves the reference's production convention
+    (AmericanFDMPricer.price_log2/greeks_log2, fd_american_equity.py:925):
+    each bucket solves at ``n_time_steps`` and twice that, combined as
+    (4*P_fine - P_coarse)/3 — two compiled shapes per bucket instead of
+    one.
     """
 
     def __init__(
@@ -421,6 +427,7 @@ class AmericanPricingService(_BucketedService):
         max_bucket: int = 4096,
         snap_to_grid: bool = False,
         mesh=None,
+        richardson: bool = False,
     ) -> None:
         super().__init__(min_bucket, max_bucket)
         self.n_time_steps = int(n_time_steps)
@@ -432,8 +439,9 @@ class AmericanPricingService(_BucketedService):
         self.max_chunk = max_chunk
         self.snap_to_grid = bool(snap_to_grid)
         self.mesh = mesh
+        self.richardson = bool(richardson)
 
-    def _price_bucketed(self, trades, bucket):
+    def _solve(self, trades, bucket, n_time_steps):
         from ..models.pde.batch import build_american_batch, price_american_batch
 
         B = len(trades)
@@ -445,7 +453,7 @@ class AmericanPricingService(_BucketedService):
             r=[float(t["r"]) for t in trades],
             b=[float(t.get("b", t["r"])) for t in trades],
             is_call=[bool(t.get("is_call", False)) for t in trades],
-            n_time_steps=self.n_time_steps,
+            n_time_steps=n_time_steps,
             dividends_tau=[
                 [(float(tau), float(amt)) for tau, amt in t.get("dividends", [])]
                 for t in trades
@@ -465,5 +473,14 @@ class AmericanPricingService(_BucketedService):
             mesh=self.mesh,
         )
         keys = [k for k in _GREEK_KEYS if k in out]
-        cols = {k: np.asarray(out[k])[:B].astype(np.float64) for k in keys}
-        return [{k: float(cols[k][i]) for k in keys} for i in range(B)]
+        return {k: np.asarray(out[k])[:B].astype(np.float64) for k in keys}
+
+    def _price_bucketed(self, trades, bucket):
+        cols = self._solve(trades, bucket, self.n_time_steps)
+        if self.richardson:
+            fine = self._solve(trades, bucket, 2 * self.n_time_steps)
+            cols = {k: (4.0 * fine[k] - cols[k]) / 3.0 for k in cols}
+        keys = list(cols)
+        return [
+            {k: float(cols[k][i]) for k in keys} for i in range(len(trades))
+        ]

@@ -233,6 +233,32 @@ class TestAmericanService:
         )
         assert got[0]["price"] > euro
 
+    def test_richardson_matches_batched_driver(self):
+        from finite_difference_tpu.models.pde.batch import (
+            price_american_batch_richardson,
+        )
+
+        trades = [
+            dict(spot=100.0, strike=105.0, sigma=0.3, t_expiry=0.5, r=0.05),
+            dict(spot=100.0, strike=95.0, sigma=0.2, t_expiry=0.5, r=0.05),
+        ]
+        svc = AmericanPricingService(
+            n_time_steps=64, num_space_nodes=126, min_bucket=2,
+            max_bucket=16, richardson=True,
+        )
+        got = svc.price(trades)
+        want = price_american_batch_richardson(
+            n_nodes=128, n_time_steps=64,
+            spots=[100.0, 100.0], strikes=[105.0, 95.0], sigmas=[0.3, 0.2],
+            t_expiry=[0.5, 0.5], r=[0.05, 0.05], b=[0.05, 0.05],
+            is_call=[False, False], num_space_nodes=126,
+        )
+        for i, row in enumerate(got):
+            for k in ("price", "delta", "gamma", "vega"):
+                assert row[k] == pytest.approx(
+                    float(np.asarray(want[k])[i]), rel=1e-9, abs=1e-12
+                ), (i, k)
+
 
 class TestPricingServer:
     @pytest.fixture()
