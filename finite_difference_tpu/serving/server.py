@@ -67,6 +67,9 @@ class PricingServer:
         self.request_timeout_s = float(request_timeout_s)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        # 'requests' is bumped from many handler threads (under _stats_lock);
+        # 'batches'/'trades' only from the single batcher thread
+        self._stats_lock = threading.Lock()
         self.stats: Dict[str, int] = {"requests": 0, "batches": 0, "trades": 0}
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self._httpd.daemon_threads = True
@@ -205,7 +208,8 @@ class PricingServer:
                     return self._send(400, {"error": f"bad request: {e}"})
                 if not trades:
                     return self._send(200, {"results": []})
-                server.stats["requests"] += 1
+                with server._stats_lock:
+                    server.stats["requests"] += 1
                 pending = _Pending(trades)
                 server._queue.put(pending)
                 if not pending.event.wait(server.request_timeout_s):
