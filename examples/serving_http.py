@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=512)
     ap.add_argument("--nodes", type=int, default=1023)
     ap.add_argument("--window-ms", type=float, default=10.0)
+    ap.add_argument("--waves", type=int, default=2,
+                    help="request waves; wave 1 pays the bucket compiles, "
+                         "later waves show the steady state")
     args = ap.parse_args()
 
     if args.cpu:
@@ -71,39 +74,42 @@ def main() -> None:
         post(srv.host, srv.port, {"trades": [dict(base, spot=229.74)]})
         print(f"warm-up (compile): {time.perf_counter() - t0:.1f} s")
 
-        lat = [0.0] * args.trades
+        for wave in range(1, args.waves + 1):
+            lat = [0.0] * args.trades
 
-        def client(i: int) -> None:
-            t = time.perf_counter()
-            out = post(
-                srv.host, srv.port,
-                {"trades": [dict(base, spot=180.0 + 0.02 * i)]},
+            def client(i: int) -> None:
+                t = time.perf_counter()
+                out = post(
+                    srv.host, srv.port,
+                    {"trades": [dict(base, spot=180.0 + 0.02 * i)]},
+                )
+                lat[i] = time.perf_counter() - t
+                assert out["results"][0]["price"] >= 0.0
+
+            threads = [
+                threading.Thread(target=client, args=(i,))
+                for i in range(args.trades)
+            ]
+            batches0 = srv.stats["batches"]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+
+            lat_sorted = sorted(lat)
+            p50 = lat_sorted[len(lat) // 2]
+            p99 = lat_sorted[int(0.99 * (len(lat) - 1))]
+            batches = srv.stats["batches"] - batches0
+            print(
+                f"wave {wave}: {args.trades} concurrent requests in "
+                f"{wall:.2f} s ({args.trades / wall:.0f} req/s) | latency "
+                f"p50 {p50 * 1e3:.0f} ms p99 {p99 * 1e3:.0f} ms | coalesced "
+                f"into {batches} device batch(es) "
+                f"({args.trades / max(batches, 1):.0f} req/batch)"
             )
-            lat[i] = time.perf_counter() - t
-            assert out["results"][0]["price"] >= 0.0
-
-        threads = [
-            threading.Thread(target=client, args=(i,))
-            for i in range(args.trades)
-        ]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t0
-
-        lat_sorted = sorted(lat)
-        p50 = lat_sorted[len(lat) // 2]
-        p99 = lat_sorted[int(0.99 * (len(lat) - 1))]
-        batches = srv.stats["batches"] - 1  # minus the warm-up batch
-        print(
-            f"{args.trades} concurrent requests in {wall:.2f} s "
-            f"({args.trades / wall:.0f} req/s) | latency p50 {p50 * 1e3:.0f} ms "
-            f"p99 {p99 * 1e3:.0f} ms | coalesced into {batches} device "
-            f"batch(es) ({args.trades / max(batches, 1):.0f} req/batch) | "
-            f"bucket hits {svc.stats['bucket_hits']}"
-        )
+        print(f"bucket hits {svc.stats['bucket_hits']}")
 
 
 if __name__ == "__main__":

@@ -22,6 +22,13 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _Httpd(ThreadingHTTPServer):
+    # http.server's default listen backlog is 5; a burst of concurrent
+    # clients (the micro-batching pattern's whole point) overflows it and
+    # the kernel resets the excess connections
+    request_queue_size = 1024
 from typing import Any, Dict, List, Optional
 
 __all__ = ["PricingServer"]
@@ -71,7 +78,7 @@ class PricingServer:
         # 'batches'/'trades' only from the single batcher thread
         self._stats_lock = threading.Lock()
         self.stats: Dict[str, int] = {"requests": 0, "batches": 0, "trades": 0}
-        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._httpd = _Httpd((host, port), self._make_handler())
         self._httpd.daemon_threads = True
         self.host, self.port = self._httpd.server_address[:2]
         self._threads: List[threading.Thread] = []
