@@ -391,10 +391,27 @@ def solve_value_surfaces(
     return np.asarray(v), np.asarray(s)
 
 
+def _resolve_dv_sigma(dv_sigma, sigma) -> float:
+    """Dtype-aware one-sided vega bump step (used when ``dv_sigma=None``).
+
+    The bump differences two full solves, so the step must clear the
+    solver's own noise floor. At f64 (solve noise ~1e-12) 1e-4 is safely
+    truncation-limited; at f32 the solve carries ~1e-4 RELATIVE price
+    noise (measured — docs/PERF_NOTES.md), which a 1e-4 bump amplifies
+    1e4x into the vega (rel err ~3 vs the f64 AD oracle). One full vol
+    point (1e-2, the unit vega is quoted in — the reference's bump
+    scale, fd_american_equity.py:1014) keeps the differenced noise at
+    ~1e-2 of the vega while the truncation term (0.5*volga*dv) stays
+    below it (measured: rel err 2.9 -> 0.048 at dv 1e-4 -> 1e-2)."""
+    if dv_sigma is not None:
+        return dv_sigma
+    return 1e-4 if jnp.result_type(sigma) == jnp.float64 else 1e-2
+
+
 def price_batch_kernel(
     batch_dev,
     n_nodes: int,
-    dv_sigma: float = 0.0001,
+    dv_sigma: Optional[float] = None,
     with_greeks: bool = True,
     greeks_mode: str = "bump",
     solver: str = "scan",
@@ -426,6 +443,7 @@ def price_batch_kernel(
     (host-derived — it cannot be computed under a jit trace); None means
     the globally-uniform-dt 2-step-Rannacher default.
     """
+    dv_sigma = _resolve_dv_sigma(dv_sigma, batch_dev.sigma)
     solve_one = {
         "spectral": _spectral_solve_one,
         "spectral_x64dst": _spectral_solve_one_x64dst,
@@ -705,7 +723,7 @@ def _solve_one_american(
 def american_batch_kernel(
     batch_dev,
     n_nodes: int,
-    dv_sigma: float = 0.0001,
+    dv_sigma: Optional[float] = None,
     with_greeks: bool = True,
     greeks_mode: str = "bump",
     solver: str = "scan",
@@ -726,6 +744,7 @@ def american_batch_kernel(
     spline-jump machinery (a large cost — and a TPU-f32 worker crash at
     the 1024x512 production shape — for a no-op).
     """
+    dv_sigma = _resolve_dv_sigma(dv_sigma, batch_dev.sigma)
 
     if solver in ("spike", "spike_interpret"):
         solve = _spike_solve_fn(
@@ -995,7 +1014,7 @@ def _run_batch_driver(
 def price_american_batch(
     batch: BarrierTradeBatch,
     n_nodes: int,
-    dv_sigma: float = 0.0001,
+    dv_sigma: Optional[float] = None,
     with_greeks: bool = True,
     mesh=None,
     axis_name: str = "data",
@@ -1257,7 +1276,7 @@ def _spike_eligible(batch: BarrierTradeBatch, n_nodes: int) -> bool:
 def price_barrier_batch(
     batch: BarrierTradeBatch,
     n_nodes: int,
-    dv_sigma: float = 0.0001,
+    dv_sigma: Optional[float] = None,
     with_greeks: bool = True,
     mesh=None,
     axis_name: str = "data",
@@ -1356,7 +1375,7 @@ def price_american_batch_richardson(
     n_nodes: int,
     n_time_steps: int,
     n_time_steps_fine: Optional[int] = None,
-    dv_sigma: float = 0.0001,
+    dv_sigma: Optional[float] = None,
     with_greeks: bool = True,
     mesh=None,
     axis_name: str = "data",

@@ -1009,7 +1009,7 @@ def _cn_barrier_solve_spike_jit(
 def price_barrier_batch_pallas(
     batch,
     n_nodes: int,
-    dv_sigma: float = 0.0001,
+    dv_sigma=None,
     with_greeks: bool = True,
     trade_block: int = 128,
     interpret: bool = False,
@@ -1017,11 +1017,15 @@ def price_barrier_batch_pallas(
     """Drop-in fast path for ``batch.price_barrier_batch`` on TPU.
 
     Same outputs (price/delta/gamma/vega/theta per trade); the solve runs in
-    the fused Pallas kernel.
+    the fused Pallas kernel. ``dv_sigma=None`` resolves the dtype-aware
+    vega bump (batch._resolve_dv_sigma — 1e-4 at f64, one vol point at
+    f32 where the solve's own noise floor dominates a smaller step).
     """
     from ...ops.stencils import nonuniform_central
+    from .batch import _resolve_dv_sigma
 
     dev = jax.tree.map(jnp.asarray, batch)
+    dv_sigma = _resolve_dv_sigma(dv_sigma, dev.sigma)
     n_steps = int(np.asarray(batch.dt).shape[1])
 
     v, s = cn_barrier_solve_pallas(

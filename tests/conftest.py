@@ -17,6 +17,22 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_state():
+    """Clear JAX's in-process compilation caches after every test module.
+
+    The full suite compiles thousands of distinct XLA programs; letting
+    the executables accumulate in one process eventually crashes XLA's
+    CPU backend (segfault in backend_compile_and_load after ~500 tests —
+    each module passes in isolation). Modules rarely share compiled
+    functions (different shapes/configs), so per-module clearing bounds
+    the live-executable count at negligible recompile cost.
+    """
+    yield
+    jax.clear_caches()
