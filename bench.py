@@ -336,11 +336,14 @@ def stage_oracle(prices_path: str, greeks_path: str) -> None:
     np.save(greeks_path, g_out.astype(np.float64))
 
 
-def make_american_batch(B: int, dtype):
+def make_american_batch(B: int, dtype, dividends: bool = False):
     """The American bench trade set (seeded): 1y puts around the money —
     the reference's production American workload shape
-    (run_american_scenarios.py / fd_american_equity.py), dividend-free so
-    it rides the fused SPIKE+Ikonen-Toivanen pallas kernel on TPU f32."""
+    (run_american_scenarios.py / fd_american_equity.py). ``dividends``
+    adds two discrete cash dividends per trade — the reference's
+    dividend-centric production case (fd_american_equity.py:732-827),
+    riding the SPIKE kernel as extra segments with the between-launch
+    spline jump."""
     from finite_difference_tpu.models.pde.batch import build_american_batch
 
     # draw at the full bench size then slice so any B is a prefix of the
@@ -358,13 +361,14 @@ def make_american_batch(B: int, dtype):
         is_call=[False] * B,
         n_time_steps=N_STEPS,
         num_space_nodes=N_SPACE_NODES - 1,
+        dividends_tau=[[(0.35, 1.2), (0.75, 1.2)]] * B if dividends else None,
         dtype=dtype,
     )
 
 
 def _timed_american(
     dev, with_greeks, iters, solver, spike_segments=None,
-    greeks_mode="bump",
+    greeks_mode="bump", with_dividends=False,
 ):
     import jax
     import jax.numpy as jnp
@@ -373,7 +377,7 @@ def _timed_american(
 
     kw = dict(
         n_nodes=N_SPACE_NODES + 1, with_greeks=with_greeks, solver=solver,
-        with_dividends=False, greeks_mode=greeks_mode,
+        with_dividends=with_dividends, greeks_mode=greeks_mode,
     )
     if solver == "spike":
         kw["spike_segments"] = spike_segments
@@ -427,11 +431,30 @@ def stage_american(out_path: str, prices_path: str,
     if greeks_path:
         n_keep = int(os.environ.get("BENCH_AM_ORACLE_B", "256"))
         np.save(greeks_path, g_out[:, :n_keep].astype(np.float64))
+
+    # the dividend-bearing production case (fd_american_equity.py:732-827):
+    # two discrete cash dividends per trade, riding the SPIKE route as
+    # extra segments with the between-launch spline jump (scan elsewhere)
+    tb_div = make_american_batch(
+        B, np.float32 if on_tpu else np.float64, dividends=True
+    )
+    dev_div = jax.tree.map(jnp.asarray, tb_div)
+    seg_div = _spike_schedule(tb_div, N_SPACE_NODES + 1)
+    assert seg_div is not None, "dividend bench batch must be spike-eligible"
+    d_out, d_elapsed = _timed_american(
+        dev_div, with_greeks=False, iters=iters, solver=solver,
+        spike_segments=seg_div, with_dividends=True,
+    )
+    # dividends lower the put's forward drift income -> prices move; a
+    # cheap sanity pin that the jump actually executed
+    assert not np.allclose(d_out[0], out[0]), "dividend jump was a no-op"
+
     with open(out_path, "w") as f:
         json.dump(
             {
                 "grids_per_sec": B * iters / elapsed,
                 "greeks_grids_per_sec": B * g_iters / g_elapsed,
+                "div_grids_per_sec": B * iters / d_elapsed,
                 "batch": B,
                 "solver": solver,
                 "platform": "tpu" if on_tpu else "cpu",
@@ -1098,6 +1121,10 @@ def run_bench() -> None:
             "f32_american_grids_per_sec": round(am["grids_per_sec"], 2),
             "f32_american_greeks_grids_per_sec": round(
                 am["greeks_grids_per_sec"], 2
+            ),
+            # dividend-bearing production case on the same fast rung
+            "f32_american_div_grids_per_sec": round(
+                am["div_grids_per_sec"], 2
             ),
         })
 

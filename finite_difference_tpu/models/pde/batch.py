@@ -737,12 +737,14 @@ def american_batch_kernel(
     jvp through the scan (incl. the Ikonen-Toivanen projection, whose
     jnp.where carries the correct subgradient) instead of the sigma bump.
     ``solver='spike'`` runs the batch in the fused SPIKE pallas kernel
-    with the Ikonen-Toivanen projection fused into the step (TPU only,
-    no dividends; price_american_batch checks eligibility).
-    ``with_dividends`` is static: the driver sets it False for
-    dividend-free batches so the scan never compiles the per-step
-    spline-jump machinery (a large cost — and a TPU-f32 worker crash at
-    the 1024x512 production shape — for a no-op).
+    with the Ikonen-Toivanen projection fused into the step (TPU only;
+    price_american_batch checks eligibility). Dividend batches ride the
+    spike route via the static ``spike_segments`` schedule — the spline
+    jump runs between pallas launches, so ``with_dividends`` only
+    affects the scan. ``with_dividends`` is static: the driver sets it
+    False for dividend-free scan batches so the scan never compiles the
+    per-step spline-jump machinery (a large cost — and a TPU-f32 worker
+    crash at the 1024x512 production shape — for a no-op).
     """
     dv_sigma = _resolve_dv_sigma(dv_sigma, batch_dev.sigma)
 
@@ -847,7 +849,14 @@ def _spike_solve_fn(batch_dev, n_nodes: int, solver: str, spike_segments,
         )
     from .pallas_kernel import cn_barrier_solve_spike
 
-    seg, sd = spike_segments if spike_segments is not None else (None, None)
+    seg, sd, div_steps, reset_steps = (
+        spike_segments if spike_segments is not None
+        else (None, None, (), ())
+    )
+    if not american:
+        # the barrier scan path ignores div_amount/reset_lambda
+        # (_solve_one passes with_dividends=False) — mirror it exactly
+        div_steps, reset_steps = (), ()
 
     def solve(sig_field):
         return cn_barrier_solve_spike(
@@ -856,6 +865,7 @@ def _spike_solve_fn(batch_dev, n_nodes: int, solver: str, spike_segments,
             trade_block=min(128, batch_dev.dt.shape[0]),
             interpret=solver == "spike_interpret",
             segments=seg, set_defs=sd, american=american,
+            div_steps=div_steps, reset_steps=reset_steps,
         )
 
     return solve
@@ -940,8 +950,10 @@ def _run_batch_driver(
         kw["spike_segments"] = _spike_schedule(batch, n_nodes)
     if "with_dividends" in params:
         # static: dividend-free batches skip the per-step spline-jump
-        # machinery entirely. Spike eligibility already guarantees
-        # dividend-free, so skip the (device-pulling) inspection there.
+        # machinery entirely. The spike route handles dividends itself
+        # (between-launch jumps from the static div_steps schedule), so
+        # the scan-only flag stays False there — skipping the
+        # (device-pulling) inspection too.
         if takes_solver and solver in ("spike", "spike_interpret"):
             kw["with_dividends"] = False
         else:
@@ -1032,12 +1044,14 @@ def price_american_batch(
 
     ``solver='auto'`` routes TPU-f32 runs to the fused SPIKE pallas
     kernel with the Ikonen-Toivanen projection fused into the step when
-    the batch fits its schedule family (piecewise-constant (theta, dt),
-    no dividends — the dividend-free sweep case); everything else — CPU,
-    the f64 rung, dividend-bearing or mesh-sharded batches — runs the
-    XLA scan. The spectral propagator is European-only (the IT
-    projection is nonlinear in the state), so unlike the barrier sweep
-    there is no spectral rung here.
+    the batch fits its schedule family (piecewise-constant (theta, dt)
+    with a shared theta pattern — dividend batches ride as extra
+    segments with the spline jump applied between pallas launches, see
+    :func:`_spike_schedule`); everything else — CPU, the f64 rung,
+    mixed call/put dividend batches (differing Rannacher restarts), or
+    mesh-sharded batches — runs the XLA scan. The spectral propagator is
+    European-only (the IT projection is nonlinear in the state), so
+    unlike the barrier sweep there is no spectral rung here.
     """
     if solver == "auto":
         solver = (
@@ -1192,23 +1206,34 @@ def _spike_schedule(
     any piecewise-constant schedule fits — uniform layouts AND the
     monitor-aligned per-interval-dt layouts the reference CN auto-grid
     produces (grid.monitor_aligned_schedule; discrete_barrier_fdm_pricer_
-    cn.py:92-118 semantics). Eligibility:
+    cn.py:92-118 semantics). Dividend jumps (the American segmented
+    layout, grid.segmented_schedule / fd_american_equity.py:732-827) ride
+    as extra segment boundaries: the kernel applies the natural-cubic-
+    spline jump V(t-, S) = V(t+, S - D) BETWEEN pallas launches (one
+    batched XLA op on the device-resident state), so the in-step
+    machinery that crashed the TPU worker at the production shape never
+    enters the kernel. Eligibility:
 
-    - no dividend jumps (the kernel has no spline-jump step),
     - theta pattern shared across trades with values in {1.0, 0.5}
       (dt VALUES may differ per trade; only the step indices where any
       trade's dt changes must be shared, which piecewise layouts built
-      from one monitor grid satisfy),
-    - at most ``max_segments`` (theta-change ∪ dt-change) runs — bounds
-      compile time and the per-segment tensor-set HBM footprint,
+      from one monitor grid satisfy — for dividend batches this means
+      one shared call/put Rannacher-restart convention per batch),
+    - at most ``max_segments`` (theta-change ∪ dt-change ∪ dividend ∪
+      lambda-reset) runs — bounds compile time and the per-segment
+      tensor-set HBM footprint,
     - shapes the P=8 sublane partitioning accepts (including the
       128-lane trade blocking).
 
-    Returns ``(segments, set_defs)`` — the static tuples
-    cn_barrier_solve_spike takes: segments ``((k0, k1, set_idx), ...)``,
-    set_defs ``((theta, k_col), ...)`` deduplicated by (theta,
-    dt-column) signature so e.g. the Rannacher prefix and equal-length
-    monitor intervals share one solver-tensor set.
+    Returns ``(segments, set_defs, div_steps, reset_steps)`` — the
+    static tuples cn_barrier_solve_spike takes: segments
+    ``((k0, k1, set_idx), ...)``, set_defs ``((theta, k_col), ...)``
+    deduplicated by (theta, dt-column) signature so e.g. the Rannacher
+    prefix and equal-length monitor intervals share one solver-tensor
+    set; ``div_steps`` the step indices whose end applies a dividend
+    jump (each a segment end); ``reset_steps`` the k>0 step indices
+    where any trade's IT multiplier resets (each a segment start;
+    amounts/masks stay per-trade, read from the batch arrays).
     """
     # EVERY batch field _spike_schedule_impl reads
     fields = (batch.div_amount, batch.reset_lambda, batch.theta, batch.dt)
@@ -1221,13 +1246,6 @@ def _spike_schedule(
 def _spike_schedule_impl(
     batch: BarrierTradeBatch, n_nodes: int, max_segments: int
 ):
-    if _has_dividends(batch):
-        return None
-    rl = np.asarray(batch.reset_lambda)
-    if rl.ndim == 2 and rl[:, 1:].any():
-        # a mid-schedule IT-multiplier reset only arises from dividend
-        # segments; the kernel has no reset step (k=0 resets are no-ops)
-        return None
     th = np.asarray(batch.theta, dtype=float)
     if not np.all(th == th[:1, :]):
         return None
@@ -1236,9 +1254,26 @@ def _spike_schedule_impl(
         return None
     dt = np.asarray(batch.dt, dtype=float)
     n = dt.shape[1]
+    # dividend jumps fire at the END of their step (stepper.py step
+    # order) -> the step after is a segment start; IT-multiplier resets
+    # apply BEFORE their step -> that step is a segment start. Masks and
+    # amounts stay per-trade; only the break COLUMNS must be shared,
+    # which they are by construction (any trade's event breaks all).
+    da = np.asarray(batch.div_amount, dtype=float)
+    div_steps = tuple(int(k) for k in np.flatnonzero((da != 0.0).any(axis=0)))
+    rl = np.asarray(batch.reset_lambda)
+    reset_steps = tuple(
+        int(k) for k in np.flatnonzero(rl.any(axis=0)) if k > 0
+    )
+    event_breaks = {k + 1 for k in div_steps if k + 1 < n}
+    event_breaks.update(reset_steps)
     breaks = [0]
     for k in range(1, n):
-        if th0[k] != th0[k - 1] or not np.array_equal(dt[:, k], dt[:, k - 1]):
+        if (
+            th0[k] != th0[k - 1]
+            or not np.array_equal(dt[:, k], dt[:, k - 1])
+            or k in event_breaks
+        ):
             breaks.append(k)
     if len(breaks) > max_segments:
         return None
@@ -1264,7 +1299,7 @@ def _spike_schedule_impl(
             set_defs.append((float(th0[k0]), int(k0)))
             idx = len(set_defs) - 1
         segments.append((int(k0), int(k1), idx))
-    return tuple(segments), tuple(set_defs)
+    return tuple(segments), tuple(set_defs), div_steps, reset_steps
 
 
 def _spike_eligible(batch: BarrierTradeBatch, n_nodes: int) -> bool:

@@ -693,6 +693,8 @@ def cn_barrier_solve_spike(
     segments=None,
     set_defs=None,
     american: bool = False,
+    div_steps=(),
+    reset_steps=(),
 ):
     """Public entry: validates the segments=None contract on concrete
     schedules (inside the jit everything is traced and unverifiable),
@@ -703,8 +705,9 @@ def cn_barrier_solve_spike(
         and not isinstance(batch.dt, jax.core.Tracer)
     ):
         # the default layout assumes globally-uniform dt with an
-        # n_rann-step theta=1 prefix; silently applying it to a
-        # monitor-aligned batch would price with dt[:, 0] everywhere
+        # n_rann-step theta=1 prefix and no dividend/reset events;
+        # silently applying it to a monitor-aligned or dividend batch
+        # would price with dt[:, 0] everywhere and skip the jumps
         n_rann = min(rannacher_steps, n_steps)
         dt_np = np.asarray(batch.dt, dtype=float)
         th_np = np.asarray(batch.theta, dtype=float)
@@ -712,18 +715,21 @@ def cn_barrier_solve_spike(
         if not (
             np.all(dt_np[:, :n_steps] == dt_np[:, :1])
             and np.all(th_np[:, :n_steps] == expect_th[None, :])
+            and not np.asarray(batch.div_amount).any()
         ):
             raise ValueError(
                 "segments=None assumes globally-uniform dt with a "
-                f"{n_rann}-step Rannacher prefix; pass the host-derived "
-                "(segments, set_defs) pair (models.pde.batch."
-                "_spike_schedule) for piecewise-constant schedules"
+                f"{n_rann}-step Rannacher prefix and no dividends; pass "
+                "the host-derived (segments, set_defs, div_steps, "
+                "reset_steps) from models.pde.batch._spike_schedule for "
+                "piecewise-constant/dividend schedules"
             )
     return _cn_barrier_solve_spike_jit(
         batch, sigma, n_nodes=n_nodes, n_steps=n_steps,
         rannacher_steps=rannacher_steps, trade_block=trade_block,
         p_chunks=p_chunks, interpret=interpret, segments=segments,
         set_defs=set_defs, american=american,
+        div_steps=tuple(div_steps), reset_steps=tuple(reset_steps),
     )
 
 
@@ -732,6 +738,7 @@ def cn_barrier_solve_spike(
     static_argnames=(
         "n_nodes", "n_steps", "rannacher_steps", "trade_block",
         "p_chunks", "interpret", "segments", "set_defs", "american",
+        "div_steps", "reset_steps",
     ),
 )
 def _cn_barrier_solve_spike_jit(
@@ -746,6 +753,8 @@ def _cn_barrier_solve_spike_jit(
     segments=None,
     set_defs=None,
     american: bool = False,
+    div_steps=(),
+    reset_steps=(),
 ):
     """SPIKE-partitioned fused CN solve: returns (V, s_nodes), both (B, N).
 
@@ -773,6 +782,17 @@ def _cn_barrier_solve_spike_jit(
       ``((k0, k1, set_idx), ...)`` step ranges covering [0, n_steps).
       This admits monitor-aligned layouts (per-interval dt,
       grid.monitor_aligned_schedule) without leaving the kernel.
+    - ``div_steps``/``reset_steps`` (static, American only): discrete
+      cash dividends ride BETWEEN pallas launches — after the segment
+      ending at a ``div_steps`` index, the (B, N) grid is reassembled
+      and the natural-cubic-spline jump V(t-, S) = V(t+, S - D) (plus
+      the American-call ex-div exercise check) is applied as plain XLA
+      ops on device-resident state, matching stepper.cn_solve's
+      with_dividends step exactly (fd_american_equity.py:732-827
+      semantics); at a ``reset_steps`` segment start the IT multiplier
+      is zeroed per-trade (batch.reset_lambda). The in-step spline
+      machinery — which crashed the TPU worker at the 1024x512 f32
+      production shape inside the scan — never enters the kernel.
     """
     dtype = jnp.asarray(batch.x_min).dtype
     B = batch.x_min.shape[0]
@@ -994,16 +1014,39 @@ def _cn_barrier_solve_spike_jit(
     payoff_t = v0_t  # terminal values ARE the payoff (exercise target)
     lam_t = jnp.zeros((n_pad, B), dtype) if american else None
     v_t, edges = v0_t, edge0
-    for k0, k1, t in segments:
-        v_t, edges, lam_t = run_segment(t, v_t, edges, lam_t, k0, k1)
 
-    # untranspose: v_full[:, 1+g] = v_t[(g % m)*P + g//m]
+    # untranspose map: v_full[:, 1+g] = v_t[(g % m)*P + g//m]
     gg = np.arange(n_int)
     r_of_g = (gg % m) * P + gg // m
-    v_full = jnp.concatenate(
-        [edges[0][:, None], v_t[r_of_g].T, edges[1][:, None]], axis=1
+    assemble = lambda vt, ed: jnp.concatenate(
+        [ed[0][:, None], vt[r_of_g].T, ed[1][:, None]], axis=1
     )
-    return v_full, s
+    div_set, reset_set = frozenset(div_steps), frozenset(reset_steps)
+
+    for k0, k1, t in segments:
+        if american and k0 in reset_set:
+            # stepper.py:175 — lam zeroed per-trade before this step
+            keep = 1.0 - jnp.asarray(batch.reset_lambda)[:, k0].astype(dtype)
+            lam_t = lam_t * keep[None, :]
+        v_t, edges, lam_t = run_segment(t, v_t, edges, lam_t, k0, k1)
+        if american and (k1 - 1) in div_set:
+            # dividend jump between pallas launches (stepper.py:201-212):
+            # reassemble the grid, one batched spline shift, retranspose
+            from ...ops.interp import cubic_spline_eval, natural_cubic_spline
+
+            v_full = assemble(v_t, edges)
+            d = jnp.asarray(batch.div_amount, dtype)[:, k1 - 1]
+            spline = jax.vmap(natural_cubic_spline)(s, v_full)
+            v_shift = jax.vmap(cubic_spline_eval)(spline, s - d[:, None])
+            # American calls may exercise just before ex-div
+            v_shift = jnp.where(
+                is_call[:, None], jnp.maximum(v_shift, payoff), v_shift
+            )
+            v_full = jnp.where((d != 0.0)[:, None], v_shift, v_full)
+            v_t = jnp.where(real_flat, v_full.T[1 : N - 1][g_flat], 0.0)
+            edges = jnp.stack([v_full[:, 0], v_full[:, -1]])
+
+    return assemble(v_t, edges), s
 
 
 def price_barrier_batch_pallas(

@@ -37,13 +37,16 @@ __all__ = ["PricingServer"]
 class _Pending:
     """One enqueued request: its trades, and a slot the batcher fills."""
 
-    __slots__ = ("trades", "event", "results", "error")
+    __slots__ = ("trades", "event", "results", "error", "deadline")
 
-    def __init__(self, trades: List[Dict[str, Any]]) -> None:
+    def __init__(self, trades: List[Dict[str, Any]], deadline: float) -> None:
         self.trades = trades
         self.event = threading.Event()
         self.results: Optional[List[Dict[str, float]]] = None
         self.error: Optional[str] = None
+        # past this instant the client has already been told 504 —
+        # pricing it would be dead work
+        self.deadline = deadline
 
 
 class PricingServer:
@@ -53,6 +56,12 @@ class PricingServer:
     batcher keeps draining the queue for this long (or until
     ``max_batch_trades``) before launching one coalesced ``service.price``
     call. 0 disables coalescing (one launch per request).
+
+    Backpressure: the pending queue is bounded at ``max_queue`` requests —
+    a flood beyond it is rejected with 503 instead of growing memory
+    without bound — and a pending whose client already timed out (504)
+    is dropped before pricing (counted in ``stats['dropped_expired']``),
+    so overload never buys dead device work.
     """
 
     def __init__(
@@ -63,6 +72,7 @@ class PricingServer:
         window_ms: float = 5.0,
         max_batch_trades: Optional[int] = None,
         request_timeout_s: float = 300.0,
+        max_queue: int = 256,
     ) -> None:
         self.service = service
         self.window_s = max(float(window_ms), 0.0) / 1e3
@@ -72,12 +82,22 @@ class PricingServer:
             else getattr(service, "max_bucket", None)
         )
         self.request_timeout_s = float(request_timeout_s)
-        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._queue: "queue.Queue[_Pending]" = queue.Queue(
+            maxsize=max(int(max_queue), 1)
+        )
         self._stop = threading.Event()
-        # 'requests' is bumped from many handler threads (under _stats_lock);
-        # 'batches'/'trades' only from the single batcher thread
+        # batcher-thread-only: a drained-but-unbatched overflow pending
+        self._carry: Optional[_Pending] = None
+        # 'requests'/'rejected' are bumped from many handler threads (under
+        # _stats_lock); the rest only from the single batcher thread
         self._stats_lock = threading.Lock()
-        self.stats: Dict[str, int] = {"requests": 0, "batches": 0, "trades": 0}
+        self.stats: Dict[str, int] = {
+            "requests": 0,
+            "batches": 0,
+            "trades": 0,
+            "rejected": 0,
+            "dropped_expired": 0,
+        }
         self._httpd = _Httpd((host, port), self._make_handler())
         self._httpd.daemon_threads = True
         self.host, self.port = self._httpd.server_address[:2]
@@ -100,8 +120,12 @@ class PricingServer:
         self._stop.set()
         self._httpd.shutdown()
         self._httpd.server_close()
-        # unblock the batcher's queue.get
-        self._queue.put(None)  # type: ignore[arg-type]
+        # fast-wake the batcher's queue.get; if the bounded queue is full
+        # the get(timeout=...) poll observes _stop within its timeout
+        try:
+            self._queue.put_nowait(None)  # type: ignore[arg-type]
+        except queue.Full:
+            pass
         for t in self._threads:
             t.join(timeout=10.0)
 
@@ -134,8 +158,10 @@ class PricingServer:
                 self.max_batch_trades is not None
                 and total + len(item.trades) > self.max_batch_trades
             ):
-                # would overflow the bucket: hand it back for the next batch
-                self._queue.put(item)
+                # would overflow the bucket: carry it into the next batch
+                # (a bounded queue may be full, so a put-back could
+                # deadlock the sole consumer)
+                self._carry = item
                 break
             batch.append(item)
             total += len(item.trades)
@@ -143,10 +169,29 @@ class PricingServer:
 
     def _batcher_loop(self) -> None:
         while not self._stop.is_set():
-            item = self._queue.get()
+            item = self._carry
+            self._carry = None
+            if item is None:
+                try:
+                    item = self._queue.get(timeout=0.25)
+                except queue.Empty:
+                    continue
             if item is None:
                 continue
             batch = self._drain_window(item)
+            # drop pendings whose client already got 504 — pricing them
+            # would be dead device work under overload
+            now = time.monotonic()
+            live = []
+            for p in batch:
+                if p.deadline <= now:
+                    self.stats["dropped_expired"] += 1
+                    p.event.set()
+                else:
+                    live.append(p)
+            batch = live
+            if not batch:
+                continue
             trades: List[Dict[str, Any]] = []
             for p in batch:
                 trades.extend(p.trades)
@@ -217,8 +262,17 @@ class PricingServer:
                     return self._send(200, {"results": []})
                 with server._stats_lock:
                     server.stats["requests"] += 1
-                pending = _Pending(trades)
-                server._queue.put(pending)
+                pending = _Pending(
+                    trades, time.monotonic() + server.request_timeout_s
+                )
+                try:
+                    server._queue.put_nowait(pending)
+                except queue.Full:
+                    with server._stats_lock:
+                        server.stats["rejected"] += 1
+                    return self._send(
+                        503, {"error": "server overloaded, retry later"}
+                    )
                 if not pending.event.wait(server.request_timeout_s):
                     return self._send(504, {"error": "pricing timed out"})
                 if pending.error is not None:

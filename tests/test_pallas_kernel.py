@@ -175,7 +175,10 @@ class TestSpikeRouting:
             monitor_aligned=True, n_time_steps=40,
             monitor_times=[[0.02, 0.09, 0.13, 0.25]] * 8,
         )
-        segments, set_defs = _spike_schedule(tb_ma, 128)
+        segments, set_defs, div_steps, reset_steps = _spike_schedule(
+            tb_ma, 128
+        )
+        assert div_steps == () and reset_steps == ()
         # 4 unequal intervals (monitor at expiry) + the 2-step Rannacher
         # split -> >2 segments; Rannacher shares interval 1's dt but not
         # its theta, so it needs its own tensor set
@@ -198,7 +201,7 @@ class TestSpikeRouting:
             monitor_aligned=True, n_time_steps=40,
             monitor_times=[[t / 4, t / 2, 3 * t / 4]] * 8,
         )
-        segments, set_defs = _spike_schedule(tb, 128)
+        segments, set_defs, _, _ = _spike_schedule(tb, 128)
         # equal intervals -> one dt value; sets = {theta=1, theta=0.5}
         assert len(set_defs) == 2
         assert {s[2] for s in segments} == {0, 1}
@@ -210,16 +213,30 @@ class TestSpikeRouting:
         )
 
         assert _spike_eligible(self._small(), 128)
-        # dividend jumps have no kernel step -> not eligible
+        # dividend columns ride as extra segment breaks; the BARRIER
+        # route ignores them on both solvers (the scan's _solve_one
+        # passes with_dividends=False) so parity must hold regardless
         from dataclasses import replace
 
         tb_div = self._small()
         div = np.asarray(tb_div.div_amount).copy()
         div[:, 5] = 1.0
         tb_div = replace(tb_div, div_amount=div)
-        assert not _spike_eligible(tb_div, 128)
+        assert _spike_eligible(tb_div, 128)
+        ref = price_barrier_batch(tb_div, n_nodes=128, solver="scan")
+        got = price_barrier_batch(
+            tb_div, n_nodes=128, solver="spike_interpret"
+        )
+        np.testing.assert_allclose(
+            got["price"], ref["price"], rtol=1e-9, atol=1e-9
+        )
+        # a non-{1.0, 0.5} theta pattern stays ineligible
+        tb_th = replace(
+            self._small(), theta=np.asarray(self._small().theta) * 0.0 + 0.7
+        )
+        assert not _spike_eligible(tb_th, 128)
         with pytest.raises(ValueError, match="spike-eligible"):
-            price_barrier_batch(tb_div, n_nodes=128, solver="spike_interpret")
+            price_barrier_batch(tb_th, n_nodes=128, solver="spike_interpret")
         # ad-vega has no pallas AD rule
         with pytest.raises(ValueError, match="AD rule"):
             price_barrier_batch(
@@ -389,21 +406,37 @@ class TestAmericanSpike:
         put_itm = np.asarray(got["price"])[1]  # spot 92, strike 100
         assert put_itm >= 100.0 - 92.0
 
-    def test_dividends_not_eligible(self):
-        """Dividend jumps (and their IT resets) have no kernel step."""
+    @pytest.mark.parametrize("is_call", [False, True])
+    def test_dividends_spike_parity(self, is_call):
+        """Discrete cash dividends ride the SPIKE route as extra
+        segments with the natural-cubic-spline jump (and the American-
+        call ex-div exercise check) applied between pallas launches —
+        must match the scan's in-step with_dividends machinery
+        (fd_american_equity.py:732-827 semantics)."""
         from finite_difference_tpu.models.pde.batch import (
             _spike_eligible,
+            _spike_schedule,
             price_american_batch,
         )
 
         assert _spike_eligible(self._batch(), 202)
         tb_div = self._batch(
-            dividends_tau=[[(0.1, 1.5)]] * 8,
+            dividends_tau=[[(0.1, 1.5), (0.6, 1.0)]] * 8,
             t_expiry=[1.0] * 8,
+            is_call=[is_call] * 8,
         )
-        assert not _spike_eligible(tb_div, 202)
-        with pytest.raises(ValueError, match="spike-eligible"):
-            price_american_batch(tb_div, n_nodes=202, solver="spike_interpret")
+        sched = _spike_schedule(tb_div, 202)
+        assert sched is not None, "dividend batch must be spike-eligible"
+        _, _, div_steps, reset_steps = sched
+        assert len(div_steps) == 2 and len(reset_steps) >= 1
+        ref = price_american_batch(tb_div, n_nodes=202, solver="scan")
+        got = price_american_batch(
+            tb_div, n_nodes=202, solver="spike_interpret"
+        )
+        for k in ("price", "delta", "gamma", "vega"):
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=1e-9, atol=1e-9, err_msg=k
+            )
 
     def test_auto_on_cpu_is_scan(self):
         """solver='auto' off-TPU must take the scan (and match it)."""

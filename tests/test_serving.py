@@ -9,6 +9,7 @@ the HTTP front coalesces concurrent requests into one device batch.
 import http.client
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -335,3 +336,99 @@ class TestPricingServer:
         assert status == 500 and "requires 'upper'" in body["error"]
         status, _ = self._post(server, {"trades": [_ko_trade()]})
         assert status == 200
+
+
+class _BlockingService:
+    """Stub service: records priced trades, blocks until released —
+    lets the tests hold the batcher mid-price deterministically."""
+
+    max_bucket = None
+
+    def __init__(self):
+        self.stats = {"requests": 0}
+        self.release = threading.Event()
+        self.started = threading.Event()
+        self.priced = []
+
+    def price(self, trades):
+        self.started.set()
+        self.release.wait(30.0)
+        self.priced.extend(trades)
+        return [{"price": 1.0} for _ in trades]
+
+
+class TestServerBackpressure:
+    """Overload behavior (VERDICT r3 §weak-6): the pending queue is
+    bounded (flood -> 503, no unbounded growth) and a pending whose
+    client already timed out at 504 is dropped before pricing."""
+
+    def test_flood_beyond_queue_bound_gets_503(self):
+        svc = _BlockingService()
+        with PricingServer(
+            svc, window_ms=0.0, max_queue=2, request_timeout_s=30.0
+        ) as srv:
+            statuses = []
+            lock = threading.Lock()
+
+            def post(i):
+                s, _ = TestPricingServer._post(srv, {"trades": [{"id": i}]})
+                with lock:
+                    statuses.append(s)
+
+            t0 = threading.Thread(target=post, args=(0,))
+            t0.start()
+            assert svc.started.wait(10.0)  # batcher is pricing request 0
+            fillers = [
+                threading.Thread(target=post, args=(i,)) for i in (1, 2)
+            ]
+            for t in fillers:
+                t.start()
+            deadline = time.monotonic() + 10.0
+            while srv._queue.qsize() < 2 and time.monotonic() < deadline:
+                time.sleep(0.01)
+            assert srv._queue.qsize() == 2  # bounded queue is full
+            # anything beyond the bound is rejected immediately, not queued
+            for i in (3, 4):
+                s, body = TestPricingServer._post(
+                    srv, {"trades": [{"id": i}]}
+                )
+                assert s == 503 and "overloaded" in body["error"]
+            svc.release.set()
+            t0.join(20.0)
+            for t in fillers:
+                t.join(20.0)
+            assert statuses.count(200) == 3
+            assert srv.stats["rejected"] == 2
+            assert sorted(tr["id"] for tr in svc.priced) == [0, 1, 2]
+
+    def test_expired_pending_never_priced(self):
+        svc = _BlockingService()
+        with PricingServer(
+            svc, window_ms=0.0, max_queue=8, request_timeout_s=0.4
+        ) as srv:
+            res = {}
+
+            def post(key, i):
+                res[key] = TestPricingServer._post(
+                    srv, {"trades": [{"id": i}]}
+                )
+
+            ta = threading.Thread(target=post, args=("a", 0))
+            ta.start()
+            assert svc.started.wait(10.0)  # batcher holds request a
+            tb = threading.Thread(target=post, args=("b", 1))
+            tb.start()
+            ta.join(10.0)
+            tb.join(10.0)
+            # both clients timed out while the batcher was held
+            assert res["a"][0] == 504 and res["b"][0] == 504
+            svc.release.set()
+            deadline = time.monotonic() + 10.0
+            while (
+                srv.stats["dropped_expired"] < 1
+                and time.monotonic() < deadline
+            ):
+                time.sleep(0.02)
+            # b was dropped before pricing: only a's trade ever ran
+            assert srv.stats["dropped_expired"] == 1
+            assert [tr["id"] for tr in svc.priced] == [0]
