@@ -3,6 +3,7 @@ from .tridiag import (
     thomas_solve,
     thomas_solve_const,
     thomas_solve_assoc,
+    thomas_solve_pscan,
     tridiag_matvec,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "thomas_solve",
     "thomas_solve_const",
     "thomas_solve_assoc",
+    "thomas_solve_pscan",
     "tridiag_matvec",
 ]

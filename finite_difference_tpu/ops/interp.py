@@ -17,7 +17,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .tridiag import thomas_solve
+from .tridiag import thomas_solve_pscan
 
 
 def linear_interp(xq, x, y):
@@ -38,7 +38,10 @@ def natural_cubic_spline(x, y) -> SplineCoeffs:
 
     Same tridiagonal construction the reference hand-rolls
     (fd_american_equity.py:479-558), with natural boundary conditions
-    c_0 = c_{n-1} = 0; solved with the batched Thomas kernel.
+    c_0 = c_{n-1} = 0; solved with the log-depth homography-scan Thomas
+    kernel (``thomas_solve_pscan``) — the spline rides inside dividend
+    jumps on the TPU hot path, where a sequential n-step scan would cost
+    more than the whole time-march.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -50,7 +53,7 @@ def natural_cubic_spline(x, y) -> SplineCoeffs:
     dl = h[..., :-1]
     du = h[..., 1:]
     dm = 2.0 * (h[..., :-1] + h[..., 1:])
-    c_int = thomas_solve(dl, dm, du, alpha)
+    c_int = thomas_solve_pscan(dl, dm, du, alpha)
     zeros = jnp.zeros_like(x[..., :1])
     c_full = jnp.concatenate([zeros, c_int, zeros], axis=-1)  # (..., n)
 

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 from finite_difference_tpu.ops import (
     thomas_solve,
     thomas_solve_const,
+    thomas_solve_pscan,
     tridiag_matvec,
 )
 
@@ -77,3 +78,47 @@ class TestThomasConst:
             np.full(15, -0.2), 1
         )
         np.testing.assert_allclose(x, np.linalg.solve(T, np.ones(16)), rtol=1e-10)
+
+
+class TestThomasPscan:
+    """The log-depth homography-scan general solve (dividend-jump spline
+    hot path) must match the sequential Thomas on every system family it
+    serves."""
+
+    @pytest.mark.parametrize("n", [3, 8, 64, 513, 1024])
+    def test_matches_sequential(self, n):
+        rng = np.random.default_rng(4)
+        dl, d, du, rhs = _random_dd_system(rng, 6, n)
+        x_p = np.asarray(thomas_solve_pscan(dl, d, du, rhs))
+        x_s = np.asarray(thomas_solve(dl, d, du, rhs))
+        np.testing.assert_allclose(x_p, x_s, rtol=1e-10, atol=1e-12)
+
+    def test_spline_system_shape(self):
+        """The exact system natural_cubic_spline builds: h-weighted SPD
+        tridiagonal from a non-uniform (exp-of-uniform) grid."""
+        rng = np.random.default_rng(5)
+        B, n = 4, 257
+        x = np.exp(np.cumsum(rng.uniform(0.005, 0.02, (B, n)), axis=1))
+        y = rng.standard_normal((B, n))
+        h = np.diff(x, axis=1)
+        dl = h[:, :-1]
+        du = h[:, 1:]
+        dm = 2.0 * (h[:, :-1] + h[:, 1:])
+        dy = np.diff(y, axis=1)
+        alpha = 3.0 * (dy[:, 1:] / h[:, 1:] - dy[:, :-1] / h[:, :-1])
+        x_p = np.asarray(thomas_solve_pscan(dl, dm, du, alpha))
+        x_s = np.asarray(thomas_solve(dl, dm, du, alpha))
+        np.testing.assert_allclose(x_p, x_s, rtol=1e-9, atol=1e-12)
+
+    def test_ignored_corners_are_inert(self):
+        """dl[..., 0] / du[..., -1] must not change the answer even when
+        set to huge values (the contract shared with thomas_solve)."""
+        rng = np.random.default_rng(6)
+        dl, d, du, rhs = _random_dd_system(rng, 2, 32)
+        base = np.asarray(thomas_solve_pscan(dl, d, du, rhs))
+        dl2 = dl.copy()
+        du2 = du.copy()
+        dl2[:, 0] = 1e30
+        du2[:, -1] = -1e30
+        poisoned = np.asarray(thomas_solve_pscan(dl2, d, du2, rhs))
+        np.testing.assert_allclose(poisoned, base, rtol=0, atol=0)
