@@ -62,21 +62,34 @@ def natural_cubic_spline(x, y) -> SplineCoeffs:
     return SplineCoeffs(x=x, y=y, b=b, c=c_full[..., :-1], d=d)
 
 
-def cubic_spline_eval(coeffs: SplineCoeffs, xq):
+def cubic_spline_eval(coeffs: SplineCoeffs, xq, idx=None):
     """Evaluate the spline at ``xq``. 1-D knots (use ``jax.vmap`` to batch);
     ``xq`` any shape. Outside the knot span the value clamps to the end
     knot values (reference dividend-jump behavior,
     fd_american_equity.py:752-758).
+
+    ``idx``: optional precomputed interval indices (same shape as ``xq``)
+    for structured grids where the bracketing interval has a closed form
+    — e.g. log-uniform PDE grids, ``floor((log(xq) - x_min) / dx)``.
+    Skips the ``searchsorted``, which dominates the dividend-jump cost on
+    TPU. An off-by-one at an exact knot is harmless (the spline is C^2,
+    so adjacent-interval polynomials agree there to rounding); indices
+    are clipped to the valid range.
     """
     x, y = coeffs.x, coeffs.y
     if x.ndim != 1:
         raise ValueError("cubic_spline_eval expects 1-D knots; vmap to batch.")
     n = x.shape[-1]
     xq = jnp.asarray(xq)
-    idx = jnp.clip(jnp.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    if idx is None:
+        idx = jnp.searchsorted(x, xq, side="right") - 1
+    idx = jnp.clip(idx, 0, n - 2)
 
-    z = xq - x[idx]
-    val = y[idx] + z * (coeffs.b[idx] + z * (coeffs.c[idx] + z * coeffs.d[idx]))
+    # one gather of the packed rows instead of five independent gathers
+    packed = jnp.stack([x[:-1], y[:-1], coeffs.b, coeffs.c, coeffs.d])
+    xg, yg, bg, cg, dg = packed[:, idx]
+    z = xq - xg
+    val = yg + z * (bg + z * (cg + z * dg))
     val = jnp.where(xq <= x[0], y[0], val)
     val = jnp.where(xq >= x[-1], y[-1], val)
     return val
