@@ -379,7 +379,7 @@ def _timed_american(
         n_nodes=N_SPACE_NODES + 1, with_greeks=with_greeks, solver=solver,
         with_dividends=with_dividends, greeks_mode=greeks_mode,
     )
-    if solver == "spike":
+    if solver in ("spike", "spike_df64"):
         kw["spike_segments"] = spike_segments
     fn = jax.jit(
         lambda b: jnp.stack(list(american_batch_kernel(b, **kw).values()))
@@ -465,24 +465,37 @@ def stage_american(out_path: str, prices_path: str,
 
 def stage_american64(out_path: str, prices_path: str) -> None:
     """The American production workload AT THE ACCURACY RUNG: f64
-    (x64-emulated on TPU) price+delta+gamma+vega through the CN scan —
-    the cell that matches run_american_scenarios.py's per-scenario
-    greeks_log2 at the <=1e-6 bar. Vega via forward-mode AD (jvp through
-    the scan incl. the IT projection — no bump-h noise to amplify the
-    x64-emulation error). Saves the full (4, B) output stack for the
-    oracle comparison."""
+    price+delta+gamma+vega — the cell that matches
+    run_american_scenarios.py's per-scenario greeks_log2 at the <=1e-6
+    bar. On TPU this rides the double-float SPIKE pallas kernel
+    (solver='spike_df64', pallas_kernel.py — measured 3,791 grids/s at
+    B=256 vs the x64-emulated scan's 591); off-TPU it falls back to the
+    f64 CN scan. Vega is the reference's production one-sided sigma bump
+    (fd_american_equity.py:1014-1035) at the f64 step (1e-4) — a pallas
+    custom call has no AD rule, and the CPU oracle stage uses the SAME
+    bump so the comparison measures on-chip arithmetic fidelity at the
+    workload's own definition of vega (bump-vs-AD truncation is 2.9e-4,
+    a property of the workload, not the chip). Saves the full (4, B)
+    output stack for the oracle comparison."""
     import jax
 
     jax.config.update("jax_enable_x64", True)
     on_tpu = _on_tpu()
     import jax.numpy as jnp
 
+    from finite_difference_tpu.models.pde.batch import _spike_schedule
+
     B = int(os.environ.get("BENCH_AM_ORACLE_B", "256"))
     iters = 2 if on_tpu else 1
     tb = make_american_batch(B, np.float64)
+    solver = "spike_df64" if on_tpu else "scan"
+    sched = _spike_schedule(tb, N_SPACE_NODES + 1) if on_tpu else None
+    if on_tpu and sched is None:
+        solver = "scan"
     dev = jax.tree.map(jnp.asarray, tb)
     out, elapsed = _timed_american(
-        dev, with_greeks=True, iters=iters, solver="scan", greeks_mode="ad"
+        dev, with_greeks=True, iters=iters, solver=solver,
+        spike_segments=sched, greeks_mode="bump",
     )
     np.save(prices_path, out.astype(np.float64))
     with open(out_path, "w") as f:
@@ -490,6 +503,7 @@ def stage_american64(out_path: str, prices_path: str) -> None:
             {
                 "greeks_grids_per_sec": B * iters / elapsed,
                 "batch": B,
+                "solver": solver,
                 "platform": "tpu" if on_tpu else "cpu",
             },
             f,
@@ -498,7 +512,11 @@ def stage_american64(out_path: str, prices_path: str) -> None:
 
 def stage_american_oracle(prices_path: str) -> None:
     """f64 CPU oracle (scan solver, price+greeks stack) of the first
-    BENCH_AM_ORACLE_B American bench trades."""
+    BENCH_AM_ORACLE_B American bench trades. Greeks use the same
+    one-sided sigma bump as the rungs (the reference's production vega,
+    fd_american_equity.py:1014-1035) so rung-vs-oracle rows measure
+    arithmetic fidelity, not bump-vs-AD truncation (2.9e-4 at the f64
+    step — measured, docs/PERF_NOTES.md)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -509,7 +527,7 @@ def stage_american_oracle(prices_path: str) -> None:
     tb = make_american_batch(B, np.float64)
     dev = jax.tree.map(jnp.asarray, tb)
     out, _ = _timed_american(
-        dev, with_greeks=True, iters=0, solver="scan", greeks_mode="ad"
+        dev, with_greeks=True, iters=0, solver="scan", greeks_mode="bump"
     )
     np.save(prices_path, out.astype(np.float64))
 

@@ -450,7 +450,7 @@ def price_batch_kernel(
         "spectral_mixed": _spectral_solve_one_mixed,
     }.get(solver, _solve_one)
 
-    if solver in ("spike", "spike_interpret"):
+    if solver in _SPIKE_SOLVERS:
         solve = _spike_solve_fn(
             batch_dev, n_nodes, solver, spike_segments, with_greeks,
             greeks_mode, american=False,
@@ -748,7 +748,7 @@ def american_batch_kernel(
     """
     dv_sigma = _resolve_dv_sigma(dv_sigma, batch_dev.sigma)
 
-    if solver in ("spike", "spike_interpret"):
+    if solver in _SPIKE_SOLVERS:
         solve = _spike_solve_fn(
             batch_dev, n_nodes, solver, spike_segments, with_greeks,
             greeks_mode, american=True,
@@ -837,6 +837,16 @@ def _has_dividends(batch: "BarrierTradeBatch") -> bool:
     )
 
 
+# The SPIKE pallas solver family. 'spike' is the f32 throughput rung;
+# 'spike_df64' carries every kernel value as an f32 (hi, lo) double-float
+# pair (ops/df64.py) — the on-chip <=1e-6 accuracy rung that replaces the
+# XLA-scan fallback for f64 American sweeps. '*_interpret' variants run
+# the same kernels under the pallas interpreter (CPU tests).
+_SPIKE_SOLVERS = frozenset(
+    {"spike", "spike_interpret", "spike_df64", "spike_df64_interpret"}
+)
+
+
 def _spike_solve_fn(batch_dev, n_nodes: int, solver: str, spike_segments,
                     with_greeks: bool, greeks_mode: str, american: bool):
     """The (shared) SPIKE branch of the batch kernels: one pallas solve
@@ -863,9 +873,10 @@ def _spike_solve_fn(batch_dev, n_nodes: int, solver: str, spike_segments,
             batch_dev, sig_field(batch_dev), n_nodes=n_nodes,
             n_steps=batch_dev.dt.shape[1],
             trade_block=min(128, batch_dev.dt.shape[0]),
-            interpret=solver == "spike_interpret",
+            interpret=solver.endswith("interpret"),
             segments=seg, set_defs=sd, american=american,
             div_steps=div_steps, reset_steps=reset_steps,
+            df64="df64" in solver,
         )
 
     return solve
@@ -930,7 +941,7 @@ def _run_batch_driver(
         static.append("solver")
     takes_segments = (
         takes_solver
-        and solver in ("spike", "spike_interpret")
+        and solver in _SPIKE_SOLVERS
         and "spike_segments" in params
     )
     if takes_segments:
@@ -954,7 +965,7 @@ def _run_batch_driver(
         # (between-launch jumps from the static div_steps schedule), so
         # the scan-only flag stays False there — skipping the
         # (device-pulling) inspection too.
-        if takes_solver and solver in ("spike", "spike_interpret"):
+        if takes_solver and solver in _SPIKE_SOLVERS:
             kw["with_dividends"] = False
         else:
             kw["with_dividends"] = _has_dividends(batch)
@@ -992,7 +1003,7 @@ def _run_batch_driver(
     else:
         run = lambda piece: fn(piece, **kw)
         chunk = max_chunk
-        if takes_solver and solver in ("spike", "spike_interpret"):
+        if takes_solver and solver in _SPIKE_SOLVERS:
             # the SPIKE kernel's march is VMEM-resident — the scan's HBM
             # working-set cliff (max_chunk's reason to exist) does not
             # apply, and one B=4096 launch measures ~2x the chunked
@@ -1042,28 +1053,37 @@ def price_american_batch(
     force one launch). ``dtype=jnp.float64`` selects the high-accuracy
     (emulated on TPU) precision rung.
 
-    ``solver='auto'`` routes TPU-f32 runs to the fused SPIKE pallas
-    kernel with the Ikonen-Toivanen projection fused into the step when
-    the batch fits its schedule family (piecewise-constant (theta, dt)
-    with a shared theta pattern — dividend batches ride as extra
-    segments with the spline jump applied between pallas launches, see
-    :func:`_spike_schedule`); everything else — CPU, the f64 rung,
-    mixed call/put dividend batches (differing Rannacher restarts), or
+    ``solver='auto'`` routes TPU runs to the fused SPIKE pallas kernel
+    with the Ikonen-Toivanen projection fused into the step when the
+    batch fits its schedule family (piecewise-constant (theta, dt) with
+    a shared theta pattern — dividend batches ride as extra segments
+    with the spline jump applied between pallas launches, see
+    :func:`_spike_schedule`): f32 batches on the plain f32 kernel, f64
+    batches on its double-float (df64) twin — the ≤1e-6 accuracy rung,
+    measured 3,791 grids/s at the 1024x512 B=256 production shape vs
+    the x64-emulated scan's 591 (docs/PERF_NOTES.md round 4). Everything
+    else — CPU, mixed call/put dividend batches (differing Rannacher
+    restarts), greeks_mode='ad' (a pallas call has no AD rule), or
     mesh-sharded batches — runs the XLA scan. The spectral propagator is
     European-only (the IT projection is nonlinear in the state), so
     unlike the barrier sweep there is no spectral rung here.
     """
     if solver == "auto":
-        solver = (
-            "spike"
-            if jax.default_backend() != "cpu"
-            and not _effective_is64(batch, dtype)
+        if (
+            jax.default_backend() != "cpu"
             and mesh is None
             and _spike_eligible(batch, n_nodes)
             and (greeks_mode != "ad" or not with_greeks)
-            else "scan"
-        )
-    if solver in ("spike", "spike_interpret"):
+        ):
+            # f64-on-TPU rides the double-float SPIKE kernel (the <=1e-6
+            # accuracy rung, ~2x the x64-emulated XLA scan); f32 rides
+            # the plain f32 SPIKE kernel
+            solver = (
+                "spike_df64" if _effective_is64(batch, dtype) else "spike"
+            )
+        else:
+            solver = "scan"
+    if solver in _SPIKE_SOLVERS:
         if not _spike_eligible(batch, n_nodes):
             raise ValueError(
                 "batch is not spike-eligible (needs a piecewise-constant "
@@ -1361,7 +1381,7 @@ def price_barrier_batch(
                 and (greeks_mode != "ad" or not with_greeks)
                 else "scan"
             )
-    if solver in ("spike", "spike_interpret"):
+    if solver in _SPIKE_SOLVERS:
         if not _spike_eligible(batch, n_nodes):
             raise ValueError(
                 "batch is not spike-eligible (needs a piecewise-constant "

@@ -55,6 +55,10 @@ _SLOTS = dict(
     ce_f=12, ce_i=13, ce_l=14,
     b_final=15,  # only meaningful at level 0 row (scalar per trade)
 )
+# i32 index-map zero: python ints become i64 under x64, which
+# Mosaic fails to legalize
+_Z = np.int32(0)
+
 N_SLOTS = 16
 
 
@@ -333,13 +337,13 @@ def cn_barrier_solve_pallas_cr(
         _cr_kernel, n_steps=n_steps, rannacher_steps=rannacher_steps, n_nodes=N
     )
 
-    trade_spec = lambda: pl.BlockSpec((1, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
-    set_spec = lambda: pl.BlockSpec((2, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    trade_spec = lambda: pl.BlockSpec((1, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
+    set_spec = lambda: pl.BlockSpec((2, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
     lvl_spec = pl.BlockSpec(
-        (2, n_levels, N_SLOTS, TB), lambda j: (0, 0, 0, j), memory_space=pltpu.VMEM
+        (2, n_levels, N_SLOTS, TB), lambda j: (_Z, _Z, _Z, j), memory_space=pltpu.VMEM
     )
-    grid_spec = lambda: pl.BlockSpec((N, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
-    sched_spec = lambda: pl.BlockSpec((n_steps, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    grid_spec = lambda: pl.BlockSpec((N, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
+    sched_spec = lambda: pl.BlockSpec((n_steps, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
 
     v = pl.pallas_call(
         kernel,

@@ -265,11 +265,11 @@ def cn_barrier_solve_pallas(
         _kernel, n_steps=n_steps, rannacher_steps=rannacher_steps, n_nodes=N
     )
 
-    trade_spec = lambda: pl.BlockSpec((1, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
-    set_spec = lambda: pl.BlockSpec((2, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
-    field_spec = lambda: pl.BlockSpec((2, N, TB), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
-    grid_spec = lambda: pl.BlockSpec((N, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
-    sched_spec = lambda: pl.BlockSpec((n_steps, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    trade_spec = lambda: pl.BlockSpec((1, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
+    set_spec = lambda: pl.BlockSpec((2, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
+    field_spec = lambda: pl.BlockSpec((2, N, TB), lambda j: (_Z, _Z, j), memory_space=pltpu.VMEM)
+    grid_spec = lambda: pl.BlockSpec((N, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
+    sched_spec = lambda: pl.BlockSpec((n_steps, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
 
     v = pl.pallas_call(
         kernel,
@@ -474,6 +474,11 @@ def cn_barrier_solve_hoisted(
 
 P_CHUNKS = 8
 
+# BlockSpec index-map constant: a bare python 0 becomes an i64 under x64
+# sessions, which Mosaic fails to legalize (func.return (i64, i32)); a
+# strongly-typed i32 zero works in both modes.
+_Z = np.int32(0)
+
 
 def _per_row_thomas(l, c, u):
     """(w, af, ab) for per-row tridiagonal chunks; all (m, P, B)."""
@@ -509,6 +514,76 @@ def _chunk_solve(w, af, ab, rhs):
         bwd, jnp.zeros_like(rhs[0]), (dp, ab), reverse=True
     )
     return y
+
+
+def _build_solver_set(
+    theta, dt, a_coef, b_coef, c_coef, has_l, has_u, real,
+    m: int, P: int, n_pad: int, dtype,
+):
+    """One (theta, dt-column) SPIKE solver-tensor set: per-chunk Thomas
+    vectors, spike coupling vectors, the precomputed 2Px2P reduced-system
+    inverse, and the explicit/implicit CN coefficients. Shared by the f32
+    kernel host and the df64 rung host (which calls it at f64)."""
+    B = dt.shape[0]
+    a_l = -theta * dt * a_coef
+    a_c_diag = 1.0 - theta * dt * b_coef
+    a_u = -theta * dt * c_coef
+    l = jnp.where(has_l, a_l[None, None, :], 0.0)    # (m, P, B)
+    c = jnp.where(real, a_c_diag[None, None, :], 1.0)
+    u = jnp.where(has_u, a_u[None, None, :], 0.0)
+    w, af, ab = _per_row_thomas(l, c, u)
+    # spike vectors: vsp_j = a_l * A_j^{-1} e_0 (coupling to
+    # b_{j-1}), wsp_j = a_u * A_j^{-1} e_{m-1} (coupling to t_{j+1});
+    # chunk 0 has no left coupling, chunk P-1 no right coupling
+    e0 = jnp.zeros((m, P, B), dtype).at[0].set(1.0)
+    em = jnp.zeros((m, P, B), dtype).at[m - 1].set(1.0)
+    vsp = a_l[None, None, :] * _chunk_solve(w, af, ab, e0)
+    vsp = vsp.at[:, 0, :].set(0.0)
+    wsp = a_u[None, None, :] * _chunk_solve(w, af, ab, em)
+    wsp = wsp.at[:, P - 1, :].set(0.0)
+    # reduced interface system R u = ytips in block ordering
+    # (u = [t_0..t_{P-1}, b_0..b_{P-1}], ytips = [y_j[0], y_j[m-1]]):
+    #   t_j + vsp_j[0]   b_{j-1} + wsp_j[0]   t_{j+1} = y_j[0]
+    #   b_j + vsp_j[m-1] b_{j-1} + wsp_j[m-1] t_{j+1} = y_j[m-1]
+    eye2p = jnp.eye(2 * P, dtype=dtype)
+    R = jnp.tile(eye2p[None], (B, 1, 1))
+    for j in range(1, P):
+        R = R.at[:, j, P + j - 1].set(vsp[0, j])
+        R = R.at[:, P + j, P + j - 1].set(vsp[m - 1, j])
+    for j in range(P - 1):
+        R = R.at[:, j, j + 1].set(wsp[0, j])
+        R = R.at[:, P + j, j + 1].set(wsp[m - 1, j])
+    if jnp.dtype(dtype) == jnp.float64:
+        # TPU's LuDecomposition expander is f32-only, so a straight
+        # jnp.linalg.inv(R) fails to compile at f64 on device. Start from
+        # the f32 LU inverse and Newton-refine in (x64-emulated) f64:
+        # X <- X(2I - RX) squares the residual, so three steps take the
+        # ~1e-7 f32 seed to f64 machine precision (R is near-identity —
+        # unit diagonal plus small spike couplings — so the iteration is
+        # safely convergent; parity vs the scan is pinned in
+        # test_pallas_kernel.py::TestDf64Spike).
+        x = jnp.linalg.inv(R.astype(jnp.float32)).astype(dtype)
+        eye2 = 2.0 * jnp.eye(2 * P, dtype=dtype)
+        for _ in range(3):
+            rx = jnp.einsum("bij,bjk->bik", R, x)
+            x = jnp.einsum("bij,bjk->bik", x, eye2[None] - rx)
+        rinv = x
+    else:
+        rinv = jnp.linalg.inv(R)
+    return {
+        "rinv": rinv.transpose(1, 2, 0),
+        "w": w.reshape(n_pad, B),
+        "af": af.reshape(n_pad, B),
+        "ab": ab.reshape(n_pad, B),
+        "vsp": vsp.reshape(n_pad, B),
+        "wsp": wsp.reshape(n_pad, B),
+        "bl": (1.0 - theta) * dt * a_coef,
+        "bc": 1.0 + (1.0 - theta) * dt * b_coef,
+        "bu": (1.0 - theta) * dt * c_coef,
+        "al": a_l,
+        "au": a_u,
+        "dt": dt,
+    }
 
 
 def _kernel_spike(
@@ -695,11 +770,13 @@ def cn_barrier_solve_spike(
     american: bool = False,
     div_steps=(),
     reset_steps=(),
+    df64: bool = False,
 ):
     """Public entry: validates the segments=None contract on concrete
     schedules (inside the jit everything is traced and unverifiable),
-    then runs :func:`_cn_barrier_solve_spike_jit`. See that function for
-    the solver description."""
+    then runs :func:`_cn_barrier_solve_spike_jit` (or its df64 twin when
+    ``df64=True`` — the on-chip <=1e-6 accuracy rung; requires x64 and
+    returns f64). See those functions for the solver description."""
     if (
         (segments is None or set_defs is None)
         and not isinstance(batch.dt, jax.core.Tracer)
@@ -724,7 +801,16 @@ def cn_barrier_solve_spike(
                 "reset_steps) from models.pde.batch._spike_schedule for "
                 "piecewise-constant/dividend schedules"
             )
-    return _cn_barrier_solve_spike_jit(
+    impl = (
+        _cn_barrier_solve_spike_df64_jit if df64
+        else _cn_barrier_solve_spike_jit
+    )
+    if df64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "df64=True needs x64 enabled (host-side prep runs in true "
+            "f64 before splitting into double-float pairs)"
+        )
+    return impl(
         batch, sigma, n_nodes=n_nodes, n_steps=n_steps,
         rannacher_steps=rannacher_steps, trade_block=trade_block,
         p_chunks=p_chunks, interpret=interpret, segments=segments,
@@ -870,46 +956,14 @@ def _cn_barrier_solve_spike_jit(
         "w", "af", "ab", "vsp", "wsp", "rinv", "bl", "bc", "bu", "al",
         "au", "dt"
     )}
-    e0 = jnp.zeros((m, P, B), dtype).at[0].set(1.0)
-    em = jnp.zeros((m, P, B), dtype).at[m - 1].set(1.0)
-    eye2p = jnp.eye(2 * P, dtype=dtype)
     for theta, k_col in set_defs:
         dt = jnp.asarray(batch.dt[:, k_col], dtype)
-        a_l = -theta * dt * a_coef
-        a_c_diag = 1.0 - theta * dt * b_coef
-        a_u = -theta * dt * c_coef
-        l = jnp.where(has_l, a_l[None, None, :], 0.0)    # (m, P, B)
-        c = jnp.where(real, a_c_diag[None, None, :], 1.0)
-        u = jnp.where(has_u, a_u[None, None, :], 0.0)
-        w, af, ab = _per_row_thomas(l, c, u)
-        # spike vectors: vsp_j = a_l * A_j^{-1} e_0 (coupling to
-        # b_{j-1}), wsp_j = a_u * A_j^{-1} e_{m-1} (coupling to t_{j+1});
-        # chunk 0 has no left coupling, chunk P-1 no right coupling
-        vsp = a_l[None, None, :] * _chunk_solve(w, af, ab, e0)
-        vsp = vsp.at[:, 0, :].set(0.0)
-        wsp = a_u[None, None, :] * _chunk_solve(w, af, ab, em)
-        wsp = wsp.at[:, P - 1, :].set(0.0)
-        # reduced interface system R u = ytips in block ordering
-        # (u = [t_0..t_{P-1}, b_0..b_{P-1}], ytips = [y_j[0], y_j[m-1]]):
-        #   t_j + vsp_j[0]   b_{j-1} + wsp_j[0]   t_{j+1} = y_j[0]
-        #   b_j + vsp_j[m-1] b_{j-1} + wsp_j[m-1] t_{j+1} = y_j[m-1]
-        R = jnp.tile(eye2p[None], (B, 1, 1))
-        for j in range(1, P):
-            R = R.at[:, j, P + j - 1].set(vsp[0, j])
-            R = R.at[:, P + j, P + j - 1].set(vsp[m - 1, j])
-        for j in range(P - 1):
-            R = R.at[:, j, j + 1].set(wsp[0, j])
-            R = R.at[:, P + j, j + 1].set(wsp[m - 1, j])
-        sets["rinv"].append(jnp.linalg.inv(R).transpose(1, 2, 0))
-        for k, arr in (("w", w), ("af", af), ("ab", ab),
-                       ("vsp", vsp), ("wsp", wsp)):
-            sets[k].append(arr.reshape(n_pad, B))
-        sets["bl"].append((1.0 - theta) * dt * a_coef)
-        sets["bc"].append(1.0 + (1.0 - theta) * dt * b_coef)
-        sets["bu"].append((1.0 - theta) * dt * c_coef)
-        sets["al"].append(a_l)
-        sets["au"].append(a_u)
-        sets["dt"].append(dt)
+        one = _build_solver_set(
+            theta, dt, a_coef, b_coef, c_coef,
+            has_l, has_u, real, m, P, n_pad, dtype,
+        )
+        for k in sets:
+            sets[k].append(one[k])
 
     # interior fields in transposed layout (pads -> 0)
     g_flat = np.minimum(g_np, n_int - 1).reshape(-1)     # (n_pad,)
@@ -934,11 +988,11 @@ def _cn_barrier_solve_spike_jit(
     tau_T = jnp.asarray(batch.tau_next, dtype).T       # (n_steps, B)
     mon_T = jnp.asarray(batch.monitor).astype(dtype).T
 
-    trade_spec = lambda: pl.BlockSpec((1, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
-    pair_spec = lambda: pl.BlockSpec((2, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
-    field_spec = lambda: pl.BlockSpec((n_pad, TB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    trade_spec = lambda: pl.BlockSpec((1, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
+    pair_spec = lambda: pl.BlockSpec((2, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
+    field_spec = lambda: pl.BlockSpec((n_pad, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM)
     rinv_spec = pl.BlockSpec(
-        (2 * P, 2 * P, TB), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+        (2 * P, 2 * P, TB), lambda j: (_Z, _Z, j), memory_space=pltpu.VMEM
     )
 
     def run_segment(t, v0_seg, edge_seg, lam_seg, k0, k1):
@@ -948,7 +1002,7 @@ def _cn_barrier_solve_spike_jit(
             american=american, euro_put_lower=not american,
         )
         sched_spec = lambda: pl.BlockSpec(
-            (ns, TB), lambda j: (0, j), memory_space=pltpu.VMEM
+            (ns, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM
         )
         in_specs = [
             trade_spec(),  # strike
@@ -1059,6 +1113,503 @@ def _cn_barrier_solve_spike_jit(
                 [v_int, jnp.zeros((n_pad - n_int, B), dtype)], axis=0
             ).reshape(P, m, B).transpose(1, 0, 2).reshape(n_pad, B)
             edges = jnp.stack([v_full[:, 0], v_full[:, -1]])
+
+    return assemble(v_t, edges), s
+
+
+# --------------------------------------------------------------------------- #
+# df64 (double-float) SPIKE variant — the on-chip <=1e-6 accuracy rung         #
+# --------------------------------------------------------------------------- #
+# Mosaic rejects f64 and XLA's x64 emulation exists only OUTSIDE pallas,
+# so the accuracy rung previously fell back to the XLA scan (~600
+# grids/s/chip for the American greeks workload). This variant carries
+# every state/coefficient tensor as an f32 (hi, lo) double-float pair
+# (ops/df64.py) inside the SAME SPIKE partitioning as _kernel_spike: the
+# step math is ~20x the f32 flop count but stays VMEM-resident at full
+# vector width. Requirements validated on-chip (test_pallas_kernel.py::
+# TestVpuRounding): VPU f32 + - * are correctly rounded and the
+# TwoSum/TwoProd/Dekker-split error terms are bit-exact (div and sqrt
+# are NOT correctly rounded — the kernel uses neither: reciprocals
+# (1/dt) and exponentials (boundary/rebate discount terms) are
+# precomputed per (step, trade) OUTSIDE the kernel in XLA x64 and fed in
+# as split pairs).
+
+
+def _kernel_spike_df64(
+    # masks (1, TB)
+    omask_lo_ref, omask_hi_ref,
+    # df trade rows (2, TB): [0]=hi, [1]=lo
+    bl_ref, bc_ref, bu_ref, al_ref, au_ref,
+    # df solver fields (2, n_pad, TB)
+    w_ref, af_ref, ab_ref, vsp_ref, wsp_ref,
+    # (2, 2P, 2P, TB) reduced-system inverse
+    rinv_ref,
+    # state (2, n_pad, TB) and KO mask (n_pad, TB)
+    v0_ref, out_mask_ref,
+    # (2, 2, TB) boundary edges [hi/lo, lo-edge/hi-edge, trade]
+    edge0_ref,
+    # per-step precomputed boundary values (2, ns, TB) + monitor (ns, TB)
+    vmin_ref, vmax_ref, rebpv_ref, monitor_ref,
+    *rest,
+    n_steps: int, m: int, P: int, r_glast: int,
+    american: bool = False,
+):
+    from ...ops import df64 as dfo
+
+    if american:
+        (dt_ref, dtinv_ref, payoff_ref, lam0_ref,
+         v_out_ref, edge_out_ref, lam_out_ref, dp_hi, dp_lo) = rest
+    else:
+        v_out_ref, edge_out_ref, dp_hi, dp_lo = rest
+    DF = dfo.DF
+    add, sub, mul = dfo.add2, dfo.sub2, dfo.mul2
+    band = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    padslot = band == P - 1
+    il = r_glast // P
+    sl = lambda ii: slice(ii * P, (ii + 1) * P)
+
+    def rdf(ref, sli):
+        return DF(ref[0, sli], ref[1, sli])
+
+    def wdf(ref, sli, val):
+        ref[0, sli] = val.hi
+        ref[1, sli] = val.lo
+
+    def rrow(ref):
+        return DF(ref[0][None, :], ref[1][None, :])
+
+    def roll_df(x, k):
+        # the shift must be i32: this kernel runs in x64 sessions, where
+        # a bare python int lowers to an i64 constant that Mosaic's
+        # tpu.dynamic_rotate rejects
+        k = jnp.int32(k)
+        return DF(pltpu.roll(x.hi, k, 0), pltpu.roll(x.lo, k, 0))
+
+    out_mask = out_mask_ref[:] != 0.0
+    omask_lo = omask_lo_ref[:] != 0.0
+    omask_hi = omask_hi_ref[:] != 0.0
+    zero_p = DF(jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32))
+
+    v_out_ref[:] = v0_ref[:]
+    if american:
+        lam_out_ref[:] = lam0_ref[:]
+        dt_row = rrow(dt_ref)
+        dtinv_row = rrow(dtinv_ref)
+
+    bl = rrow(bl_ref)
+    bc = rrow(bc_ref)
+    bu = rrow(bu_ref)
+    al = rrow(al_ref)
+    au = rrow(au_ref)
+
+    def step(k, carry):
+        v_lo, v_hi = carry  # DF rows (1, TB)
+        v_min_n = DF(vmin_ref[0, k][None, :], vmin_ref[1, k][None, :])
+        v_max_n = DF(vmax_ref[0, k][None, :], vmax_ref[1, k][None, :])
+        rebate_pv = DF(rebpv_ref[0, k][None, :], rebpv_ref[1, k][None, :])
+
+        first_band = rdf(v_out_ref, sl(0))
+        last_band = rdf(v_out_ref, sl(m - 1))
+        dn_fix = dfo.where2(band == 0, v_lo, roll_df(last_band, 1))
+        up_fix = roll_df(first_band, P - 1)
+
+        v_prev = dn_fix
+        v_cur = first_band
+        d = None
+        for ii in range(m):
+            v_next = rdf(v_out_ref, sl(ii + 1)) if ii < m - 1 else up_fix
+            rhs = add(add(mul(bc, v_cur), mul(bl, v_prev)), mul(bu, v_next))
+            if american:
+                rhs = add(rhs, mul(dt_row, rdf(lam_out_ref, sl(ii))))
+            if ii == 0:
+                rhs = sub(
+                    rhs, dfo.where2(band == 0, mul(al, v_min_n), zero_p)
+                )
+            if ii == il:
+                rhs = add(
+                    rhs,
+                    dfo.where2(
+                        padslot,
+                        sub(mul(bu, v_hi), mul(au, v_max_n)),
+                        zero_p,
+                    ),
+                )
+            elif ii > il:
+                rhs = dfo.where2(padslot, zero_p, rhs)
+            if ii == 0:
+                d = mul(rdf(w_ref, sl(0)), rhs)
+            else:
+                d = add(mul(rdf(w_ref, sl(ii)), rhs),
+                        mul(rdf(af_ref, sl(ii)), d))
+            dp_hi[sl(ii)] = d.hi
+            dp_lo[sl(ii)] = d.lo
+            v_prev, v_cur = v_cur, v_next
+        y_bot = d
+        x = d
+        for ii in range(m - 2, -1, -1):
+            x = add(DF(dp_hi[sl(ii)], dp_lo[sl(ii)]),
+                    mul(rdf(ab_ref, sl(ii)), x))
+            dp_hi[sl(ii)] = x.hi
+            dp_lo[sl(ii)] = x.lo
+        y_top = x
+
+        def rcol(j):
+            return DF(rinv_ref[0, :, j], rinv_ref[1, :, j])
+
+        def brow(t, j):
+            return DF(t.hi[j][None, :], t.lo[j][None, :])
+
+        u = mul(rcol(0), brow(y_top, 0))
+        u = add(u, mul(rcol(P), brow(y_bot, 0)))
+        for j in range(1, P):
+            u = add(u, mul(rcol(j), brow(y_top, j)))
+            u = add(u, mul(rcol(P + j), brow(y_bot, j)))
+        u_t = DF(u.hi[:P], u.lo[:P])
+        u_b = DF(u.hi[P:], u.lo[P:])
+        zero_pb = DF(jnp.zeros_like(u_b.hi), jnp.zeros_like(u_b.lo))
+        bprev = dfo.where2(band == 0, zero_pb, roll_df(u_b, 1))
+        tnext = dfo.where2(band == P - 1, zero_pb, roll_df(u_t, P - 1))
+
+        mon = monitor_ref[k][None, :] != 0.0
+        for ii in range(m):
+            xr = sub(
+                DF(dp_hi[sl(ii)], dp_lo[sl(ii)]),
+                add(mul(bprev, rdf(vsp_ref, sl(ii))),
+                    mul(tnext, rdf(wsp_ref, sl(ii)))),
+            )
+            if american:
+                lam_old = rdf(lam_out_ref, sl(ii))
+                pay = rdf(payoff_ref, sl(ii))
+                v_am = dfo.max2(pay, sub(xr, mul(dt_row, lam_old)))
+                lam_new = dfo.max2(
+                    add(lam_old, mul(sub(pay, xr), dtinv_row)),
+                    dfo.zeros_like2(lam_old),
+                )
+                wdf(lam_out_ref, sl(ii), lam_new)
+                xr = v_am
+            wdf(
+                v_out_ref, sl(ii),
+                dfo.where2(mon & out_mask[sl(ii)], rebate_pv, xr),
+            )
+        v_lo_new = dfo.where2(mon & omask_lo, rebate_pv, v_min_n)
+        v_hi_new = dfo.where2(mon & omask_hi, rebate_pv, v_max_n)
+        return (v_lo_new, v_hi_new)
+
+    e_lo = DF(edge0_ref[0, 0][None, :], edge0_ref[1, 0][None, :])
+    e_hi = DF(edge0_ref[0, 1][None, :], edge0_ref[1, 1][None, :])
+    # i32 loop bounds: under x64 bare python ints make an i64 induction
+    # variable, which Mosaic cannot legalize
+    v_lo_f, v_hi_f = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_steps), step, (e_lo, e_hi)
+    )
+    edge_out_ref[0, 0] = v_lo_f.hi[0]
+    edge_out_ref[1, 0] = v_lo_f.lo[0]
+    edge_out_ref[0, 1] = v_hi_f.hi[0]
+    edge_out_ref[1, 1] = v_hi_f.lo[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_nodes", "n_steps", "rannacher_steps", "trade_block",
+        "p_chunks", "interpret", "segments", "set_defs", "american",
+        "div_steps", "reset_steps",
+    ),
+)
+def _cn_barrier_solve_spike_df64_jit(
+    batch,
+    sigma,
+    n_nodes: int,
+    n_steps: int,
+    rannacher_steps: int = 2,
+    trade_block: int = 128,
+    p_chunks: int = P_CHUNKS,
+    interpret: bool = False,
+    segments=None,
+    set_defs=None,
+    american: bool = False,
+    div_steps=(),
+    reset_steps=(),
+):
+    """df64 twin of :func:`_cn_barrier_solve_spike_jit` — the <=1e-6
+    accuracy rung on-chip. All host-side preparation (solver tensors,
+    reduced-system inverse, per-step boundary/rebate values, dividend
+    jumps between segments) runs in TRUE f64 under XLA x64 and is split
+    into (hi, lo) pairs at the kernel boundary; inside the kernel every
+    value is a double-float. Returns (V, s_nodes) in f64, matching the
+    scan path (parity pinned in tests at ~1e-10). Requires x64 enabled.
+    """
+    from ...ops import df64 as dfo
+
+    f64 = jnp.float64
+    B = batch.x_min.shape[0]
+    N = n_nodes
+    P = p_chunks
+    if P % 8 != 0:
+        raise ValueError("p_chunks must be a multiple of the 8 sublanes")
+    n_int = N - 2
+    m = -(-(n_int + 1) // P)
+    n_pad = m * P
+    TB = min(trade_block, B)
+    if B % TB != 0:
+        raise ValueError(f"batch size {B} not divisible by trade block {TB}")
+    if (P - 1) * m >= n_int:
+        raise ValueError(f"grid too small for SPIKE partitioning: N={N}")
+    if n_pad - n_int > m:
+        raise ValueError("pad rows spill outside the last chunk")
+
+    if segments is None or set_defs is None:
+        n_rann = min(rannacher_steps, n_steps)
+        set_defs, segments = [], []
+        if n_rann > 0:
+            set_defs.append((1.0, 0))
+            segments.append((0, n_rann, 0))
+        if n_steps > n_rann:
+            set_defs.append((0.5, 0))
+            segments.append((n_rann, n_steps, len(set_defs) - 1))
+        set_defs, segments = tuple(set_defs), tuple(segments)
+    if segments[0][0] != 0 or segments[-1][1] != n_steps or any(
+        s1[1] != s2[0] for s1, s2 in zip(segments[:-1], segments[1:])
+    ):
+        raise ValueError(f"segments must tile [0, {n_steps}): {segments}")
+
+    x_min = jnp.asarray(batch.x_min, f64)
+    dx = jnp.asarray(batch.dx, f64)
+    sigma = jnp.asarray(sigma, f64)
+    r = jnp.asarray(batch.r, f64)
+    b = jnp.asarray(batch.b, f64)
+    q = jnp.asarray(batch.q, f64)
+
+    i = jnp.arange(N, dtype=f64)
+    s = jnp.exp(x_min[:, None] + i[None, :] * dx[:, None])  # (B, N)
+    s_min, s_max = s[:, 0], s[:, -1]
+    strike = jnp.asarray(batch.strike, f64)
+    is_call = jnp.asarray(batch.is_call)
+
+    payoff = jnp.where(
+        is_call[:, None],
+        jnp.maximum(s - strike[:, None], 0.0),
+        jnp.maximum(strike[:, None] - s, 0.0),
+    )
+
+    sig2 = sigma * sigma
+    mu_x = (b - q) - 0.5 * sig2
+    alpha_c = 0.5 * sig2 / (dx * dx)
+    beta_adv = mu_x / (2.0 * dx)
+    a_coef = alpha_c - beta_adv
+    c_coef = alpha_c + beta_adv
+    b_coef = -2.0 * alpha_c - r
+
+    ii_np = np.arange(m)[:, None]
+    jj_np = np.arange(P)[None, :]
+    g_np = jj_np * m + ii_np
+    real_np = g_np < n_int
+    has_l_np = real_np & (ii_np > 0)
+    has_u_np = real_np & (ii_np < m - 1) & (g_np < n_int - 1)
+    real = jnp.asarray(real_np)[..., None]
+    has_l = jnp.asarray(has_l_np)[..., None]
+    has_u = jnp.asarray(has_u_np)[..., None]
+
+    def split2(x64):
+        d = dfo.from_f64(jnp.asarray(x64, f64))
+        return jnp.stack([d.hi, d.lo])
+
+    sets = []
+    for theta, k_col in set_defs:
+        dt = jnp.asarray(batch.dt[:, k_col], f64)
+        one = _build_solver_set(
+            theta, dt, a_coef, b_coef, c_coef,
+            has_l, has_u, real, m, P, n_pad, f64,
+        )
+        one["dtinv"] = 1.0 / dt
+        sets.append({k: split2(v) for k, v in one.items()})
+
+    g_flat = np.minimum(g_np, n_int - 1).reshape(-1)
+    real_flat = jnp.asarray(real_np.reshape(-1, 1))
+    out_mask_full = (
+        jnp.asarray(batch.has_lower)[:, None]
+        & (s <= jnp.asarray(batch.lower, f64)[:, None])
+    ) | (
+        jnp.asarray(batch.has_upper)[:, None]
+        & (s >= jnp.asarray(batch.upper, f64)[:, None])
+    )
+    v0_t64 = jnp.where(real_flat, payoff.T[1 : N - 1][g_flat], 0.0)
+    omask_t = jnp.where(
+        real_flat, out_mask_full.T[1 : N - 1][g_flat], False
+    ).astype(jnp.float32)
+    edge0_64 = jnp.stack([payoff[:, 0], payoff[:, -1]])  # (2, B)
+
+    g_last = n_int - 1
+    r_glast = (g_last % m) * P + g_last // m
+
+    # per-(step, trade) boundary values and rebate PV in TRUE f64 (the
+    # scan path computes these inside the step from tau; precomputing
+    # keeps exp/division out of the double-float kernel entirely)
+    tau_T = jnp.asarray(batch.tau_next, f64).T          # (n_steps, B)
+    growth = jnp.exp((b - q - r)[None, :] * tau_T)
+    disc = jnp.exp(-r[None, :] * tau_T)
+    v_min_put = strike[None, :] * disc
+    if not american:
+        # barrier kernel convention (euro_put_lower): subtract the
+        # forward asymptote at the lower edge
+        v_min_put = v_min_put - s_min[None, :] * growth
+    vmin_64 = jnp.where(is_call[None, :], 0.0, v_min_put)
+    vmax_64 = jnp.where(
+        is_call[None, :],
+        s_max[None, :] * growth - strike[None, :] * disc,
+        0.0,
+    )
+    rebpv_64 = jnp.where(
+        jnp.asarray(batch.rebate_at_hit)[None, :],
+        jnp.asarray(batch.rebate, f64)[None, :],
+        jnp.asarray(batch.rebate, f64)[None, :]
+        * jnp.exp(-jnp.asarray(batch.rebate_rate, f64)[None, :] * tau_T),
+    )
+    mon_T = jnp.asarray(batch.monitor).astype(jnp.float32).T
+
+    frow = lambda a: jnp.asarray(a, jnp.float32)[None, :]
+    pair_trade_spec = lambda: pl.BlockSpec(
+        (2, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM
+    )
+    mask_spec = lambda: pl.BlockSpec(
+        (1, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM
+    )
+    pair_field_spec = lambda: pl.BlockSpec(
+        (2, n_pad, TB), lambda j: (_Z, _Z, j), memory_space=pltpu.VMEM
+    )
+    field_spec = lambda: pl.BlockSpec(
+        (n_pad, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM
+    )
+    edge_spec = lambda: pl.BlockSpec(
+        (2, 2, TB), lambda j: (_Z, _Z, j), memory_space=pltpu.VMEM
+    )
+    rinv_spec = pl.BlockSpec(
+        (2, 2 * P, 2 * P, TB), lambda j: (_Z, _Z, _Z, j),
+        memory_space=pltpu.VMEM,
+    )
+
+    def run_segment(t, v0_seg, edge_seg, lam_seg, k0, k1):
+        ns = k1 - k0
+        kernel = functools.partial(
+            _kernel_spike_df64, n_steps=ns, m=m, P=P, r_glast=r_glast,
+            american=american,
+        )
+        pair_sched_spec = lambda: pl.BlockSpec(
+            (2, ns, TB), lambda j: (_Z, _Z, j), memory_space=pltpu.VMEM
+        )
+        sched_spec = lambda: pl.BlockSpec(
+            (ns, TB), lambda j: (_Z, j), memory_space=pltpu.VMEM
+        )
+        in_specs = [
+            mask_spec(), mask_spec(),                    # omask_lo/hi
+            pair_trade_spec(), pair_trade_spec(), pair_trade_spec(),
+            pair_trade_spec(), pair_trade_spec(),        # bl bc bu al au
+            pair_field_spec(), pair_field_spec(), pair_field_spec(),
+            pair_field_spec(), pair_field_spec(),        # w af ab vsp wsp
+            rinv_spec,
+            pair_field_spec(), field_spec(),             # v0, out_mask
+            edge_spec(),                                 # edge0
+            pair_sched_spec(), pair_sched_spec(), pair_sched_spec(),
+            sched_spec(),                                # vmin vmax reb mon
+        ]
+        st = sets[t]
+        operands = [
+            frow(out_mask_full[:, 0]), frow(out_mask_full[:, -1]),
+            st["bl"], st["bc"], st["bu"], st["al"], st["au"],
+            st["w"], st["af"], st["ab"], st["vsp"], st["wsp"],
+            st["rinv"],
+            v0_seg, omask_t,
+            edge_seg,
+            split2(vmin_64[k0:k1]), split2(vmax_64[k0:k1]),
+            split2(rebpv_64[k0:k1]), mon_T[k0:k1],
+        ]
+        out_specs = [pair_field_spec(), edge_spec()]
+        out_shape = [
+            jax.ShapeDtypeStruct((2, n_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, 2, B), jnp.float32),
+        ]
+        if american:
+            in_specs += [
+                pair_trade_spec(), pair_trade_spec(),
+                pair_field_spec(), pair_field_spec(),
+            ]
+            operands += [st["dt"], st["dtinv"], payoff_t, lam_seg]
+            out_specs.append(pair_field_spec())
+            out_shape.append(
+                jax.ShapeDtypeStruct((2, n_pad, B), jnp.float32)
+            )
+        res = pl.pallas_call(
+            kernel,
+            grid=(B // TB,),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                # the double-float working set is ~2x the f32 kernel's:
+                # ~14.5 MiB single-buffered at the 1024x512xTB=128
+                # production shape, over the 16 MiB DEFAULT scoped limit
+                # once Mosaic double-buffers the per-block inputs. v5e
+                # has 128 MiB physical VMEM — raise the cap instead of
+                # shrinking the trade block (TB<128 wastes vector lanes)
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n_pad, TB), jnp.float32),
+                pltpu.VMEM((n_pad, TB), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*operands)
+        return res if american else (*res, None)
+
+    payoff_t = split2(v0_t64)  # terminal values ARE the payoff
+    lam_t = (
+        jnp.zeros((2, n_pad, B), jnp.float32) if american else None
+    )
+    v_t, edges = split2(v0_t64), split2(edge0_64)
+
+    def to64(stacked):
+        return dfo.to_f64(dfo.DF(stacked[0], stacked[1]))
+
+    def assemble(vt, ed):
+        v64 = to64(vt)
+        interior = (
+            v64.reshape(m, P, B).transpose(1, 0, 2).reshape(n_pad, B)[:n_int]
+        )
+        e64 = to64(ed)
+        return jnp.concatenate(
+            [e64[0][:, None], interior.T, e64[1][:, None]], axis=1
+        )
+    div_set, reset_set = frozenset(div_steps), frozenset(reset_steps)
+
+    for k0, k1, t in segments:
+        if american and k0 in reset_set:
+            keep = 1.0 - jnp.asarray(batch.reset_lambda)[:, k0].astype(f64)
+            lam_t = split2(to64(lam_t) * keep[None, :])
+        v_t, edges, lam_t = run_segment(t, v_t, edges, lam_t, k0, k1)
+        if american and (k1 - 1) in div_set:
+            # dividend jump between pallas launches, in true f64
+            from ...ops.interp import cubic_spline_eval, natural_cubic_spline
+
+            v_full = assemble(v_t, edges)
+            d = jnp.asarray(batch.div_amount, f64)[:, k1 - 1]
+            xq = s - d[:, None]
+            j_idx = jnp.floor(
+                (jnp.log(jnp.maximum(xq, s[:, :1])) - x_min[:, None])
+                / dx[:, None]
+            ).astype(jnp.int32)
+            spline = jax.vmap(natural_cubic_spline)(s, v_full)
+            v_shift = jax.vmap(cubic_spline_eval)(spline, xq, j_idx)
+            v_shift = jnp.where(
+                is_call[:, None], jnp.maximum(v_shift, payoff), v_shift
+            )
+            v_full = jnp.where((d != 0.0)[:, None], v_shift, v_full)
+            v_int = v_full.T[1 : N - 1]
+            v_t64 = jnp.concatenate(
+                [v_int, jnp.zeros((n_pad - n_int, B), f64)], axis=0
+            ).reshape(P, m, B).transpose(1, 0, 2).reshape(n_pad, B)
+            v_t = split2(v_t64)
+            edges = split2(jnp.stack([v_full[:, 0], v_full[:, -1]]))
 
     return assemble(v_t, edges), s
 

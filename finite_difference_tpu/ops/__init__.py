@@ -1,3 +1,4 @@
+from . import df64
 from .special import norm_cdf, norm_pdf, norm_icdf, bivariate_norm_cdf
 from .tridiag import (
     thomas_solve,
@@ -8,6 +9,7 @@ from .tridiag import (
 )
 
 __all__ = [
+    "df64",
     "norm_cdf",
     "norm_pdf",
     "norm_icdf",

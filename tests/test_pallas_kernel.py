@@ -500,6 +500,95 @@ class TestAmericanSpike:
             )
 
 
+class TestDf64Spike:
+    """The double-float SPIKE variant (cn_barrier_solve_spike(df64=True))
+    — the on-chip <=1e-6 accuracy rung. Interpret-mode runs execute the
+    REAL double-float arithmetic (the kernel pins jnp.float32 pairs
+    regardless of x64), so parity vs the true-f64 scan here bounds the
+    method error itself: ~1e-11, five orders inside the rung's 1e-6 bar.
+    Shapes are kept small (64 nodes / 16 steps): the interpret-mode
+    emulation of the unrolled double-float loops compiles in O(minutes)
+    at production widths — on-chip production-shape parity is pinned by
+    the bench's f64 oracle comparison instead."""
+
+    def test_american_df64_dividends_parity_vs_scan(self):
+        """Mixed spots/vols American puts WITH discrete dividends (mixed
+        call/put dividend batches differ in Rannacher restarts and are
+        scan-only by design): the df64 kernel segments + true-f64 spline
+        jump between pallas launches must match the f64 scan at the df64
+        noise floor."""
+        from finite_difference_tpu.models.pde.batch import (
+            _spike_schedule,
+            build_american_batch,
+            price_american_batch,
+        )
+
+        B = 8
+        tb = build_american_batch(
+            spots=[90.0 + 2 * i for i in range(B)],
+            strikes=[100.0] * B,
+            sigmas=[0.15 + 0.02 * i for i in range(B)],
+            t_expiry=[1.0] * B,
+            r=[0.06] * B,
+            b=[0.06, 0.04, 0.06, 0.02, 0.06, 0.05, 0.06, 0.03],
+            is_call=[False] * B,
+            n_time_steps=16,
+            num_space_nodes=63,
+            dividends_tau=[[(0.3, 1.5)]] * B,
+        )
+        assert _spike_schedule(tb, 64) is not None
+        ref = price_american_batch(tb, n_nodes=64, solver="scan")
+        got = price_american_batch(
+            tb, n_nodes=64, solver="spike_df64_interpret"
+        )
+        for k in ("price", "delta", "gamma", "vega"):
+            # vega is a one-sided bump of two solves: the 1/dv=1e4
+            # amplification of the ~1e-12 df64 solve noise puts its
+            # floor near 5e-11 (still 3 orders inside the 1e-6 rung)
+            tol = 2e-9 if k == "vega" else 3e-11
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=tol, atol=tol, err_msg=k
+            )
+
+    def test_barrier_df64_parity_vs_scan(self):
+        """Discrete-barrier batches (rebates, KO projection) through the
+        df64 kernel match the f64 scan at the double-float noise floor."""
+        from finite_difference_tpu.models.pde.batch import (
+            build_trade_batch,
+            price_barrier_batch,
+        )
+
+        rng = np.random.default_rng(3)
+        B = 8
+        t = 0.5
+        tb = build_trade_batch(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[t] * B,
+            r=[0.0705] * B,
+            b=[0.0705] * B,
+            is_call=[True] * B,
+            n_time_steps=16,
+            monitor_times=[[t * (k + 1) / 8.0 for k in range(8)]] * B,
+            upper=[260.0] * B,
+            rebate=list(rng.uniform(0.0, 3.0, B)),
+            num_space_nodes=63,
+        )
+        ref = price_barrier_batch(tb, n_nodes=64, solver="scan")
+        got = price_barrier_batch(
+            tb, n_nodes=64, solver="spike_df64_interpret"
+        )
+        for k in ("price", "delta", "gamma", "vega"):
+            # vega is a one-sided bump of two solves: the 1/dv=1e4
+            # amplification of the ~1e-12 df64 solve noise puts its
+            # floor near 5e-11 (still 3 orders inside the 1e-6 rung)
+            tol = 2e-9 if k == "vega" else 3e-11
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=tol, atol=tol, err_msg=k
+            )
+
+
 class TestPallasCRKernel:
     def test_cr_level_coeffs_solve_matches_thomas(self):
         """The packed scalar-class CR coefficients reproduce
