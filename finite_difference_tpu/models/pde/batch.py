@@ -1405,7 +1405,21 @@ def price_barrier_batch(
                     "jumps, bounded symmetrizer exponent); use "
                     "solver='auto' or 'scan'"
                 )
-            solver = "scan"
+            # f64-on-TPU batches the propagator can't take (e.g. an
+            # unbounded symmetrizer exponent on extreme grids) still
+            # beat the x64-emulated scan ~6x on the double-float SPIKE
+            # kernel when the schedule fits it (same routing guards as
+            # the f32 spike branch above)
+            if (
+                jax.default_backend() != "cpu"
+                and _effective_is64(batch, dtype)
+                and mesh is None
+                and _spike_eligible(batch, n_nodes)
+                and (greeks_mode != "ad" or not with_greeks)
+            ):
+                solver = "spike_df64"
+            else:
+                solver = "scan"
         else:
             if solver == "spectral_mixed" and layout[3] is not None:
                 raise ValueError(

@@ -245,6 +245,61 @@ class TestSpikeRouting:
             )
 
 
+class TestF64FallbackRouting:
+    """f64-on-TPU barrier batches that the spectral propagator can't
+    take but the SPIKE schedule fits must route to the df64 kernel, not
+    the x64-emulated scan (~6x slower). Backend and spectral layout are
+    stubbed — the actual df64 kernel parity is pinned in TestDf64Spike."""
+
+    def test_spectral_ineligible_routes_spike_df64(self, monkeypatch):
+        from finite_difference_tpu.models.pde import batch as batch_mod
+
+        rng = np.random.default_rng(7)
+        B = 8
+        t = 0.25
+        tb = build_trade_batch(
+            spots=list(rng.uniform(90.0, 110.0, B)),
+            strikes=[100.0] * B,
+            sigmas=[0.3] * B,
+            t_expiry=[t] * B,
+            r=[0.05] * B,
+            b=[0.05] * B,
+            is_call=[True] * B,
+            n_time_steps=32,
+            monitor_times=[[t * (k + 1) / 4.0 for k in range(4)]] * B,
+            upper=[130.0] * B,
+            num_space_nodes=127,
+        )
+        captured = {}
+
+        def fake_driver(kernel, batch, n_nodes, dv_sigma, with_greeks,
+                        mesh, axis_name, max_chunk, dtype, greeks_mode,
+                        solver, **kw):
+            captured["solver"] = solver
+            return {}
+
+        monkeypatch.setattr(
+            batch_mod.jax, "default_backend", lambda: "tpu"
+        )
+        monkeypatch.setattr(batch_mod, "_run_batch_driver", fake_driver)
+        monkeypatch.setattr(
+            batch_mod, "_spectral_layout", lambda *a, **k: None
+        )
+        batch_mod.price_barrier_batch(tb, n_nodes=128, dtype=jnp.float64)
+        assert captured["solver"] == "spike_df64"
+        # ad-greeks have no pallas AD rule -> the scan keeps them
+        batch_mod.price_barrier_batch(
+            tb, n_nodes=128, dtype=jnp.float64, greeks_mode="ad"
+        )
+        assert captured["solver"] == "scan"
+        # spike-ineligible too -> scan
+        monkeypatch.setattr(
+            batch_mod, "_spike_eligible", lambda *a, **k: False
+        )
+        batch_mod.price_barrier_batch(tb, n_nodes=128, dtype=jnp.float64)
+        assert captured["solver"] == "scan"
+
+
 class TestInspectionMemos:
     """Identity-keyed host-inspection memos must not serve stale results
     when any consulted batch field changes (review finding: the spectral
