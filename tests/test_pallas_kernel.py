@@ -421,6 +421,49 @@ class TestSpikeFuzz:
                 got[k], ref[k], rtol=1e-8, atol=1e-8, err_msg=k
             )
 
+    def test_fuzz_df64_random_barrier_batch(self):
+        """One randomized mixed-barrier batch (same generator as above,
+        reduced steps — interpret-mode df64 compiles the unrolled pair
+        arithmetic) through the DOUBLE-FLOAT kernel: parity vs the true
+        f64 scan at the df64 noise floor, not just the f32 floor."""
+        from finite_difference_tpu.models.pde.batch import (
+            build_trade_batch,
+            price_barrier_batch,
+        )
+
+        rng = np.random.default_rng(41)
+        B = 8
+        t = float(rng.uniform(0.1, 1.0))
+        n_mon = int(rng.integers(2, 7))
+        lower, upper = [], []
+        for _ in range(B):
+            kind = rng.integers(0, 4)
+            lower.append(float(rng.uniform(60.0, 80.0)) if kind in (1, 3) else None)
+            upper.append(float(rng.uniform(125.0, 160.0)) if kind in (2, 3) else None)
+        tb = build_trade_batch(
+            spots=list(rng.uniform(85.0, 115.0, B)),
+            strikes=list(rng.uniform(90.0, 110.0, B)),
+            sigmas=list(rng.uniform(0.15, 0.5, B)),
+            t_expiry=[t] * B,
+            r=list(rng.uniform(0.0, 0.1, B)),
+            b=list(rng.uniform(-0.02, 0.1, B)),
+            is_call=list(rng.integers(0, 2, B) == 1),
+            n_time_steps=16,
+            monitor_times=[[t * (k + 1) / n_mon for k in range(n_mon)]] * B,
+            lower=lower,
+            upper=upper,
+            rebate=list(rng.uniform(0.0, 3.0, B)),
+            rebate_at_hit=list(rng.integers(0, 2, B) == 1),
+            num_space_nodes=63,
+        )
+        ref = price_barrier_batch(tb, n_nodes=64, solver="scan")
+        got = price_barrier_batch(tb, n_nodes=64, solver="spike_df64_interpret")
+        for k in ("price", "delta", "gamma", "vega"):
+            tol = 2e-9 if k == "vega" else 3e-11
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=tol, atol=tol, err_msg=k
+            )
+
 
 class TestAmericanSpike:
     """price_american_batch routing into the SPIKE solver (fused
