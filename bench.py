@@ -1026,6 +1026,41 @@ def _prices_rel(prices, oracle_prices):
     )
 
 
+# The driver captures only the LAST ~2000 chars of stdout. The full merged
+# line outgrew that window in round 4 (its head — metric, value,
+# vs_baseline — was truncated away and parsed=null). So after every
+# full-line emit the bench ALSO prints a compact (<1900-byte) line with
+# the headline and per-rung essentials; diagnostics (stage_elapsed_s,
+# stage_errors, per-greek fields) stay on the full line only. The compact
+# line is printed LAST so it is always whole inside the driver's tail.
+COMPACT_KEYS = (
+    "metric", "value", "unit", "vs_baseline", "solver", "batch",
+    "platform", "device_kind", "far_barrier_max_rel_err_vs_bs",
+    "greeks_grids_per_sec", "f64_grids_per_sec", "f64_vs_baseline",
+    "f64_max_rel_err_vs_cpu_oracle", "f64_meets_1e-6",
+    "f64_greeks_grids_per_sec", "f64_greeks_max_rel_err_vs_cpu_oracle",
+    "f64_greeks_meets_1e-6", "f32_american_grids_per_sec",
+    "f32_american_greeks_grids_per_sec", "f32_american_div_grids_per_sec",
+    "f32_american_max_rel_err_vs_cpu_oracle",
+    "f64_american_greeks_grids_per_sec",
+    "f64_american_max_rel_err_vs_cpu_oracle", "f64_american_meets_1e-6",
+    "mesh_spike_grids_per_sec", "served_greeks_max_rel_err",
+    "serving_prices_per_sec", "elapsed_s", "skipped_stages",
+    "degraded_to_cpu_from_stage",
+)
+
+
+def compact_line(result: dict) -> str:
+    """The <1900-byte artifact line (see COMPACT_KEYS note above)."""
+    def cv(v):
+        return float(f"{v:.6g}") if isinstance(v, float) else v
+
+    line = json.dumps({k: cv(result[k]) for k in COMPACT_KEYS if k in result})
+    # growth guard: the whole point is fitting the driver's window
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    return line
+
+
 def run_bench() -> None:
     """Orchestrator. Structured so a kill at ANY point still leaves a
     valid best-so-far artifact on stdout:
@@ -1070,6 +1105,7 @@ def run_bench() -> None:
     def emit():
         result["elapsed_s"] = round(time.monotonic() - t_start, 1)
         print(json.dumps(result), flush=True)
+        print(compact_line(result), flush=True)
 
     def run_probe():
         # fail fast when the device backend is unreachable (a dead
