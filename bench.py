@@ -852,14 +852,23 @@ def stage_scengen(out_path: str) -> None:
         )
 
 
-def stage_serving(out_path: str) -> None:
+def stage_serving(out_path: str, oracle_greeks_path: str = None) -> None:
     """Steady-state serving throughput: one warm bucket of the
     BarrierPricingService (the HTTP server's device path — serving =
     service.price per batch; the HTTP framing adds ~ms, measured in
     tests/test_serving.py). Requests of exactly one bucket size so every
-    iteration reuses one compiled kernel."""
+    iteration reuses one compiled kernel.
+
+    Second measure: the GREEKS a service actually ships. An f32 service
+    with greeks solves at the f64 accuracy rung by default (the
+    f32-greeks policy, serving/service._resolve_greeks_dtype); serving
+    the bench's own oracle trades and comparing against the CPU oracle
+    stack proves the shipped-greeks accuracy (``served_greeks_max_rel_
+    err``), closing the policy loop the per-greek f32 fields opened.
+    """
     import jax
 
+    jax.config.update("jax_enable_x64", True)  # the greeks policy rung
     on_tpu = _on_tpu()
 
     from finite_difference_tpu.serving import BarrierPricingService
@@ -892,15 +901,55 @@ def stage_serving(out_path: str) -> None:
     for _ in range(iters):
         res = svc.price(trades)
     elapsed = time.perf_counter() - t0
-    with open(out_path, "w") as f:
-        json.dump(
+    out = {
+        "prices_per_sec": B * iters / elapsed,
+        "bucket": B,
+        "platform": "tpu" if on_tpu else "cpu",
+    }
+
+    if oracle_greeks_path and os.path.exists(oracle_greeks_path):
+        # serve the oracle's own trades through an f32+greeks service
+        # (policy routes the solve to the f64 rung) and measure both the
+        # shipped accuracy and the greek-serving rate
+        g_or = np.load(oracle_greeks_path)  # (5, ORACLE_B)
+        nB = g_or.shape[1]
+        rng0 = np.random.default_rng(0)  # make_batch's draw, same prefix
+        spots = rng0.uniform(180.0, 250.0, 4096)[:nB]
+        sigmas = rng0.uniform(0.2, 0.35, 4096)[:nB]
+        g_trades = [
             {
-                "prices_per_sec": B * iters / elapsed,
-                "bucket": B,
-                "platform": "tpu" if on_tpu else "cpu",
-            },
-            f,
+                "spot": float(s), "strike": 190.0, "sigma": float(sg),
+                "t_expiry": T_EXP, "r": 0.0705, "b": 0.0705,
+                "is_call": True, "barrier_type": "up-and-out",
+                "upper": 420.0,
+                "monitor_times": [T_EXP * (k + 1) / 24.0 for k in range(24)],
+            }
+            for s, sg in zip(spots, sigmas)
+        ]
+        g_svc = BarrierPricingService(
+            n_time_steps=N_STEPS,
+            num_space_nodes=N_SPACE_NODES,
+            with_greeks=True,
+            dtype=np.float32,  # policy upgrades the solve to f64
+            min_bucket=nB,
+            max_bucket=nB,
         )
+        g_res = g_svc.price(g_trades)  # compile + warm
+        g_iters = 4 if on_tpu else 1
+        t0 = time.perf_counter()
+        for _ in range(g_iters):
+            g_res = g_svc.price(g_trades)
+        g_elapsed = time.perf_counter() - t0
+        served = np.stack(
+            [
+                np.array([row[k] for row in g_res])
+                for k in ("price", "vega", "delta", "gamma", "theta")
+            ]
+        )
+        out["greeks_prices_per_sec"] = nB * g_iters / g_elapsed
+        out["served_greeks_max_rel_err"] = _greeks_stack_rel(served, g_or)
+    with open(out_path, "w") as f:
+        json.dump(out, f)
 
 
 _DEGRADED_STAGES = []  # stages that fell back to CPU after a mid-run device loss
@@ -1320,8 +1369,31 @@ def run_bench() -> None:
                     "npvs_per_sec")),
         ("hw1f", 300, False,
          sub_runner("hw1f", "hw1f_pipeline_npvs_per_sec", "npvs_per_sec")),
-        ("serving", 200, False,
-         sub_runner("serving", "serving_prices_per_sec", "prices_per_sec")),
+        ("serving", 500, False, None),  # custom runner below
+    ]
+
+    def run_serving():
+        # pass the CPU oracle's greeks stack so the stage can prove the
+        # shipped-greeks accuracy under the f32-greeks policy
+        path = p("serving.json")
+        _run_stage(
+            ["--stage", "serving", "--out", path,
+             "--greeks", p("oracle_greeks.npy")],
+            timeout=900, retries=0,
+        )
+        sj = json.load(open(path))
+        result["serving_prices_per_sec"] = round(sj["prices_per_sec"], 1)
+        if "served_greeks_max_rel_err" in sj:
+            result["serving_greeks_prices_per_sec"] = round(
+                sj["greeks_prices_per_sec"], 1
+            )
+            result["served_greeks_max_rel_err"] = sj[
+                "served_greeks_max_rel_err"
+            ]
+
+    stages = [
+        (n_, e_, m_, run_serving if n_ == "serving" else f_)
+        for n_, e_, m_, f_ in stages
     ]
     for name, est, mandatory, fn in stages:
         elapsed = time.monotonic() - t_start
@@ -1395,7 +1467,7 @@ def main() -> None:
     if a.stage == "scengen":
         return stage_scengen(a.out)
     if a.stage == "serving":
-        return stage_serving(a.out)
+        return stage_serving(a.out, a.greeks)
     run_bench()
 
 

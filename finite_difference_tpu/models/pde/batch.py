@@ -882,6 +882,39 @@ def _spike_solve_fn(batch_dev, n_nodes: int, solver: str, spike_segments,
     return solve
 
 
+_SHARD_MAP_CACHE: Dict[tuple, object] = {}
+
+
+def _shard_mapped_kernel(kernel, mesh, axis_name: str, kw: dict):
+    """jit(shard_map(kernel)) wrapper cache for the mesh SPIKE path.
+
+    A pallas custom call is opaque to the SPMD partitioner — under plain
+    ``jit`` + NamedSharding XLA would all-gather the whole batch onto
+    every device before the call. ``shard_map`` instead hands each device
+    its LOCAL shard of the trade axis and traces the kernel at the local
+    shape, so N chips run N independent SPIKE launches with zero
+    collectives — the mesh rung carries the same kernel as the
+    single-chip headline (VERDICT r4 task 2; SURVEY §5.8). All kernel
+    kwargs (statics + the float dv_sigma) are closed over and key the
+    cache, like ``_jitted_kernel``."""
+    key = (kernel, mesh, axis_name, tuple(sorted(kw.items())))
+    fn = _SHARD_MAP_CACHE.get(key)
+    if fn is None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fn = _SHARD_MAP_CACHE[key] = jax.jit(
+            shard_map(
+                lambda piece: kernel(piece, **kw),
+                mesh=mesh,
+                in_specs=(P(axis_name),),
+                out_specs=P(axis_name),
+                check_rep=False,
+            )
+        )
+    return fn
+
+
 def _jitted_kernel(kernel, static_argnames: tuple):
     """Module-level jit-wrapper cache. Building a fresh ``jax.jit`` object
     per driver call makes every call re-trace (the wrapper's cache dies
@@ -991,15 +1024,29 @@ def _run_batch_driver(
 
     dev = jax.tree.map(to_device, batch)
 
+    pad_to = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         shard = NamedSharding(mesh, P(axis_name))
         place = lambda x: jax.device_put(x, shard)
-        run = lambda piece: fn(jax.tree.map(place, piece), **kw)
-        # the working-set cliff is PER CHIP: chunk so each device's shard
-        # stays under max_chunk trades
-        chunk = None if max_chunk is None else max_chunk * mesh.size
+        if takes_solver and solver in _SPIKE_SOLVERS:
+            # opaque pallas call -> shard_map (see _shard_mapped_kernel):
+            # each device launches the SPIKE kernel on its local shard.
+            # The VMEM-resident march has no per-chip HBM cliff, so no
+            # chunking; shard_map needs equal shards and the kernel
+            # needs each LOCAL batch <=128 trades or a 128-multiple
+            # (_spike_schedule_impl) -> pad the trade axis up front.
+            sm = _shard_mapped_kernel(kernel, mesh, axis_name, kw)
+            run = lambda piece: sm(jax.tree.map(place, piece))
+            chunk = None
+            q = 128 * mesh.size
+            pad_to = q if B >= q else mesh.size
+        else:
+            run = lambda piece: fn(jax.tree.map(place, piece), **kw)
+            # the working-set cliff is PER CHIP: chunk so each device's
+            # shard stays under max_chunk trades
+            chunk = None if max_chunk is None else max_chunk * mesh.size
     else:
         run = lambda piece: fn(piece, **kw)
         chunk = max_chunk
@@ -1011,9 +1058,18 @@ def _run_batch_driver(
             # stream through the core sequentially inside the kernel
             chunk = None
 
+    if pad_to is not None and B % pad_to:
+        pad = pad_to - B % pad_to
+        dev = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
+            ),
+            dev,
+        )
+
     if chunk is None or B <= chunk:
         out = run(dev)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: np.asarray(v)[:B] for k, v in out.items()}
 
     pieces = []
     for start in range(0, B, chunk):
@@ -1063,21 +1119,23 @@ def price_american_batch(
     measured 3,791 grids/s at the 1024x512 B=256 production shape vs
     the x64-emulated scan's 591 (docs/PERF_NOTES.md round 4). Everything
     else — CPU, mixed call/put dividend batches (differing Rannacher
-    restarts), greeks_mode='ad' (a pallas call has no AD rule), or
-    mesh-sharded batches — runs the XLA scan. The spectral propagator is
+    restarts), or greeks_mode='ad' (a pallas call has no AD rule) — runs
+    the XLA scan. Mesh-sharded batches ride the same SPIKE kernels via
+    ``shard_map`` (one local pallas launch per device, zero collectives
+    — see :func:`_shard_mapped_kernel`). The spectral propagator is
     European-only (the IT projection is nonlinear in the state), so
     unlike the barrier sweep there is no spectral rung here.
     """
     if solver == "auto":
         if (
             jax.default_backend() != "cpu"
-            and mesh is None
             and _spike_eligible(batch, n_nodes)
             and (greeks_mode != "ad" or not with_greeks)
         ):
             # f64-on-TPU rides the double-float SPIKE kernel (the <=1e-6
             # accuracy rung, ~2x the x64-emulated XLA scan); f32 rides
-            # the plain f32 SPIKE kernel
+            # the plain f32 SPIKE kernel. Mesh runs ride the same kernels
+            # via shard_map (see _shard_mapped_kernel).
             solver = (
                 "spike_df64" if _effective_is64(batch, dtype) else "spike"
             )
@@ -1090,11 +1148,6 @@ def price_american_batch(
                 "(theta, dt) schedule shared across trades with no "
                 "dividend jumps and a batch size divisible by the "
                 "128-trade block); use solver='auto'"
-            )
-        if mesh is not None:
-            raise ValueError(
-                "solver='spike' does not shard over a mesh (opaque pallas "
-                "custom call); use solver='auto' to route per-backend"
             )
     return _run_batch_driver(
         american_batch_kernel, batch, n_nodes, dv_sigma, with_greeks,
@@ -1287,14 +1340,15 @@ def _spike_schedule_impl(
     )
     event_breaks = {k + 1 for k in div_steps if k + 1 < n}
     event_breaks.update(reset_steps)
-    breaks = [0]
-    for k in range(1, n):
-        if (
-            th0[k] != th0[k - 1]
-            or not np.array_equal(dt[:, k], dt[:, k - 1])
-            or k in event_breaks
-        ):
-            breaks.append(k)
+    # vectorized column-change detection (a per-step Python loop here cost
+    # ~5 ms per serving request at B=256 x n=512 — the schedule memo
+    # misses on every request because each builds fresh arrays)
+    col_change = th0[1:] != th0[:-1]
+    if dt.shape[0] > 0:
+        col_change = col_change | (dt[:, 1:] != dt[:, :-1]).any(axis=0)
+    break_set = set((np.flatnonzero(col_change) + 1).tolist())
+    break_set |= event_breaks
+    breaks = [0] + sorted(break_set - {0})
     if len(breaks) > max_segments:
         return None
     breaks.append(n)
@@ -1372,12 +1426,12 @@ def price_barrier_batch(
         # pallas kernel when the schedule fits it (~2x the XLA scan,
         # identical math), else the scan.
         if jax.default_backend() != "cpu" and not _effective_is64(batch, dtype):
-            # mesh runs stay on the scan: a pallas custom call is opaque
-            # to the SPMD partitioner (it would all-gather the batch)
+            # mesh runs ride the same kernel via shard_map (each device
+            # launches the pallas call on its local shard — see
+            # _shard_mapped_kernel)
             solver = (
                 "spike"
-                if mesh is None
-                and _spike_eligible(batch, n_nodes)
+                if _spike_eligible(batch, n_nodes)
                 and (greeks_mode != "ad" or not with_greeks)
                 else "scan"
             )
@@ -1389,11 +1443,6 @@ def price_barrier_batch(
                 "monitor-aligned layouts — with no dividend jumps and a "
                 "batch size divisible by the 128-trade block); use "
                 "solver='auto'"
-            )
-        if mesh is not None:
-            raise ValueError(
-                "solver='spike' does not shard over a mesh (opaque pallas "
-                "custom call); use solver='auto' to route per-backend"
             )
     if solver in ("auto", "spectral", "spectral_x64dst", "spectral_mixed"):
         layout = _spectral_layout(batch, n_nodes, dtype)
@@ -1413,7 +1462,6 @@ def price_barrier_batch(
             if (
                 jax.default_backend() != "cpu"
                 and _effective_is64(batch, dtype)
-                and mesh is None
                 and _spike_eligible(batch, n_nodes)
                 and (greeks_mode != "ad" or not with_greeks)
             ):

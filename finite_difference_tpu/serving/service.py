@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
+import warnings
 from typing import Any, Dict, List, Mapping, Optional, Sequence
 
 import numpy as np
@@ -28,6 +29,41 @@ import numpy as np
 __all__ = ["BarrierPricingService", "AmericanPricingService"]
 
 _GREEK_KEYS = ("price", "delta", "gamma", "vega", "theta")
+
+
+def _resolve_greeks_dtype(dtype, with_greeks: bool, greeks_dtype):
+    """The f32-greeks shipping policy (round 5).
+
+    Bump greeks on the f32 throughput rung carry Γ at ~13-32% and Θ at
+    ~20% relative error vs the f64 oracle (BENCH_r04 per-greek fields) —
+    orders worse than the reference's production greek diffs
+    (BASELINE.md: Δ 6.8e-5, Γ/vega at 1e-3-or-better). A service asked
+    for greeks therefore solves at the ACCURACY rung by default: an
+    effective-f64 batch rides the df64 SPIKE / spectral f64 kernels
+    (~3.8-4.7k grids/s/chip, errors ~1e-9..5e-7 vs oracle; price comes
+    from the same solve and is strictly more accurate than the f32
+    one). Price-only services keep the requested dtype (the 37-39k f32
+    rung). Pass ``greeks_dtype=np.float32`` to explicitly opt back into
+    fast bump greeks at the documented noise floor.
+    """
+    if not with_greeks or greeks_dtype is not None:
+        return np.dtype(greeks_dtype) if greeks_dtype is not None else np.dtype(dtype)
+    dt = np.dtype(dtype)
+    if dt == np.float32:
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            warnings.warn(
+                "greeks on an f32 service default to the f64 accuracy "
+                "rung, but jax x64 is disabled — greeks will run at f32 "
+                "with Γ/Θ noise ~0.1-0.3 rel (see docs/PERF_NOTES.md "
+                "'Precision ladder'). Enable x64 or pass "
+                "greeks_dtype=np.float32 to silence.",
+                stacklevel=3,
+            )
+            return dt
+        return np.dtype(np.float64)
+    return dt
 
 
 def _next_bucket(n: int, min_bucket: int, max_bucket: int) -> int:
@@ -112,7 +148,11 @@ class BarrierPricingService(_BucketedService):
 
     The grid (``n_time_steps`` x ``num_space_nodes``) and dtype are fixed
     per service instance so every request reuses the bucket's compiled
-    kernel; construct one service per grid policy.
+    kernel; construct one service per grid policy. A greek-bearing
+    ``dtype=float32`` service solves at the f64 accuracy rung by default
+    (the f32-greeks policy, :func:`_resolve_greeks_dtype`); pass
+    ``greeks_dtype=np.float32`` to opt into fast bump greeks at the f32
+    noise floor (Γ/Θ ~0.1-0.3 rel — docs/PERF_NOTES.md).
 
     ``route='hybrid'`` applies the FIS n_lim monitoring decision per trade
     (the runner's --route hybrid; reference semantics
@@ -137,6 +177,7 @@ class BarrierPricingService(_BucketedService):
         max_bucket: int = 4096,
         mesh=None,
         route: str = "pde",
+        greeks_dtype=None,
     ) -> None:
         super().__init__(min_bucket, max_bucket)
         if route not in ("pde", "hybrid"):
@@ -146,7 +187,9 @@ class BarrierPricingService(_BucketedService):
         self.with_greeks = bool(with_greeks)
         self.greeks_mode = greeks_mode
         self.solver = solver
-        self.dtype = dtype
+        # greek-bearing f32 services solve at the f64 accuracy rung by
+        # default (see _resolve_greeks_dtype — the f32-greeks policy)
+        self.dtype = _resolve_greeks_dtype(dtype, self.with_greeks, greeks_dtype)
         self.max_chunk = max_chunk
         self.mesh = mesh
         self.route = route
@@ -428,6 +471,7 @@ class AmericanPricingService(_BucketedService):
         snap_to_grid: bool = False,
         mesh=None,
         richardson: bool = False,
+        greeks_dtype=None,
     ) -> None:
         super().__init__(min_bucket, max_bucket)
         self.n_time_steps = int(n_time_steps)
@@ -435,7 +479,9 @@ class AmericanPricingService(_BucketedService):
         self.with_greeks = bool(with_greeks)
         self.greeks_mode = greeks_mode
         self.solver = solver
-        self.dtype = dtype
+        # greek-bearing f32 services solve at the f64 accuracy rung by
+        # default (see _resolve_greeks_dtype — the f32-greeks policy)
+        self.dtype = _resolve_greeks_dtype(dtype, self.with_greeks, greeks_dtype)
         self.max_chunk = max_chunk
         self.snap_to_grid = bool(snap_to_grid)
         self.mesh = mesh

@@ -188,6 +188,66 @@ class TestBarrierService:
             svc.price([_ko_trade(barrier_type="sideways-out")])
 
 
+class TestGreeksDtypePolicy:
+    """The f32-greeks shipping policy (round 5): a greek-bearing f32
+    service solves at the f64 accuracy rung unless explicitly opted out
+    (service._resolve_greeks_dtype)."""
+
+    def test_f32_greeks_service_defaults_to_f64(self):
+        from finite_difference_tpu.serving import (
+            AmericanPricingService, BarrierPricingService,
+        )
+
+        svc = _barrier_service(dtype=np.float32, with_greeks=True)
+        assert np.dtype(svc.dtype) == np.float64
+        am = AmericanPricingService(
+            n_time_steps=8, num_space_nodes=62, dtype=np.float32,
+            with_greeks=True, min_bucket=4, max_bucket=8,
+        )
+        assert np.dtype(am.dtype) == np.float64
+
+    def test_explicit_f32_greeks_opt_out_and_price_only_keep_f32(self):
+        from finite_difference_tpu.serving import BarrierPricingService
+
+        svc = _barrier_service(
+            dtype=np.float32, with_greeks=True, greeks_dtype=np.float32
+        )
+        assert np.dtype(svc.dtype) == np.float32
+        price_only = _barrier_service(dtype=np.float32, with_greeks=False)
+        assert np.dtype(price_only.dtype) == np.float32
+        f64 = _barrier_service(dtype=np.float64, with_greeks=True)
+        assert np.dtype(f64.dtype) == np.float64
+
+    def test_policy_warns_when_x64_disabled(self):
+        import jax
+
+        from finite_difference_tpu.serving.service import (
+            _resolve_greeks_dtype,
+        )
+
+        jax.config.update("jax_enable_x64", False)
+        try:
+            with pytest.warns(UserWarning, match="accuracy rung"):
+                dt = _resolve_greeks_dtype(np.float32, True, None)
+            assert np.dtype(dt) == np.float32  # honest: can't upgrade
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    def test_f32_greeks_service_ships_f64_accuracy(self):
+        """End-to-end: the served greeks from an f32 service equal the
+        f64 batch solve (not the noisy f32 one)."""
+        trades = [_ko_trade(), _ko_trade(spot=105.0)]
+        got = _barrier_service(dtype=np.float32, with_greeks=True).price(
+            trades
+        )
+        want = _barrier_service(dtype=np.float64, with_greeks=True).price(
+            trades
+        )
+        for g, w in zip(got, want):
+            for k in ("price", "delta", "gamma", "vega", "theta"):
+                assert g[k] == pytest.approx(w[k], rel=1e-12), k
+
+
 class TestMeshShardedService:
     def test_mesh_sharded_service_matches_single_device(self):
         """A service built with a mesh shards its buckets over the
