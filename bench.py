@@ -210,6 +210,32 @@ def stage_f32(out_path: str, greeks_path: str = None) -> None:
     sp_np = sp_out[0]
     spectral_grids_per_sec = B_diag * d_iters / sp_elapsed
 
+    # the PRODUCT mesh path: price_barrier_batch(mesh=...) routes to the
+    # shard_mapped SPIKE kernel (round 5) — measured through the full
+    # driver on a 1-device mesh of the real chip, proving the mesh API
+    # carries the kernel rate (the per-chip share of an N-chip run)
+    mesh_spike_grids_per_sec = None
+    if on_tpu:
+        from finite_difference_tpu.models.pde.batch import (
+            price_barrier_batch,
+        )
+        from finite_difference_tpu.parallel import make_mesh
+
+        mesh1 = make_mesh(1, axis_names=("data",))
+        m_out = price_barrier_batch(
+            tb, n_nodes=N_SPACE_NODES + 1, with_greeks=False, mesh=mesh1
+        )  # warm; auto routes to spike via shard_map
+        t0 = time.perf_counter()
+        m_iters = 4
+        for _ in range(m_iters):
+            m_out = price_barrier_batch(
+                tb, n_nodes=N_SPACE_NODES + 1, with_greeks=False, mesh=mesh1
+            )
+        mesh_spike_grids_per_sec = B * m_iters / (time.perf_counter() - t0)
+        assert np.allclose(
+            m_out["price"], p_np, rtol=1e-6, atol=1e-6
+        ), "mesh spike must match the unsharded headline kernel"
+
     # far-barrier European-limit cross-check vs Black-76 closed form
     from finite_difference_tpu.models.analytic import generalized_bs_price
 
@@ -252,6 +278,7 @@ def stage_f32(out_path: str, greeks_path: str = None) -> None:
                 "platform": "tpu" if on_tpu else "cpu",
                 "device_kind": jax.devices()[0].device_kind,
                 "far_barrier_max_rel_err_vs_bs": rel_err,
+                "mesh_spike_grids_per_sec": mesh_spike_grids_per_sec,
             },
             f,
         )
@@ -1209,6 +1236,10 @@ def run_bench() -> None:
         result["f32_spectral_max_rel_err_vs_bs"] = f32[
             "spectral_far_barrier_max_rel_err_vs_bs"
         ]
+        if f32.get("mesh_spike_grids_per_sec"):
+            result["mesh_spike_grids_per_sec"] = round(
+                f32["mesh_spike_grids_per_sec"], 2
+            )
 
     def run_f64():
         _run_stage(
