@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import inspect
 import math
+import os
 from dataclasses import dataclass, replace
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -928,6 +929,140 @@ def _jitted_kernel(kernel, static_argnames: tuple):
     return fn
 
 
+# --------------------------------------------------------------------------
+# Packed-transfer launch path (round 5, serving optimization)
+#
+# Through the TPU tunnel every host->device array transfer and every
+# host fetch is a separate RPC with a measured ~31 ms round-trip floor;
+# the batch pytree has ~23 leaves and a greeks result 5, so a serving
+# request at B=256 paid ~57 ms in transfers + serial fetches against a
+# ~7 ms kernel (docs/PERF_NOTES.md "Serving cost breakdown"). This path
+# packs the batch into at most FOUR device transfers (per-trade floats,
+# per-trade bools, shared schedule rows x2) plus rare extras, unpacks
+# INSIDE the jitted program (broadcasts are free under XLA), and stacks
+# the kernel's output dict so ONE fetch returns everything.
+# --------------------------------------------------------------------------
+_PACKED_F = ("x_min", "dx", "strike", "sigma", "r", "b", "q", "lower",
+             "upper", "rebate", "rebate_rate", "s_eff", "spot")
+_PACKED_BOOL = ("is_call", "has_lower", "has_upper", "rebate_at_hit")
+_PACKED_SCHED_F = ("dt", "theta", "tau_next", "div_amount")
+_PACKED_SCHED_B = ("monitor", "reset_lambda")
+_PACKED_SP = ("sp_k_end", "sp_apply", "sp_rann", "sp_dt")
+
+_PACKED_CACHE: Dict[tuple, tuple] = {}
+
+
+def _pack_transfers_enabled() -> bool:
+    """Default: pack on accelerators (transfer-RPC bound), not on CPU
+    (tests pin bit-equality of the unpacked path there; FD_PACK_TRANSFERS
+    overrides either way)."""
+    flag = os.environ.get("FD_PACK_TRANSFERS")
+    if flag is not None:
+        return flag not in ("", "0")
+    return jax.default_backend() != "cpu"
+
+
+def _packed_kernel(kernel, kw: dict, shared_f: tuple, shared_b: tuple,
+                   sp_present: tuple):
+    """jit-wrapper cache for the packed launch; the wrapper reassembles
+    the BarrierTradeBatch from the packed arrays inside the trace and
+    stacks the kernel's outputs into one (n_keys, B) array."""
+    key = (
+        kernel, tuple(sorted(kw.items())), shared_f, shared_b, sp_present,
+    )
+    hit = _PACKED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    keys_box: List[tuple] = []
+
+    def fn(pf, pb, psf, psb, extras):
+        B_ = pf.shape[1]
+        fields = {n: pf[i] for i, n in enumerate(_PACKED_F)}
+        fields.update({n: pb[i] for i, n in enumerate(_PACKED_BOOL)})
+        fi = bi = 0
+        for n, sh in zip(_PACKED_SCHED_F, shared_f):
+            if sh:
+                row = psf[fi]
+                fi += 1
+                fields[n] = jnp.broadcast_to(row[None, :], (B_, row.shape[0]))
+            else:
+                fields[n] = extras[n]
+        for n, sh in zip(_PACKED_SCHED_B, shared_b):
+            if sh:
+                row = psb[bi]
+                bi += 1
+                fields[n] = jnp.broadcast_to(row[None, :], (B_, row.shape[0]))
+            else:
+                fields[n] = extras[n]
+        for n, present in zip(_PACKED_SP, sp_present):
+            fields[n] = extras[n] if present else None
+        out = kernel(BarrierTradeBatch(**fields), **kw)
+        if not keys_box:
+            keys_box.append(tuple(out))
+        return jnp.stack(list(out.values()))
+
+    pair = (jax.jit(fn), keys_box)
+    _PACKED_CACHE[key] = pair
+    return pair
+
+
+def _run_packed(kernel, batch: BarrierTradeBatch, kw: dict, B: int):
+    """Packed single-launch path, or None when the batch doesn't fit it
+    (device-resident leaves, mixed dtypes — the generic path handles
+    those)."""
+    d = batch.__dict__
+    mand = _PACKED_F + _PACKED_BOOL + _PACKED_SCHED_F + _PACKED_SCHED_B
+    vals = {}
+    for n in mand:
+        v = d[n]
+        if v is None or isinstance(v, jax.Array):
+            return None
+        vals[n] = np.asarray(v)
+    f_dtype = vals["sigma"].dtype
+    if any(vals[n].dtype != f_dtype for n in _PACKED_F):
+        return None
+    if any(vals[n].dtype != f_dtype for n in _PACKED_SCHED_F):
+        return None
+    for n in _PACKED_SP:
+        if isinstance(d[n], jax.Array):
+            return None
+
+    def row_shared(x):
+        return x.ndim == 2 and x.shape[0] == B and B > 1 and (x == x[:1]).all()
+
+    shared_f = tuple(bool(row_shared(vals[n])) for n in _PACKED_SCHED_F)
+    shared_b = tuple(bool(row_shared(vals[n])) for n in _PACKED_SCHED_B)
+    sp_present = tuple(d[n] is not None for n in _PACKED_SP)
+
+    n_steps = vals["dt"].shape[1]
+    pf = np.stack([vals[n] for n in _PACKED_F])
+    pb = np.stack([vals[n].astype(bool) for n in _PACKED_BOOL])
+    psf_rows = [vals[n][0] for n, sh in zip(_PACKED_SCHED_F, shared_f) if sh]
+    psb_rows = [vals[n][0] for n, sh in zip(_PACKED_SCHED_B, shared_b) if sh]
+    psf = (np.stack(psf_rows) if psf_rows
+           else np.zeros((0, n_steps), dtype=f_dtype))
+    psb = (np.stack(psb_rows) if psb_rows
+           else np.zeros((0, n_steps), dtype=bool))
+    extras = {
+        n: np.asarray(vals[n])
+        for n, sh in zip(_PACKED_SCHED_F, shared_f) if not sh
+    }
+    extras.update({
+        n: np.asarray(vals[n])
+        for n, sh in zip(_PACKED_SCHED_B, shared_b) if not sh
+    })
+    extras.update({
+        n: np.asarray(d[n])
+        for n, present in zip(_PACKED_SP, sp_present) if present
+    })
+
+    fn, keys_box = _packed_kernel(
+        kernel, kw, shared_f, shared_b, sp_present
+    )
+    stacked = np.asarray(fn(pf, pb, psf, psb, extras))  # ONE fetch
+    return {k: stacked[i] for i, k in enumerate(keys_box[0])}
+
+
 def _run_batch_driver(
     kernel,
     batch: BarrierTradeBatch,
@@ -1003,6 +1138,23 @@ def _run_batch_driver(
         else:
             kw["with_dividends"] = _has_dividends(batch)
     B = batch.batch_size
+
+    if (
+        mesh is None
+        and _pack_transfers_enabled()
+        and (
+            max_chunk is None
+            or B <= max_chunk
+            or (takes_solver and solver in _SPIKE_SOLVERS)
+        )
+    ):
+        # single-launch, host-built batch: packed transfers + one fetch
+        # (see the packed-path block above). Ineligible batches
+        # (device-resident leaves, mixed dtypes) return None and fall
+        # through to the generic path.
+        packed = _run_packed(kernel, batch, kw, B)
+        if packed is not None:
+            return packed
 
     def to_device(x):
         # Sweep batches share one schedule across all trades; the (B, n_steps)

@@ -280,6 +280,116 @@ class TestChunkedDriver:
         )
 
 
+class TestPackedTransfers:
+    """The packed-transfer launch path (round 5 serving optimization):
+    batch packed into <=4 device transfers, unpacked inside the jit,
+    outputs stacked for ONE fetch — must match the generic per-leaf
+    path on every solver lane it serves."""
+
+    def _batch(self, B=12, monitors=4, n_time=32, nodes=127, **kw):
+        rng = np.random.default_rng(7)
+        t = 31.0 / 365.0
+        args = dict(
+            spots=list(rng.uniform(180.0, 250.0, B)),
+            strikes=[190.0] * B,
+            sigmas=list(rng.uniform(0.2, 0.35, B)),
+            t_expiry=[t] * B,
+            r=[0.0705] * B,
+            b=[0.0705] * B,
+            is_call=[True] * B,
+            n_time_steps=n_time,
+            monitor_times=[
+                [t * (k + 1) / monitors for k in range(monitors)]
+            ] * B,
+            upper=[260.0] * B,
+            num_space_nodes=nodes,
+        )
+        args.update(kw)
+        return build_trade_batch(**args)
+
+    def _packed_vs_plain(self, monkeypatch, tb, n_nodes, **kw):
+        from finite_difference_tpu.models.pde import batch as M
+
+        monkeypatch.setenv("FD_PACK_TRANSFERS", "0")
+        plain = price_barrier_batch(tb, n_nodes=n_nodes, **kw)
+        monkeypatch.setenv("FD_PACK_TRANSFERS", "1")
+        packed = price_barrier_batch(tb, n_nodes=n_nodes, **kw)
+        return plain, packed
+
+    def test_scan_packed_matches_plain(self, monkeypatch):
+        tb = self._batch()
+        plain, packed = self._packed_vs_plain(
+            monkeypatch, tb, 128, solver="scan"
+        )
+        for k in plain:
+            np.testing.assert_allclose(
+                packed[k], plain[k], rtol=1e-12, atol=1e-13, err_msg=k
+            )
+
+    def test_spectral_packed_matches_plain(self, monkeypatch):
+        tb = self._batch()
+        plain, packed = self._packed_vs_plain(monkeypatch, tb, 128)
+        assert set(plain) == {"price", "vega", "delta", "gamma", "theta"}
+        for k in plain:
+            np.testing.assert_allclose(
+                packed[k], plain[k], rtol=1e-9, atol=1e-10, err_msg=k
+            )
+
+    def test_spike_interpret_packed_matches_plain(self, monkeypatch):
+        tb = self._batch()
+        plain, packed = self._packed_vs_plain(
+            monkeypatch, tb, 128, solver="spike_interpret"
+        )
+        for k in plain:
+            np.testing.assert_allclose(
+                packed[k], plain[k], rtol=1e-12, atol=1e-13, err_msg=k
+            )
+
+    def test_american_dividends_packed_matches_plain(self, monkeypatch):
+        from finite_difference_tpu.models.pde.batch import (
+            build_american_batch, price_american_batch,
+        )
+
+        rng = np.random.default_rng(8)
+        B = 8
+        tb = build_american_batch(
+            spots=list(rng.uniform(80.0, 120.0, B)),
+            strikes=[100.0] * B,
+            sigmas=list(rng.uniform(0.15, 0.3, B)),
+            t_expiry=[1.0] * B, r=[0.06] * B, b=[0.06] * B,
+            is_call=[False] * B, n_time_steps=32, num_space_nodes=127,
+            dividends_tau=[[(0.1, 1.5)]] * B,
+        )
+        monkeypatch.setenv("FD_PACK_TRANSFERS", "0")
+        plain = price_american_batch(tb, n_nodes=128)
+        monkeypatch.setenv("FD_PACK_TRANSFERS", "1")
+        packed = price_american_batch(tb, n_nodes=128)
+        for k in plain:
+            np.testing.assert_allclose(
+                packed[k], plain[k], rtol=1e-12, atol=1e-13, err_msg=k
+            )
+
+    def test_device_resident_batch_falls_back(self, monkeypatch):
+        """A device-resident batch must take the generic path (packing
+        would round-trip the data through the host)."""
+        import jax
+        import jax.numpy as jnp
+
+        from finite_difference_tpu.models.pde import batch as M
+
+        tb = self._batch(B=4, n_time=8, nodes=63)
+        dev_tb = jax.tree.map(jnp.asarray, tb)
+        monkeypatch.setenv("FD_PACK_TRANSFERS", "1")
+        assert M._run_packed(
+            M.price_batch_kernel, dev_tb,
+            dict(n_nodes=64, dv_sigma=None, with_greeks=False,
+                 greeks_mode="bump", solver="scan"), 4,
+        ) is None
+        out = price_barrier_batch(dev_tb, n_nodes=64, solver="scan",
+                                  with_greeks=False)
+        assert np.isfinite(out["price"]).all()
+
+
 class TestBatchedDoubleBarrier:
     def test_double_and_lower_match_scalar_pricer(self):
         """down-and-out and double-out batched trades reproduce the scalar
