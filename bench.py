@@ -1121,8 +1121,8 @@ COMPACT_KEYS = (
     "f64_american_greeks_grids_per_sec",
     "f64_american_max_rel_err_vs_cpu_oracle", "f64_american_meets_1e-6",
     "mesh_spike_grids_per_sec", "served_greeks_max_rel_err",
-    "serving_prices_per_sec", "elapsed_s", "skipped_stages",
-    "degraded_to_cpu_from_stage",
+    "serving_prices_per_sec", "serving_greeks_prices_per_sec",
+    "elapsed_s", "skipped_stages", "degraded_to_cpu_from_stage",
 )
 
 

@@ -57,6 +57,7 @@ def _worst_case_result(bench):
         "mesh_spike_grids_per_sec": 31234.561234,
         "served_greeks_max_rel_err": 2.8868797480488482e-09,
         "serving_prices_per_sec": 9123.456789,
+        "serving_greeks_prices_per_sec": 5388.123456,
         "elapsed_s": 1545.5,
         "skipped_stages": ["analytic", "mc", "scengen", "exposure",
                            "hw1f", "serving"],
