@@ -166,8 +166,8 @@ def _cr_kernel(
         v_min = jnp.where(is_call, 0.0, strike_ref[:] * disc - s_min_ref[:] * growth)
         v_max = jnp.where(is_call, s_max_ref[:] * growth - strike_ref[:] * disc, 0.0)
 
-        v_up = pltpu.roll(v, N - 1, 0)
-        v_dn = pltpu.roll(v, 1, 0)
+        v_up = pltpu.roll(v, np.int32(N - 1), 0)
+        v_dn = pltpu.roll(v, np.int32(1), 0)
         rhs = b_l * v_dn + b_c * v + b_u * v_up
         rhs = rhs - jnp.where(is_row1, a_l * v_min, 0.0)
         rhs = rhs - jnp.where(is_rowN2, a_u * v_max, 0.0)
@@ -184,7 +184,7 @@ def _cr_kernel(
             evens = pairs[:, 0, :]
             odds = pairs[:, 1, :]
             evens_scratch[offset : offset + half, :] = evens
-            ev_up = pltpu.roll(evens, half - 1, 0) if half > 1 else evens
+            ev_up = pltpu.roll(evens, np.int32(half - 1), 0) if half > 1 else evens
             lidx = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
             ev_up = jnp.where(lidx == half - 1, 0.0, ev_up)
             alpha = _class_vec(
@@ -212,7 +212,7 @@ def _cr_kernel(
             half = m
             offset -= half
             evens = evens_scratch[offset : offset + half, :]
-            x_lo = pltpu.roll(x, 1, 0) if half > 1 else x
+            x_lo = pltpu.roll(x, np.int32(1), 0) if half > 1 else x
             lidx = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
             x_lo = jnp.where(lidx == 0, 0.0, x_lo)
             ae = _class_vec(

@@ -104,12 +104,12 @@ def _kernel(
             if s >= N:
                 break
             if not reverse:
-                A_sh = pltpu.roll(A, s, 0)
-                B_sh = pltpu.roll(B, s, 0)
+                A_sh = pltpu.roll(A, np.int32(s), 0)
+                B_sh = pltpu.roll(B, np.int32(s), 0)
                 pad = row < s
             else:
-                A_sh = pltpu.roll(A, N - s, 0)
-                B_sh = pltpu.roll(B, N - s, 0)
+                A_sh = pltpu.roll(A, np.int32(N - s), 0)
+                B_sh = pltpu.roll(B, np.int32(N - s), 0)
                 pad = row >= N - s
             A_sh = jnp.where(pad, 0.0, A_sh)
             B_sh = jnp.where(pad, 0.0, B_sh)
@@ -138,8 +138,8 @@ def _kernel(
         v_min = jnp.where(is_call, 0.0, v_min_put)
         v_max = jnp.where(is_call, v_max_call, 0.0)
 
-        v_up = pltpu.roll(v, N - 1, 0)  # v[i+1] (circular; boundary rows fixed below)
-        v_dn = pltpu.roll(v, 1, 0)    # v[i-1]
+        v_up = pltpu.roll(v, np.int32(N - 1), 0)  # v[i+1] (circular; boundary rows fixed below)
+        v_dn = pltpu.roll(v, np.int32(1), 0)    # v[i-1]
         rhs = b_l * v_dn + b_c * v + b_u * v_up
         rhs = rhs - jnp.where(is_row1, a_l * v_min, 0.0)
         rhs = rhs - jnp.where(is_rowN2, a_u * v_max, 0.0)
@@ -665,8 +665,8 @@ def _kernel_spike(
         # row's boundary terms land in band il at slot j = P-1.
         first_band = v_out_ref[sl(0)]
         last_band = v_out_ref[sl(m - 1)]
-        dn_fix = jnp.where(band == 0, v_lo, pltpu.roll(last_band, 1, 0))
-        up_fix = pltpu.roll(first_band, P - 1, 0)
+        dn_fix = jnp.where(band == 0, v_lo, pltpu.roll(last_band, np.int32(1), 0))
+        up_fix = pltpu.roll(first_band, np.int32(P - 1), 0)
 
         v_prev = dn_fix
         v_cur = first_band
@@ -713,9 +713,9 @@ def _kernel_spike(
             u = u + rinv_ref[:, j] * y_top[j][None, :]
             u = u + rinv_ref[:, P + j] * y_bot[j][None, :]
         # bprev[j] = b_{j-1} (0 for j=0); tnext[j] = t_{j+1} (0 for P-1)
-        bprev = jnp.where(band == 0, 0.0, pltpu.roll(u[P:], 1, 0))
+        bprev = jnp.where(band == 0, 0.0, pltpu.roll(u[P:], np.int32(1), 0))
         tnext = jnp.where(
-            band == P - 1, 0.0, pltpu.roll(u[:P], P - 1, 0)
+            band == P - 1, 0.0, pltpu.roll(u[:P], np.int32(P - 1), 0)
         )                              # (P, TB) each
 
         # correction + KO projection, chunk-row at a time
@@ -1183,7 +1183,7 @@ def _kernel_spike_df64(
         # a bare python int lowers to an i64 constant that Mosaic's
         # tpu.dynamic_rotate rejects
         k = jnp.int32(k)
-        return DF(pltpu.roll(x.hi, k, 0), pltpu.roll(x.lo, k, 0))
+        return DF(pltpu.roll(x.hi, np.int32(k), 0), pltpu.roll(x.lo, np.int32(k), 0))
 
     out_mask = out_mask_ref[:] != 0.0
     omask_lo = omask_lo_ref[:] != 0.0

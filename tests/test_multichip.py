@@ -14,7 +14,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(code: str) -> subprocess.CompletedProcess:
+def _run(code: str, timeout: int = 600) -> subprocess.CompletedProcess:
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -22,7 +22,7 @@ def _run(code: str) -> subprocess.CompletedProcess:
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=600, env=env, cwd=REPO,
+        timeout=timeout, env=env, cwd=REPO,
     )
 
 
@@ -222,7 +222,10 @@ class TestMeshSpike:
                     )
                 print("MESH_DF64_OK")
                 """
-            )
+            ),
+            # the df64 pallas interpreter costs ~1 min per compile even
+            # at tiny shapes; leave headroom for contended hosts
+            timeout=1200,
         )
         assert "MESH_DF64_OK" in out.stdout, out.stderr[-2000:]
 
