@@ -1181,9 +1181,11 @@ def _kernel_spike_df64(
     def roll_df(x, k):
         # the shift must be i32: this kernel runs in x64 sessions, where
         # a bare python int lowers to an i64 constant that Mosaic's
-        # tpu.dynamic_rotate rejects
-        k = jnp.int32(k)
-        return DF(pltpu.roll(x.hi, np.int32(k), 0), pltpu.roll(x.lo, np.int32(k), 0))
+        # tpu.dynamic_rotate rejects (np.int32 keeps it a weak-typed i32
+        # constant; wrapping a traced value would crash, so convert the
+        # python int directly)
+        k = np.int32(k)
+        return DF(pltpu.roll(x.hi, k, 0), pltpu.roll(x.lo, k, 0))
 
     out_mask = out_mask_ref[:] != 0.0
     omask_lo = omask_lo_ref[:] != 0.0
