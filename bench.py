@@ -1223,7 +1223,15 @@ def run_bench() -> None:
             # 253s on the half-warm tunnel) — give one attempt a window
             # wide enough to cover the cold start instead of burning a
             # failed attempt's full timeout on top of the retry's.
-            _run_stage(["--stage", "probe"], timeout=600, retries=1)
+            # retries=2 with a pause: a restarting tunnel (observed round
+            # 5: dead for minutes, then healthy) deserves a third look —
+            # a TPU artifact is worth ~20 min of probe patience, a
+            # CPU-degraded one reads vs_baseline 0.06.
+            try:
+                _run_stage(["--stage", "probe"], timeout=600, retries=1)
+            except RuntimeError:
+                time.sleep(120)
+                _run_stage(["--stage", "probe"], timeout=600, retries=0)
         except RuntimeError as e:
             print(f"# device probe failed, forcing CPU: {e}", file=sys.stderr)
             result["device_probe_failed"] = True
